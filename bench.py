@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: run headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count-style action).
+A warmup pass on sf0.001 triggers JIT/codegen so numbers reflect steady
+state, like the reference's perf stages do (scripts/perf-*.stage.sh).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from dsp_spark import catalog
+    from dsp_spark.session import get_session
+
+    spark = get_session("dsp_spark_bench")
+    qs = catalog.queries()
+
+    # Headline set: run everything registered; keep deterministic order.
+    names = sorted(qs)
+
+    # Warmup at the smallest SF (codegen + Arrow init, not measured).
+    for name in names[:3]:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        # noop sink executes the full plan without driver-side collection
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

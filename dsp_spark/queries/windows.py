@@ -1,0 +1,180 @@
+"""Event-time analytics over the `events` stream table (batch parity).
+
+The reference has no event-time semantics at all (SURVEY.md §1.4 — the
+only timestamp is an uninterpreted field, no windows/watermarks). These
+queries give the engine tumbling windows, sessionization, as-of joins
+and key-dedup in batch form; dsp_spark.streaming wires the identical
+transforms under readStream with watermarks.
+
+Determinism: timestamps are µs precision on both engines (ns parquet is
+truncated identically), interval logic is done in integer epoch-µs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.operators.asof import asof_join
+from dsp_spark.queries._util import dec, dsum, t
+
+GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h rollup via date_trunc (hypertable-style continuous aggregate shape).",
+)
+def events_hourly_rollup(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n"),
+        dsum(dec("value")).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Native F.window tumbling aggregation (same operator drives the streaming path).",
+)
+def events_tumbling_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n")
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, event_type, CAST(props ->> '$.k' AS INTEGER) AS k
+    FROM events
+    """,
+    doc="JSON property extraction from the props column (semi-structured surface).",
+)
+def events_json_extract(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: 30-min-gap split via lag + running sum, then per-session aggregate. "
+    "One shuffle on user_id; session_window(ts, gap) is the streaming twin.",
+)
+def events_sessionize(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > GAP_US), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Keyed dedup keeping the newest record (dropDuplicates-with-order semantics).",
+)
+def latest_event_per_user(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "asof_join_event_order",
+    """
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+    doc="As-of (backward) join: latest order at or before each event. Implemented with the "
+    "union+last_value merge (one shuffle, no row explosion) — not the O(n*m) oracle form.",
+)
+def asof_join_event_order(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+    )
+    return joined.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id", "user_id", "ts", "o_orderkey", "o_orderdate"
+    )
