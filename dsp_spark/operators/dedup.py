@@ -1,0 +1,161 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup as pure
+DataFrame transforms over a (id, text) corpus. The reference system
+has no dedup at all; these are the training-data-pipeline operators
+the engine adds (BASELINE.json north star).
+
+100 TB design notes
+-------------------
+* exact_dedup: shuffles only (hash, id) — never the payload.
+* MinHash: signatures are computed scan-side (no shuffle), the LSH
+  band self-join shuffles (band_hash, id) pairs only; md5 is uniform
+  so bucket skew is bounded; candidate pairs are verified without
+  re-reading documents.
+* Pairwise operators take a blocking column — at scale you NEVER do
+  an unblocked self-join; LSH buckets, sources, or length buckets
+  bound the quadratic term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dsp_spark.operators import textops
+
+
+def exact_dedup(df: DataFrame, id_col: str, *content_cols: str) -> DataFrame:
+    """Group identical content by hash; keep the smallest id as survivor."""
+    h = F.md5(F.concat_ws("\x1f", *content_cols)).alias("content_hash")
+    return df.groupBy(h).agg(
+        F.min(id_col).alias(f"keep_{id_col}"), F.count("*").alias("n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    sh = textops.char_shingles(text_col, k)
+    return df.select(F.col(id_col), *textops.minhash_signature(sh, n_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >= 1 LSH band.
+
+    rows-per-band = n_hashes // bands; a pair collides in a band iff
+    that slice of the signature is identical, so P(candidate) rises
+    sharply with Jaccard similarity (the standard banding S-curve).
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, k=k)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    bands_df = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (native SQL fold)."""
+    tokens_expr = f"split({text_col}, '\\\\s+')"
+    return df.select(
+        F.col(id_col), textops.simhash16(tokens_expr).alias("fingerprint")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within a blocking key at Hamming distance <= N."""
+    fp = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        textops.simhash16(f"split({text_col}, '\\\\s+')").alias("fp"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over blocked pairs.
+
+    intersection computed as filter+contains (identical semantics to
+    the DuckDB oracle); |union| = |A| + |B| - |A∩B|.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.array_distinct(textops.tokens(text_col)).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(
+        F.filter(
+            F.col("a.toks"), lambda x: F.array_contains(F.col("b.toks"), x)
+        )
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        inter.alias("inter"),
+        (F.size("a.toks") + F.size("b.toks")).alias("sz"),
+    )
+    jac = F.round(F.col("inter") / (F.col("sz") - F.col("inter")), 6)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

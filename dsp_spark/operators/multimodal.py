@@ -1,0 +1,104 @@
+"""Multimodal column handling: opaque binary media + typed metadata.
+
+Pattern: media travels as a `binary` column with a `media_type` tag;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so each task processes a columnar batch of blobs
+without JVM round-trips per row. Real codec libraries (PIL, torchaudio,
+ffmpeg) are not in this container — decoders for those media types are
+STUBS raising NotImplementedError; the Spark-side plumbing (schema,
+batch iteration, partitioning) is real and tested via the
+deterministic ``fake`` decoder (md5-derived features), which the
+DuckDB oracle can mirror exactly.
+
+100 TB notes: blobs stay in executor memory one Arrow batch at a time
+(`spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak usage);
+feature extraction is a narrow map — no shuffle; write features
+columnar and drop the blob as early as the pipeline allows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+N_FAKE_FEATURES = 4
+
+FEATURE_SCHEMA = (
+    "media_type string, n_bytes long, "
+    + ", ".join(f"f{i} double" for i in range(N_FAKE_FEATURES))
+)
+
+
+def fake_decode(blob: bytes) -> dict:
+    """Deterministic stand-in for a codec: md5-derived unit-interval
+    features (oracle mirror: ('0x'||substr(md5(i||'|'||md5(blob)),1,6))::BIGINT/16777216.0)."""
+    h = hashlib.md5(blob).hexdigest()
+    feats = {
+        f"f{i}": round(
+            int(hashlib.md5(f"{i}|{h}".encode()).hexdigest()[:6], 16) / 16**6, 6
+        )
+        for i in range(N_FAKE_FEATURES)
+    }
+    return {"n_bytes": len(blob), **feats}
+
+
+def image_decode(blob: bytes) -> dict:  # pragma: no cover - stub
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not in this container); "
+        "plug a real decoder with the same dict contract"
+    )
+
+
+def audio_decode(blob: bytes) -> dict:  # pragma: no cover - stub
+    raise NotImplementedError("audio decode requires soundfile/torchaudio")
+
+
+def video_frame_sample(blob: bytes) -> dict:  # pragma: no cover - stub
+    raise NotImplementedError("video frame sampling requires ffmpeg")
+
+
+DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "fake": fake_decode,
+    "image": image_decode,
+    "audio": audio_decode,
+    "video": video_frame_sample,
+}
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    id_col: str,
+    media_col: str,
+    media_type: str = "fake",
+    extra_schema: str = "",
+) -> DataFrame:
+    """mapInPandas feature extraction over a binary media column.
+
+    Output: id_col + FEATURE_SCHEMA columns. Unknown media types fail
+    fast at plan-build time, not per-task.
+    """
+    if media_type not in DECODERS:
+        raise ValueError(f"unknown media_type {media_type!r}; have {sorted(DECODERS)}")
+    decoder = DECODERS[media_type]
+    id_field = df.schema[id_col]
+    id_ddl = f"{id_col} {id_field.dataType.simpleString()}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                rec = decoder(bytes(blob))
+                rec[id_col] = rid
+                rec["media_type"] = media_type
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    schema = f"{id_ddl}, {FEATURE_SCHEMA}"
+    if extra_schema:
+        schema += f", {extra_schema}"
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns: brute-force and LSH ANN.
+
+* brute_force_topk — exact cosine top-k: broadcast the (small) query
+  set against the corpus; one narrow scan, no corpus shuffle; the
+  per-query top-k is a ranked window over (query, sim).
+* random-hyperplane LSH — 100 TB path: each vector gets a compact
+  bucket id from the signs of `n_planes` fixed random projections;
+  candidate generation is an equi-join on the bucket (shuffle of ids,
+  not vectors squared). Hyperplane coefficients are derived from md5
+  so they are deterministic and reproducible in the DuckDB oracle.
+
+Scaling further (billions of vectors): increase planes (smaller
+buckets), multi-probe neighboring buckets, or switch blocking to IVF
+(k-means coarse cells) — same join shape, different bucket function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from dsp_spark.functions.vectors import cosine
+
+
+def _hexfrac(s: str) -> float:
+    """Deterministic pseudo-random in [-0.5, 0.5) from md5(s)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16) / 16**6 - 0.5
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [_hexfrac(f"p{j}_{i}") for i in range(dim)] for j in range(n_planes)
+    ]
+
+
+def plane_dot_sql(plane: list[float], emb: str, dialect: str) -> str:
+    """Literal-coefficient dot product; identical +-fold order in both
+    engines (left-assoc addition) => bit-identical doubles."""
+    idx = (
+        (lambda i: f"CAST(element_at({emb}, {i}) AS DOUBLE)")
+        if dialect == "spark"
+        else (lambda i: f"CAST({emb}[{i}] AS DOUBLE)")
+    )
+    return " + ".join(f"{idx(i + 1)} * ({c!r})" for i, c in enumerate(plane))
+
+
+def bucket_sql(planes: list[list[float]], emb: str, dialect: str) -> str:
+    """LSH bucket id = sum of sign bits of the plane projections."""
+    bits = [
+        f"CASE WHEN ({plane_dot_sql(p, emb, dialect)}) > 0 THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row (self excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    sim = F.round(cosine("q_vec", vec_col), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return df.withColumn("bucket", F.expr(bucket_sql(planes, vec_col, "spark")))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k: exact cosine only within the query's bucket."""
+    cb = lsh_bucket(corpus, planes, vec_col=vec_col).select(
+        id_col, vec_col, "bucket"
+    )
+    qb = lsh_bucket(queries, planes, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sim = F.round(cosine("q_vec", vec_col), 6)
+    scored = (
+        cb.join(F.broadcast(qb), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis column builders: tokens, shingles, MinHash, SimHash,
+language-ID scores, quality metrics.
+
+All expressions are JVM-side SQL (split/transform/aggregate/md5) —
+no Python in the hot path, embarrassingly parallel, no shuffle. The
+hash family is md5-based so results are engine-independent and the
+DuckDB oracle can mirror every operator exactly:
+
+* MinHash value for seed s = lexicographic MIN over shingles of
+  md5('s|' || shingle) — a valid min-hash family (the md5 hex string
+  order is a fixed random permutation of the shingle universe).
+* SimHash uses the low 16 bits of md5(token) per token, ±1 votes per
+  bit position, sign -> fingerprint bit.
+
+Scale notes: per-document work is O(len * n_hashes); signatures are
+tiny (n_hashes hex strings), so the LSH band join downstream shuffles
+only (doc_id, band_hash) pairs, never documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"  # F.split takes the Java regex verbatim (no SQL-literal escaping)
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokens (duckdb mirror: string_split_regex(text, '\\s+'))."""
+    return F.split(F.col(col), TOKEN_SPLIT)
+
+
+def char_shingles(col: str = "text", k: int = 5) -> Column:
+    """Character k-gram shingles.
+
+    duckdb mirror:
+    list_transform(range(1, greatest(length(text)-{k-1}, 1)+1),
+                   i -> substr(text, i, {k}))
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), "
+        f"i -> substring({col}, i, {k}))"
+    )
+
+
+def minhash(shingles: Column, seed: int) -> Column:
+    """One MinHash value (hex string) for a given seed."""
+    return F.array_min(
+        F.transform(shingles, lambda sh: F.md5(F.concat(F.lit(f"{seed}|"), sh)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
+    return [minhash(shingles, s).alias(f"mh{s}") for s in range(n_hashes)]
+
+
+def minhash_sql(k: int, seed: int, col: str = "text") -> str:
+    """DuckDB SQL mirror of minhash(char_shingles(col, k), seed)."""
+    return (
+        f"list_min(list_transform(range(1, greatest(length({col}) - {k - 1}, 1) + 1), "
+        f"i -> md5('{seed}|' || substr({col}, i, {k}))))"
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash16(tokens_expr: str = "split(text, '\\\\s+')") -> Column:
+    """16-bit SimHash fingerprint as an int column (Spark side)."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate({tokens_expr}, 0, (acc, w) -> acc + "
+            f"CASE WHEN (CAST(conv(substring(md5(w), 1, 4), 16, 10) AS INT) >> {b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    return F.expr(" + ".join(terms)).cast("int")
+
+
+def simhash16_sql(tokens_expr: str = "string_split_regex(text, '\\s+')") -> str:
+    """DuckDB mirror of :func:`simhash16`."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({tokens_expr}, w -> "
+            f"CASE WHEN (('0x' || substr(md5(w), 1, 4))::INTEGER >> {b}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+# Language-ID stopword profiles (tiny n-gram-free heuristic; the point
+# is the operator shape — swap profiles for real ones in production).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "he2"),
+}
+
+
+def _in_list_sql(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def lang_score_expr(lang: str, tokens_expr: str, dialect: str) -> str:
+    """Count of profile hits; identical text in Spark SQL and DuckDB."""
+    words = _in_list_sql(LANG_PROFILES[lang])
+    if dialect == "spark":
+        return f"size(filter({tokens_expr}, w -> w IN ({words})))"
+    return f"len(list_filter({tokens_expr}, w -> w IN ({words})))"
+
+
+def lang_pred_expr(score_cols: dict[str, str]) -> str:
+    """Argmax with alphabetical tie-break, as a portable CASE fold.
+
+    score_cols: lang -> column/expression name, iterated alphabetically;
+    strict '>' keeps the earlier (alphabetically first) language on ties.
+    """
+    langs = sorted(score_cols)
+    pred, best = f"'{langs[0]}'", score_cols[langs[0]]
+    for lang in langs[1:]:
+        s = score_cols[lang]
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, {s})"
+    return pred

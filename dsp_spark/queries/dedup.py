@@ -1,1 +1,160 @@
-"""Deduplication operators over `documents` (filled in M3)."""
+"""Deduplication catalog entries over `documents`.
+
+Every operator is oracle-checked: the md5-based hash families make
+MinHash/SimHash fully reproducible in DuckDB SQL (generated from the
+same templates as the Spark expressions — see operators/textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.operators import dedup as dd
+from dsp_spark.operators.textops import minhash_sql, simhash16_sql
+from dsp_spark.queries._util import t
+
+# --- exact ---------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy keeping the smallest id; shuffles "
+    "(hash,id) only, never text.",
+)
+def dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- MinHash -------------------------------------------------------------
+
+_MH4 = ",\n           ".join(
+    f"{minhash_sql(5, s)} AS mh{s}" for s in range(4)
+)
+
+
+@register(
+    "dedup_minhash_signature",
+    f"""
+    SELECT doc_id,
+           {_MH4}
+    FROM documents
+    """,
+    doc="4-hash MinHash signatures over char-5-gram shingles (md5 hash "
+    "family, engine-independent). Narrow scan-side compute, no shuffle.",
+)
+def dedup_minhash_signature(spark, sf_dir):
+    return dd.minhash_signatures(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=4, k=5
+    )
+
+
+_MH8 = ",\n               ".join(
+    f"{minhash_sql(5, s)} AS mh{s}" for s in range(8)
+)
+_BANDS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sig AS (
+        SELECT doc_id,
+               {_MH8}
+        FROM documents
+    ), bands AS (
+        {_BANDS}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 8 hashes, 4 bands x 2 rows; the "
+    "band self-join shuffles (band_hash, doc_id) only — the 100 TB-safe "
+    "near-dup candidate generator.",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    return dd.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=5
+    )
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    f"""
+    SELECT doc_id, {simhash16_sql()} AS fingerprint
+    FROM documents
+    """,
+    doc="16-bit SimHash fingerprints (±1 bit votes from md5 of tokens), "
+    "computed as a native SQL fold — no Python.",
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    return dd.simhash_fingerprints(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source, {simhash16_sql()} AS fp FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp::BIGINT, b.fp::BIGINT)) <= 3
+    """,
+    doc="SimHash near-dup pairs at Hamming distance <= 3, blocked by "
+    "source (at scale: block by fingerprint prefix bands instead).",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_col="source",
+        max_hamming=3,
+    )
+
+
+# --- n-gram Jaccard ------------------------------------------------------
+
+_INTER = "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({_INTER} / (len(a.tk) + len(b.tk) - {_INTER}), 6) AS jaccard
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="Exact token-set Jaccard >= 0.5 over source-blocked pairs "
+    "(verification stage for LSH candidates; never run unblocked).",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    return dd.jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_col="source",
+        threshold=0.5,
+    )

@@ -1,1 +1,137 @@
-"""Similarity search over `embeddings` (filled in M3)."""
+"""Similarity-search catalog entries over `embeddings`.
+
+Cosine math is identical on both engines up to accumulation order;
+similarities are rounded to 6 digits before any comparison/ordering so
+results are engine-stable. LSH buckets are bit-identical (literal
+hyperplane coefficients, left-assoc fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.operators import similarity as sim
+from dsp_spark.queries._util import t
+
+DIM = 64
+N_PLANES = 4
+PLANES = sim.hyperplanes(N_PLANES, DIM)
+
+_COS = (
+    "round(list_dot_product(a.emb, b.emb) / "
+    "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)"
+)
+
+
+@register(
+    "embedding_block_pairs",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, vec_id // 100 AS block
+        FROM embeddings
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos_sim
+        FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.1
+    """,
+    doc="Embedding near-dup pairs: blocked self-join (vec_id div 100) + "
+    "exact cosine >= 0.1. Blocking bounds the quadratic term; at scale "
+    "the block key becomes an LSH/IVF bucket.",
+)
+def embedding_block_pairs(spark, sf_dir):
+    from dsp_spark.functions.vectors import cosine
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr("vec_id div 100").alias("block")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(cosine("a.embedding", "b.embedding"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.1)
+    )
+
+
+_COS_QC = (
+    "round(list_dot_product(q.qv, e.emb) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.emb, e.emb))), 6)"
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_COS_QC} AS sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    doc="Exact cosine top-10 per query (queries broadcast against the "
+    "corpus — one narrow scan, ranked window per query; the ANN recall "
+    "baseline).",
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rnk")
+    )
+
+
+_BUCKET_DUCK = sim.bucket_sql(PLANES, "embedding", "duck")
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               {_BUCKET_DUCK} AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, emb AS qv, bucket AS qb
+        FROM b WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_dot_product(q.qv, e.emb) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS sim
+        FROM b e JOIN q ON e.bucket = q.qb
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    doc="LSH-bucketed ANN: 4 random-hyperplane sign bits -> bucket; exact "
+    "cosine only within the query's bucket (equi-join on bucket, shuffle "
+    "of ids not vector pairs — the scale path).",
+)
+def ann_lsh_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    out = sim.lsh_ann_topk(e, e.filter(F.col("vec_id") < 5), PLANES, k=10)
+    return out.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rnk")
+    )

@@ -1,1 +1,181 @@
-"""Text analysis operators over `documents` (filled in M3)."""
+"""Text-analysis catalog entries over `documents`: token stats, quality
+scoring, language-ID, fingerprinting, multimodal feature plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.operators import textops
+from dsp_spark.operators.multimodal import N_FAKE_FEATURES, extract_features
+from dsp_spark.queries._util import t
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS INTEGER) AS n_uniq_tokens,
+           CAST(list_max(list_transform(string_split_regex(text, '\\s+'),
+                                        w -> length(w))) AS INTEGER) AS max_token_len
+    FROM documents
+    """,
+    doc="Whitespace+regex token counting (the BPE-ish pre-tokenizer shape): "
+    "totals, uniques, longest token. Narrow map, no shuffle.",
+)
+def text_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = textops.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq_tokens"),
+        F.array_max(F.transform(toks, F.length)).cast("int").alias("max_token_len"),
+    )
+
+
+_STOPS = "'the','a','of','and','to','in','is','for','on','it'"
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH x AS (
+        SELECT doc_id, text,
+               string_split_regex(text, '\\s+') AS tk,
+               length(text) AS n_char
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               (n_char - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / n_char AS punct_raw,
+               len(list_filter(tk, w -> w IN ({_STOPS}))) / len(tk) AS stop_raw,
+               list_sum(list_transform(tk, w -> length(w))) / len(tk) AS mean_raw
+        FROM x
+    )
+    SELECT doc_id,
+           round(punct_raw, 6) AS punct_ratio,
+           round(stop_raw, 6) AS stop_ratio,
+           round(mean_raw, 6) AS mean_token_len,
+           round((10 * stop_raw + least(mean_raw, 10.0)) / 20, 6) AS quality
+    FROM m
+    """,
+    doc="Heuristic document quality: punctuation ratio, stopword ratio, "
+    "mean token length, combined score — the cheap pre-filter stage of a "
+    "training-data pipeline.",
+)
+def text_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = textops.tokens("text")
+    n_char = F.length("text")
+    # raw full-precision ratios; round only at the output edge (rounding a
+    # composite of already-rounded values lands on .5 boundaries where
+    # engines' rounding paths diverge)
+    punct_raw = (n_char - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))) / n_char
+    stop_raw = (
+        F.size(F.expr(f"filter(split(text, '\\\\s+'), w -> w IN ({_STOPS}))"))
+        / F.size(toks)
+    )
+    mean_raw = (
+        F.expr("aggregate(split(text, '\\\\s+'), 0, (acc, w) -> acc + length(w))")
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        F.round(punct_raw, 6).alias("punct_ratio"),
+        F.round(stop_raw, 6).alias("stop_ratio"),
+        F.round(mean_raw, 6).alias("mean_token_len"),
+        F.round((10 * stop_raw + F.least(mean_raw, F.lit(10.0))) / 20, 6).alias(
+            "quality"
+        ),
+    )
+
+
+_SPARK_TOKS = "split(text, '\\\\s+')"
+_DUCK_TOKS = "string_split_regex(text, '\\s+')"
+_SCORES_SPARK = {
+    lang: textops.lang_score_expr(lang, _SPARK_TOKS, "spark")
+    for lang in textops.LANG_PROFILES
+}
+_SCORES_DUCK = {
+    lang: textops.lang_score_expr(lang, _DUCK_TOKS, "duck")
+    for lang in textops.LANG_PROFILES
+}
+_SCORE_SELECT_DUCK = ",\n           ".join(
+    f"CAST({_SCORES_DUCK[lang]} AS INTEGER) AS s_{lang}"
+    for lang in sorted(textops.LANG_PROFILES)
+)
+_PRED_DUCK = textops.lang_pred_expr(_SCORES_DUCK)
+_PRED_SPARK = textops.lang_pred_expr(_SCORES_SPARK)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           {_SCORE_SELECT_DUCK},
+           {_PRED_DUCK} AS lang_pred
+    FROM documents
+    """,
+    doc="Stopword-profile language ID: per-language hit counts + argmax "
+    "with deterministic alphabetical tie-break. Profile lists are "
+    "pluggable; the operator shape (n scores + fold) is the point.",
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *[
+            F.expr(_SCORES_SPARK[lang]).cast("int").alias(f"s_{lang}")
+            for lang in sorted(textops.LANG_PROFILES)
+        ],
+        F.expr(_PRED_SPARK).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_hex,
+           ('0x' || substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp64
+    FROM documents
+    """,
+    doc="Canonical-form document fingerprint (lowercase, collapsed "
+    "whitespace -> md5) plus a 60-bit numeric form for compact joins.",
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    fp = F.md5(canon)
+    return d.select(
+        "doc_id",
+        fp.alias("fp_hex"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp64"),
+    )
+
+
+_FAKE_FEATS_DUCK = ",\n           ".join(
+    f"round(('0x' || substr(md5('{i}|' || md5(text)), 1, 6))::BIGINT / 16777216.0, 6) AS f{i}"
+    for i in range(N_FAKE_FEATURES)
+)
+
+
+@register(
+    "multimodal_fake_features",
+    f"""
+    SELECT doc_id, 'fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           {_FAKE_FEATS_DUCK}
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary media column -> Arrow-batched "
+    "mapInPandas decode/feature-extract. Real codecs are stubbed (not in "
+    "container); the deterministic fake decoder proves the schema, batch "
+    "shape and partitioning — and is oracle-checked end to end.",
+)
+def multimodal_fake_features(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    return extract_features(d, id_col="doc_id", media_col="media", media_type="fake")

@@ -1,0 +1,71 @@
+"""Unit tests for LLM-pipeline operators beyond what the oracle covers:
+stub behavior, plan shape, recall sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsp_spark.operators import multimodal, similarity
+from dsp_spark.session import read_table
+
+
+def test_multimodal_unknown_type_fails_fast(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, media binary")
+    with pytest.raises(ValueError, match="unknown media_type"):
+        multimodal.extract_features(df, id_col="id", media_col="media", media_type="gif")
+
+
+def test_multimodal_image_stub_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, media binary")
+    out = multimodal.extract_features(
+        df, id_col="id", media_col="media", media_type="image"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        out.collect()
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, bytearray(b"hello"))], "id long, media binary"
+    )
+    rows = (
+        multimodal.extract_features(df, id_col="id", media_col="media")
+        .orderBy("id")
+        .collect()
+    )
+    assert rows[0]["n_bytes"] == 5
+    # identical blobs -> identical features
+    assert [rows[0][f"f{i}"] for i in range(4)] == [rows[1][f"f{i}"] for i in range(4)]
+    assert all(0.0 <= rows[0][f"f{i}"] <= 1.0 for i in range(4))
+
+
+def test_lsh_ann_is_subset_of_bruteforce_universe(spark, sf_dir):
+    """LSH results must be genuine neighbors: every (query, hit) pair the
+    LSH path returns appears in the brute-force scored universe with the
+    same rounded similarity."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    planes = similarity.hyperplanes(8, 64)
+    lsh = similarity.lsh_ann_topk(e, q, planes, k=5)
+    brute = similarity.brute_force_topk(e, q, k=10**9)  # unlimited = all sims
+    j = lsh.alias("l").join(
+        brute.alias("b"),
+        (F.col("l.query_id") == F.col("b.query_id"))
+        & (F.col("l.vec_id") == F.col("b.vec_id")),
+    )
+    mismatches = j.filter(F.col("l.sim") != F.col("b.sim")).count()
+    assert mismatches == 0
+    assert j.count() == lsh.count()  # every LSH hit exists in the universe
+
+
+def test_bruteforce_topk_excludes_self(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 3), k=5)
+    assert out.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+    # exactly 5 per query, ranks 1..5
+    per_q = out.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    for r in per_q.collect():
+        assert (r["n"], r["mx"]) == (5, 5)
