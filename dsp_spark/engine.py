@@ -1,0 +1,122 @@
+"""Engine façade: config -> source -> transform -> router -> sinks.
+
+The Spark twin of `dsp::service` (reference: dsp.hpp:128-319 — build
+interfaces from YAML, start southbound listener, daemon loop, graceful
+stop). Here the lifecycle is a StreamingQuery: `start()` wires the
+query, `await_termination()` blocks like the daemon loop, `stop()` is
+the SIGINT path (reference: daemon.hpp:127-139). `Trigger.AvailableNow`
+reproduces the partition-EOF-then-summary pattern of the perf runs
+(reference: S3, svc/main.cpp:144-155).
+
+The user "handler" is a pure DataFrame->DataFrame function (the
+subclassing extension point of handler.hpp:37-128 becomes a closure).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dsp_spark.config import PipelineConfig, SinkConfig
+from dsp_spark.operators.router import route
+from dsp_spark.sinks import multicast as mc
+from dsp_spark.streaming.metrics import MetricsListener, observed
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+def build_sink(cfg: SinkConfig, stores: dict[str, list]) -> mc.SinkFn:
+    if cfg.type == "kafka":
+        k = cfg.options.get("kafka", cfg.options)
+        return mc.kafka_sink(k.get("bootstrap", "localhost:9092"), k.get("topic"))
+    if cfg.type == "parquet":
+        return mc.parquet_sink(cfg.options["path"])
+    if cfg.type == "memory":
+        stores.setdefault(cfg.name, [])
+        return mc.memory_rows_sink(stores[cfg.name])
+    if cfg.type in ("console", "custom"):
+        # reference K3: custom northbound logging payloads (svc/main.cpp:118-126)
+        def console(batch: DataFrame, _epoch: int) -> None:
+            batch.show(20, truncate=False)
+
+        return console
+    raise ValueError(f"unknown northbound type {cfg.type!r}")
+
+
+@dataclass
+class Pipeline:
+    spark: SparkSession
+    config: PipelineConfig
+    transform: Transform | None = None
+    listener: MetricsListener | None = None
+    stores: dict[str, list] = field(default_factory=dict)
+    query = None
+
+    def compose(self, source_df: DataFrame) -> tuple[DataFrame, mc.Multicast]:
+        """Assemble transform + router over a source frame and the
+        multicast delivering to every configured northbound."""
+        df = source_df
+        if self.transform is not None:
+            df = self.transform(df)
+        if self.config.rules:
+            df = route(df, self.config.rules)
+        fan = mc.Multicast()
+        for sink_cfg in self.config.sinks:
+            fan.attach(sink_cfg.name, build_sink(sink_cfg, self.stores))
+        return df, fan
+
+    def start(
+        self,
+        *,
+        checkpoint: str,
+        available_now: bool = False,
+        processing_time: str | None = None,
+        with_metrics: bool = True,
+    ):
+        from dsp_spark.sources.factory import build_stream
+
+        if self.config.source is None:
+            raise ValueError("pipeline config has no southbound source")
+        if with_metrics and self.listener is None:
+            self.listener = MetricsListener()
+            self.spark.streams.addListener(self.listener)
+            if self.config.metrics_port:
+                self.listener.export_prometheus(self.config.metrics_port)
+
+        src = build_stream(self.spark, self.config.source)
+        df, fan = self.compose(src)
+        df = observed(df)
+        writer = (
+            df.writeStream.foreachBatch(fan)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        self.query = writer.start()
+        return self.query
+
+    def await_termination(self, timeout: float | None = None):
+        if self.query is not None:
+            done = self.query.awaitTermination(timeout)
+            if self.listener is not None:
+                # listener events are async; reconcile from recentProgress
+                self.listener.sync(self.query)
+            return done
+
+    def stop(self) -> None:
+        if self.query is not None:
+            if self.listener is not None:
+                self.listener.sync(self.query)
+            self.query.stop()
+            self.query = None
+
+    def summary(self) -> str | None:
+        if self.listener is None:
+            return None
+        self.listener.sync(self.query)
+        return self.listener.stats.summary()

@@ -1,0 +1,137 @@
+"""Custom stateful streaming operators.
+
+The reference keeps no per-key state at all (SURVEY.md §2.4) — its only
+loop-carried state is the TCP reassembly buffer. These operators add
+the stateful layer a telemetry pipeline actually needs, built on
+``applyInPandasWithState`` (per-key state, watermark-driven timeouts):
+
+* sequence-gap detection over heartbeat (client_id, sequence) — the
+  natural monitoring query for the reference's own heartbeat protocol
+  (sequence increments by 1 per client, sim.cpp:83-88); emits one row
+  per detected gap.
+
+Batch twins (lag-window forms) live beside each operator so the same
+semantics are oracle-testable; the streaming form holds only
+last-seen-per-key state => state size is O(#keys), not O(#events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+GAP_SCHEMA = "client_id bigint, gap_start bigint, gap_end bigint, missed bigint"
+_STATE_SCHEMA = "last_seq bigint"
+
+
+def _gap_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (client_id,) = key
+    last = state.get()[0] if state.exists else None
+    gaps: list[dict] = []
+    for pdf in batches:
+        for seq in sorted(int(s) for s in pdf["sequence"]):
+            if last is not None and seq > last + 1:
+                gaps.append(
+                    {
+                        "client_id": client_id,
+                        "gap_start": last + 1,
+                        "gap_end": seq - 1,
+                        "missed": seq - 1 - last,
+                    }
+                )
+            if last is None or seq > last:
+                last = seq
+    state.update((last,))
+    if gaps:
+        yield pd.DataFrame(gaps)
+
+
+def sequence_gaps_stream(heartbeats: DataFrame) -> DataFrame:
+    """Streaming per-client gap detector; input needs client_id, sequence."""
+    return heartbeats.groupBy("client_id").applyInPandasWithState(
+        _gap_fn,
+        outputStructType=GAP_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def sequence_gaps_batch(heartbeats: DataFrame) -> DataFrame:
+    """Batch twin: lag over (client_id order by sequence)."""
+    w = W.partitionBy("client_id").orderBy("sequence")
+    prev = F.lag("sequence").over(w)
+    return (
+        heartbeats.select("client_id", "sequence", prev.alias("prev_seq"))
+        .filter(F.col("prev_seq").isNotNull() & (F.col("sequence") > F.col("prev_seq") + 1))
+        .select(
+            "client_id",
+            (F.col("prev_seq") + 1).alias("gap_start"),
+            (F.col("sequence") - 1).alias("gap_end"),
+            (F.col("sequence") - 1 - F.col("prev_seq")).alias("missed"),
+        )
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling/sliding windowed counts+sums; works on batch and stream.
+
+    In streaming mode the watermark bounds state: windows older than
+    (max event time - watermark) are finalized and evicted.
+    """
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    aggs = [F.count("*").alias("n")]
+    if "value" in df.columns:
+        aggs.append(F.sum("value").alias("sum_value"))
+    return (
+        df.groupBy(win.alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"),
+            *keys,
+            *[c for c in ("n", "sum_value") if c in ("n",) or "value" in events.columns],
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows (native session_window) — the streaming twin of
+    queries/windows.events_sessionize."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )

