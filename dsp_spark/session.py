@@ -86,6 +86,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     return out
 
 
+def spread(df, *cols: str):
+    """Ensure CPU-heavy per-row compute runs on all cores.
+
+    A small single-file parquet scan yields one partition, serializing
+    everything downstream on local runs. Repartition (round-robin, or
+    hash on `cols`) up to the default parallelism. On a real cluster a
+    100 TB scan already has thousands of input splits, so this becomes
+    a no-op (partition count check) — it never *reduces* parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table, normalizing types.
 
