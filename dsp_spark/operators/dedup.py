@@ -65,8 +65,12 @@ def minhash_lsh_pairs(
     bands_df = sig.select(
         F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
     )
-    a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    # shuffle-hash, not broadcast: both sides then shuffle on the same
+    # (band_idx, band_hash) key with identical child plans, so Spark's
+    # ReuseExchange computes the signatures ONCE (2x saving) — and at
+    # corpus scale broadcasting the full band table is impossible anyway
+    a = bands_df.alias("a").hint("shuffle_hash")
+    b = bands_df.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -84,8 +88,12 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (native SQL fold)."""
     tokens_expr = f"split({text_col}, '\\\\s+')"
-    return spread(df).select(
-        F.col(id_col), textops.simhash16(tokens_expr).alias("fingerprint")
+    return (
+        spread(df)
+        .select(F.col(id_col), textops.token_hashes(tokens_expr).alias("hs"))
+        .select(
+            F.col(id_col), textops.simhash16_from_hashes("hs").alias("fingerprint")
+        )
     )
 
 
@@ -98,12 +106,18 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs within a blocking key at Hamming distance <= N."""
-    fp = spread(df, block_col).select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        textops.simhash16(f"split({text_col}, '\\\\s+')").alias("fp"),
+    fp = (
+        spread(df, block_col)
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            textops.token_hashes(f"split({text_col}, '\\\\s+')").alias("hs"),
+        )
+        .select(
+            F.col(id_col), "block", textops.simhash16_from_hashes("hs").alias("fp")
+        )
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    a, b = fp.alias("a").hint("shuffle_hash"), fp.alias("b").hint("shuffle_hash")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
         a.join(

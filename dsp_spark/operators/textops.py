@@ -65,14 +65,26 @@ def minhash_sql(k: int, seed: int, col: str = "text") -> str:
 SIMHASH_BITS = 16
 
 
-def simhash16(tokens_expr: str = "split(text, '\\\\s+')") -> Column:
-    """16-bit SimHash fingerprint as an int column (Spark side)."""
+def token_hashes(tokens_expr: str = "split(text, '\\\\s+')") -> Column:
+    """16-bit md5-derived hash per token (one md5 per token).
+
+    Materialize this as a column, then fold with
+    :func:`simhash16_from_hashes` — computing md5 once per token
+    instead of once per (token, bit) is a 16x cut in hash work.
+    """
+    return F.expr(
+        f"transform({tokens_expr}, "
+        f"w -> CAST(conv(substring(md5(w), 1, 4), 16, 10) AS INT))"
+    )
+
+
+def simhash16_from_hashes(hashes_col: str = "hs") -> Column:
+    """Fold pre-hashed tokens into the 16-bit SimHash fingerprint."""
     terms = []
     for b in range(SIMHASH_BITS):
         vote = (
-            f"aggregate({tokens_expr}, 0, (acc, w) -> acc + "
-            f"CASE WHEN (CAST(conv(substring(md5(w), 1, 4), 16, 10) AS INT) >> {b}) % 2 = 1 "
-            f"THEN 1 ELSE -1 END)"
+            f"aggregate({hashes_col}, 0, (acc, h) -> acc + "
+            f"CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END)"
         )
         terms.append(f"CASE WHEN ({vote}) > 0 THEN {1 << b} ELSE 0 END")
     return F.expr(" + ".join(terms)).cast("int")

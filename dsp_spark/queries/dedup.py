@@ -58,8 +58,10 @@ _MH8 = ",\n               ".join(
     f"{minhash_sql(5, s)} AS mh{s}" for s in range(8)
 )
 _BANDS = "\n        UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
-    for b in range(4)
+    "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig".format(
+        b=b, cols=" || '|' || ".join(f"mh{4 * b + r}" for r in range(4))
+    )
+    for b in range(2)
 )
 
 
@@ -78,13 +80,14 @@ _BANDS = "\n        UNION ALL ".join(
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     """,
-    doc="MinHash-LSH candidate pairs: 8 hashes, 4 bands x 2 rows; the "
-    "band self-join shuffles (band_hash, doc_id) only — the 100 TB-safe "
-    "near-dup candidate generator.",
+    doc="MinHash-LSH candidate pairs: 8 hashes, 2 bands x 4 rows "
+    "(S-curve threshold ~0.84 — high-precision near-dup); the band "
+    "self-join shuffles (band_hash, doc_id) only, with both sides "
+    "sharing one exchange — the 100 TB-safe candidate generator.",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=4, k=5
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, bands=2, k=5
     )
 
 

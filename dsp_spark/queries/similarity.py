@@ -41,14 +41,23 @@ _COS = (
     "the block key becomes an LSH/IVF bucket.",
 )
 def embedding_block_pairs(spark, sf_dir):
-    from dsp_spark.functions.vectors import cosine
+    from dsp_spark.functions.vectors import dot, norm
+    from dsp_spark.session import spread
 
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.expr("vec_id div 100").alias("block")
+    # norms once per row, not per pair; shuffle-hash self-join so both
+    # sides share one exchange (ReuseExchange) instead of a broadcast
+    # rebuild — also the only viable join at corpus scale
+    e = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.expr("vec_id div 100").alias("block"),
+        norm("embedding").alias("nrm"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(cosine("a.embedding", "b.embedding"), 6)
+    a = e.alias("a").hint("shuffle_hash")
+    b = e.alias("b").hint("shuffle_hash")
+    cos = F.round(
+        dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(
             b,
