@@ -97,6 +97,79 @@ def lsh_bucket(
     return df.withColumn("bucket", F.expr(bucket_sql(planes, vec_col, "spark")))
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest coarse centroids.
+
+    Centroids are broadcast (a codebook is small by construction — even
+    65k centroids x 1k dims is ~256 MB); assignment is a narrow
+    map-side cross join + ranked window, no corpus shuffle. Similarity
+    is cosine rounded to 6 digits, ties broken by cent_id, so the
+    assignment is deterministic and engine-independent.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(vec_col).alias("c_nrm"),
+    )
+    v = df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("nrm"))
+    sim = F.round(dot(vec_col, "c_vec") / (F.col("nrm") * F.col("c_nrm")), 6)
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    return (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("c_sim", sim)
+        .withColumn("c_rn", F.row_number().over(w))
+        .filter(F.col("c_rn") <= nprobe)
+        .select(id_col, vec_col, "nrm", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF ANN: exact cosine only inside the query's `nprobe` cells.
+
+    The 100 TB path for billions of vectors: corpus vectors are
+    partitioned by cell (disjoint, so multi-probe never duplicates a
+    candidate), queries probe a handful of cells, and the candidate
+    join shuffles only the probed cells' ids — in production the
+    centroids come from k-means; here any deterministic codebook works.
+    """
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    probes = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+    )
+    sim = F.round(dot("q_vec", vec_col) / (F.col("q_nrm") * F.col("nrm")), 6)
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -521,3 +521,165 @@ def conditional_bucketing(spark, sf_dir):
         .alias("bucket")
     )
     return o.groupBy(bucket, F.col("o_orderpriority")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Subqueries, grouping sets, percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H-Q4-style EXISTS: planned as a left-semi hash join (no "
+    "row explosion however many lineitems match), then a 5-group agg.",
+)
+def q4_order_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="TPC-H-Q14-style promo share: broadcast the part dim into the "
+    "fact scan, conditional decimal sums, single scalar out.",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    one = F.lit(1).cast(PCT)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount", PCT))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120
+    """,
+    doc="TPC-H-Q18-style large orders: aggregate-then-filter (HAVING). "
+    "At scale the groupBy pre-aggregates lineitem before the join would "
+    "matter; here the join key equals the group key so one shuffle serves "
+    "both.",
+)
+def q18_large_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(dsum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (beyond cube/rollup): one Expand + one "
+    "shuffle for all three groupings, via the SQL entry point.",
+)
+def grouping_sets_orders(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "percentile_prices_by_status",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB quantile_cont bit-for-bit). At 100 TB swap to approx_percentile "
+    "with a documented error bound; exact percentile needs a per-group sort.",
+)
+def percentile_prices_by_status(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.25).alias("p25"),
+        F.percentile("o_totalprice", 0.50).alias("p50"),
+        F.percentile("o_totalprice", 0.75).alias("p75"),
+        F.percentile("o_totalprice", 0.90).alias("p90"),
+    )
+
+
+@register(
+    "top_part_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (SELECT MAX(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+    doc="Correlated scalar subquery (max per brand), planned as a ranked "
+    "window — one shuffle on p_brand, no self-join.",
+)
+def top_part_per_brand(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return (
+        p.withColumn("max_price", F.max("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("max_price"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )

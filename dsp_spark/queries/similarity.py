@@ -144,3 +144,57 @@ def ann_lsh_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rnk")
     )
+
+
+_COS_AC = (
+    "round(list_dot_product(v.emb, c.cv) / "
+    "(sqrt(list_dot_product(v.emb, v.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cv FROM e WHERE vec_id % 100 = 0),
+    asg AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT v.vec_id, v.emb, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+            FROM e v, cent c) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT v.vec_id AS query_id, v.emb AS qv, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+            FROM e v, cent c WHERE v.vec_id < 5) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.query_id, a.vec_id,
+               round(list_dot_product(p.qv, a.emb) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.emb, a.emb))), 6) AS sim
+        FROM probes p JOIN asg a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    doc="IVF ANN: deterministic coarse codebook (every 100th vector; "
+    "k-means in production), corpus assigned to nearest cell, queries "
+    "probe 2 cells, exact cosine only within probed cells. Disjoint "
+    "cells => multi-probe never duplicates a candidate; corpus shuffles "
+    "only by cell id.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % 100 == 0)
+    out = sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), cent, nprobe=2, k=10
+    )
+    return out.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rnk")
+    )

@@ -179,3 +179,26 @@ def multimodal_fake_features(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
     )
     return extract_features(d, id_col="doc_id", media_col="media", media_type="fake")
+
+
+@register(
+    "text_bpe_pretokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pretokens,
+           CAST(len(regexp_extract_all(text, '[0-9]{1,3}')) AS INTEGER) AS n_number_chunks,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct
+    FROM documents
+    """,
+    doc="BPE-style pre-tokenizer counts (letter runs / <=3-digit number "
+    "chunks / punctuation, the GPT-2 pre-tokenizer shape). regexp runs "
+    "JVM-side inside codegen; narrow map, no shuffle.",
+)
+def text_bpe_pretokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id",
+        r'CAST(size(regexp_extract_all(text, "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]", 0)) AS INT) AS n_pretokens',
+        r'CAST(size(regexp_extract_all(text, "[0-9]{1,3}", 0)) AS INT) AS n_number_chunks',
+        r'CAST(size(regexp_extract_all(text, "[^A-Za-z0-9\\s]", 0)) AS INT) AS n_punct',
+    )
