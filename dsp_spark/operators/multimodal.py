@@ -69,6 +69,59 @@ DECODERS: dict[str, Callable[[bytes], dict]] = {
 }
 
 
+FRAME_SCHEMA = "frame_idx int, frame_hash string, frame_score double"
+
+
+def fake_frame(blob: bytes, idx: int) -> dict:
+    """Deterministic stand-in for one sampled frame (md5-derived)."""
+    h = hashlib.md5(blob).hexdigest()
+    fh = hashlib.md5(f"frame{idx}|{h}".encode()).hexdigest()
+    return {
+        "frame_idx": idx,
+        "frame_hash": fh,
+        "frame_score": round(int(fh[:6], 16) / 16**6, 6),
+    }
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str,
+    media_col: str,
+    n_frames: int = 3,
+    media_type: str = "fake",
+) -> DataFrame:
+    """1->N frame sampling over a binary media column (mapInPandas).
+
+    The video path is the stub (`video_frame_sample`); the fake decoder
+    exercises the real plumbing: each input row yields `n_frames` output
+    rows — the batch iterator shape a real ffmpeg sampler needs (one
+    blob in, a frame table out), with blobs held one Arrow batch at a
+    time.
+    """
+    if media_type not in ("fake", "video"):
+        raise ValueError(f"frame sampling needs fake|video, got {media_type!r}")
+    id_field = df.schema[id_col]
+    id_ddl = f"{id_col} {id_field.dataType.simpleString()}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(blob)
+                if media_type == "video":  # pragma: no cover - stub
+                    video_frame_sample(data)
+                for i in range(n_frames):
+                    rec = fake_frame(data, i)
+                    rec[id_col] = rid
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=f"{id_ddl}, {FRAME_SCHEMA}"
+    )
+
+
 def extract_features(
     df: DataFrame,
     *,

@@ -202,3 +202,31 @@ def text_bpe_pretokens(spark, sf_dir):
         r'CAST(size(regexp_extract_all(text, "[0-9]{1,3}", 0)) AS INT) AS n_number_chunks',
         r'CAST(size(regexp_extract_all(text, "[^A-Za-z0-9\\s]", 0)) AS INT) AS n_punct',
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH f AS (
+        SELECT doc_id, md5(text) AS h, i AS frame_idx
+        FROM documents, generate_series(0, 2) AS t(i)
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5('frame' || frame_idx || '|' || h) AS frame_hash,
+           round(('0x' || substr(md5('frame' || frame_idx || '|' || h), 1, 6))::BIGINT
+                 / 16777216.0, 6) AS frame_score
+    FROM f
+    """,
+    doc="1->N frame sampling plumbing (video path stubbed; deterministic "
+    "fake frames prove the blob-in/frame-table-out mapInPandas shape). "
+    "Narrow map, output fan-out 3x, no shuffle.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from dsp_spark.operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    return sample_frames(
+        d, id_col="doc_id", media_col="media", n_frames=3, media_type="fake"
+    )

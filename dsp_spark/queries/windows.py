@@ -178,3 +178,31 @@ def asof_join_event_order(spark, sf_dir):
     return joined.filter(F.col("o_orderkey").isNotNull()).select(
         "event_id", "user_id", "ts", "o_orderkey", "o_orderdate"
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    doc="Per-user event-type transition matrix via LAG: one shuffle on "
+    "user_id for the window, then a tiny re-agg — the funnel/Markov "
+    "building block.",
+)
+def event_transitions(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -80,6 +80,72 @@ def sequence_gaps_batch(heartbeats: DataFrame) -> DataFrame:
     )
 
 
+FIRST_SEEN_SCHEMA = "content_hash string, first_id bigint"
+
+try:  # Spark 4 transformWithState API
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = Any  # type: ignore[assignment,misc]
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """Streaming exactly-first dedup on Spark 4's transformWithState API.
+
+    Emits each key once, the first time it is ever seen — the streaming
+    twin of exact_dedup: state is one value per content hash
+    (O(#distinct keys), RocksDB-backed on a real cluster), so an
+    unbounded duplicate stream dedups with bounded memory per key.
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.seen = handle.getValueState("seen", "first_id bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        first_id = None
+        for pdf in rows:
+            batch_min = int(pdf["row_id"].min())
+            first_id = batch_min if first_id is None else min(first_id, batch_min)
+        if not self.seen.exists() and first_id is not None:
+            self.seen.update((first_id,))
+            yield pd.DataFrame({"content_hash": [key[0]], "first_id": [first_id]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithState needs protobuf for its state-server protocol."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def first_seen_stream(df: DataFrame, *, key_col: str, id_col: str) -> DataFrame:
+    """Streaming first-occurrence dedup; input needs key_col + id_col.
+
+    Requires protobuf at runtime (Spark's transformWithState state
+    protocol); check :func:`tws_available` first. For a
+    protobuf-free alternative with bounded state use
+    ``dropDuplicatesWithinWatermark`` (covered in tests).
+    """
+    keyed = df.select(
+        F.col(key_col).alias("content_hash"), F.col(id_col).alias("row_id")
+    )
+    return keyed.groupBy("content_hash").transformWithStateInPandas(
+        statefulProcessor=FirstSeenProcessor(),
+        outputStructType=FIRST_SEEN_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def windowed_counts(
     events: DataFrame,
     *,

@@ -204,3 +204,100 @@ def test_load_shed_accounting(spark):
     # deterministic: same seed -> same split (safe under batch retry)
     kept2, _ = load_shed(df, keep_fraction=0.8)
     assert kept2.exceptAll(kept).count() == 0
+
+
+@pytest.mark.skipif(
+    not stateful.tws_available(),
+    reason="transformWithState needs protobuf (not in container)",
+)
+def test_first_seen_dedup_stream(spark, tmp_path):
+    """transformWithState first-occurrence dedup == batch exact dedup."""
+    rows = [(i, f"doc{i % 4}") for i in range(20)]  # 4 distinct contents
+    batch = spark.createDataFrame(rows, "row_id long, text string")
+    src = str(tmp_path / "docs")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    dedup = stateful.first_seen_stream(
+        stream.withColumn("h", F.md5("text")), key_col="h", id_col="row_id"
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("fs_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckfs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["content_hash"], r["first_id"])
+        for r in spark.sql("SELECT * FROM fs_out").collect()
+    }
+    expected = {
+        (r["content_hash"], r["keep_row_id"])
+        for r in __import__("dsp_spark.operators.dedup", fromlist=["exact_dedup"])
+        .exact_dedup(batch, "row_id", "text")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 4
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup with bounded state (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        ts = base + dt.timedelta(minutes=i)
+        rows += [(i % 5, ts), (i % 5, ts)]  # every event duplicated
+    batch = spark.createDataFrame(rows, "k long, ts timestamp")
+    src = str(tmp_path / "dups")
+    batch.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM ddw_out").collect()[0]["n"]
+    assert n == 5  # one per key within the watermark horizon
+
+
+def test_simulator_rate_source(spark, tmp_path):
+    """S5: heartbeat simulator over the rate source shapes correct columns."""
+    from dsp_spark.sources.factory import simulator_stream
+
+    hb = simulator_stream(spark, rows_per_second=100, n_clients=4)
+    assert set(hb.columns) == {"client_id", "sequence", "ts", "timestamp"}
+    q = (
+        hb.writeStream.format("memory")
+        .queryName("sim_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cksim"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS n FROM sim_out").collect()[0]["n"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    bad = spark.sql(
+        "SELECT count(*) AS n FROM sim_out WHERE client_id NOT BETWEEN 0 AND 3"
+    ).collect()[0]["n"]
+    assert bad == 0
