@@ -1,0 +1,9 @@
+from dsp_spark.plans.inspect import (  # noqa: F401
+    count_exchanges,
+    formatted,
+    has_broadcast_join,
+    has_reused_exchange,
+    pushed_filters,
+    read_schema_columns,
+    whole_stage_codegen_ids,
+)

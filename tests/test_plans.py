@@ -1,0 +1,86 @@
+"""Plan-quality guardrails: assert the physical plans we designed for
+100 TB actually materialize — pushdown, pruning, broadcast choice,
+exchange reuse, codegen. A regression here is a scale bug even when
+results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark import catalog, plans
+from dsp_spark.session import read_table
+
+ENTRIES = catalog.entries()
+
+
+def q(name, spark, sf_dir):
+    return ENTRIES[name].fn(spark, sf_dir)
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    # scan must read only the 4 referenced columns, not all 11
+    (cols,) = plans.read_schema_columns(df)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = q("q5_regional_supplier_volume", spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_q14_broadcasts_part_dim(spark, sf_dir):
+    df = q("q14_promo_revenue", spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed
+
+
+def test_minhash_lsh_reuses_exchange(spark, sf_dir):
+    """The band self-join must compute signatures once, not per side."""
+    df = q("dedup_minhash_lsh_pairs", spark, sf_dir)
+    assert plans.has_reused_exchange(df)
+
+
+def test_embedding_pairs_reuses_exchange(spark, sf_dir):
+    df = q("embedding_block_pairs", spark, sf_dir)
+    assert plans.has_reused_exchange(df)
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    (cols,) = plans.read_schema_columns(df)
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_scan_stays_in_codegen(spark, sf_dir):
+    df = q("q1_pricing_summary", spark, sf_dir)
+    assert plans.whole_stage_codegen_ids(df), "aggregation fell out of codegen"
+
+
+def test_no_cartesian_in_catalog_joins(spark, sf_dir):
+    """No registered query may plan a CartesianProduct — at 100 TB that's
+    an outage. (Brute-force ANN is a deliberate BroadcastNestedLoop over
+    a tiny query set, which is fine; Cartesian is not.)"""
+    bad = []
+    for name, entry in ENTRIES.items():
+        plan = plans.formatted(entry.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian joins in: {bad}"
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """Hash-groupBy dedup: one exchange (partial agg map-side first)."""
+    df = q("dedup_exact", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_topk_partial_ranking(spark, sf_dir):
+    """Per-group top-k must sort within partitions only (window), never
+    globally; a global Sort before the window is a scale bug."""
+    plan = plans.formatted(q("topk_orders_per_segment", spark, sf_dir))
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
