@@ -35,3 +35,26 @@ def u32_le(col: Column, pos: int) -> Column:
 
 def u64_le(col: Column, pos: int) -> Column:
     return F.conv(_le_hex(col, pos, 8), 16, 10).cast("long")
+
+
+# --- encode direction (int column -> LE bytes), also pure JVM ------------
+
+
+def _to_le_hex(col: Column, nbytes: int) -> Column:
+    """Hex string (2*nbytes chars) of an int column, little-endian order."""
+    h = F.lpad(F.hex(col), 2 * nbytes, "0")
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    return F.concat(*pairs)
+
+
+def u16_le_hex(col: Column) -> Column:
+    return _to_le_hex(col, 2)
+
+
+def u64_le_hex(col: Column) -> Column:
+    return _to_le_hex(col, 8)
+
+
+def pack_le(*hex_cols: Column) -> Column:
+    """Concatenate LE-hex parts into one binary value."""
+    return F.unhex(F.concat(*hex_cols))

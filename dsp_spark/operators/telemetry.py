@@ -29,7 +29,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dsp_spark.functions.binary import u16_le, u64_le
@@ -181,6 +181,22 @@ def deframe_chunks(
 
     out_schema = f"{conn_col} long, frame binary, error string"
     return df.groupBy(conn_col).applyInPandas(per_conn, schema=out_schema)
+
+
+def heartbeat_frame(client_id: Column, sequence: Column, ts: Column) -> Column:
+    """Native (JVM-side) heartbeat frame builder — the generator twin of
+    :func:`make_heartbeat` as a column expression: hex + byte-swap +
+    unhex, whole-stage codegen, no Python. Used to synthesize load at
+    scan speed (the reference's sim.cpp generator maxes one core)."""
+    from dsp_spark.functions.binary import pack_le, u16_le_hex, u64_le_hex
+
+    return pack_le(
+        u16_le_hex(F.lit(HEADER_LEN + HEARTBEAT_BODY)),
+        u16_le_hex(F.lit(TYPE_HEARTBEAT)),
+        u64_le_hex(client_id),
+        u64_le_hex(sequence),
+        u64_le_hex(ts),
+    )
 
 
 def make_heartbeat(client_id: int, sequence: int, ts: int) -> bytes:

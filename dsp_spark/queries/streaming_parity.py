@@ -86,20 +86,31 @@ def router_drop_accounting(spark, sf_dir):
 def _heartbeat_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic heartbeat frames synthesized from `events` — the
     engine-side twin of the reference's load generator (sim.cpp:30-48):
-    client_id=user_id, sequence=event_id, ts=epoch µs."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
-    )
+    client_id=user_id, sequence=event_id, ts=epoch µs.
 
-    def gen(it):
-        for pdf in it:
-            frames = [
-                telemetry.make_heartbeat(int(u), int(e), int(ts))
-                for u, e, ts in zip(pdf["user_id"], pdf["event_id"], pdf["ts_us"])
-            ]
-            yield pd.DataFrame({"value": frames})
+    Frames are built with the native column expression (hex+unhex,
+    codegen — no Python) and materialized once per sf_dir, parser
+    queries then scan stored bytes. Mirrors the reference's perf
+    methodology (generator client writes, service parses,
+    scripts/perf-tcp.stage.sh) and keeps generation cost out of every
+    parse plan — inlining the generator into the parser's filter made
+    Catalyst push a monstrous expression into the scan."""
+    import hashlib
+    import tempfile
+    from pathlib import Path
 
-    return ev.mapInPandas(gen, schema="value binary")
+    from dsp_spark.session import spread
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = Path(tempfile.gettempdir()) / f"dsp_spark_hb_frames_{tag}"
+    if not (path / "_SUCCESS").exists():
+        ev = spread(t(spark, sf_dir, "events"))
+        ev.select(
+            telemetry.heartbeat_frame(
+                F.col("user_id"), F.col("event_id"), F.unix_micros("ts")
+            ).alias("value")
+        ).write.mode("overwrite").parquet(str(path))
+    return spark.read.parquet(str(path))
 
 
 @register(
