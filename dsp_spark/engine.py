@@ -31,8 +31,9 @@ def build_sink(cfg: SinkConfig, stores: dict[str, list]) -> mc.SinkFn:
     if cfg.type == "kafka":
         k = cfg.options.get("kafka", cfg.options)
         return mc.kafka_sink(k.get("bootstrap", "localhost:9092"), k.get("topic"))
-    if cfg.type == "parquet":
-        return mc.parquet_sink(cfg.options["path"])
+    if cfg.type in ("parquet", "csv", "json"):
+        # reference K6: file northbound types (doc/user-guide.adoc:24-26)
+        return mc.file_sink(cfg.type, cfg.options["path"], cfg.options.get("options"))
     if cfg.type == "memory":
         stores.setdefault(cfg.name, [])
         return mc.memory_rows_sink(stores[cfg.name])

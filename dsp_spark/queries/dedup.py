@@ -161,3 +161,42 @@ def dedup_jaccard_pairs(spark, sf_dir):
         block_col="source",
         threshold=0.5,
     )
+
+
+@register(
+    "dedup_survivors",
+    """
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN keep USING (doc_id)
+    """,
+    doc="The deduplicated corpus itself: keep the smallest doc_id per "
+    "content hash and semi-join the survivors back — the shuffle carries "
+    "(hash, id) and then ids only; document payloads never shuffle.",
+)
+def dedup_survivors(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    keep = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return d.join(keep, "doc_id", "left_semi").select("doc_id", "source", "lang")
+
+
+@register(
+    "approx_distinct_docs_hll",
+    None,
+    doc="HyperLogLog++ distinct-content estimate per source — the sketch "
+    "path for 100 TB cardinality (no exact shuffle of hashes). No SQL "
+    "oracle: DuckDB's HLL implementation yields different estimates; "
+    "accuracy is asserted against exact counts in tests instead.",
+)
+def approx_distinct_docs_hll(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_distinct"),
+        F.count("*").alias("n_docs"),
+    )

@@ -683,3 +683,24 @@ def top_part_per_brand(spark, sf_dir):
         .filter(F.col("p_retailprice") == F.col("max_price"))
         .select("p_brand", "p_partkey", "p_retailprice")
     )
+
+
+@register(
+    "top100_orders_global",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Global top-k: planned as TakeOrderedAndProject — each partition "
+    "keeps its local top 100, the driver merges k*partitions rows; no "
+    "global sort ever materializes (the 100 TB-safe ORDER BY ... LIMIT).",
+)
+def top100_orders_global(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

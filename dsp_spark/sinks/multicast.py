@@ -64,6 +64,29 @@ def parquet_sink(path: str, mode: str = "append") -> SinkFn:
     return write
 
 
+def file_sink(
+    fmt: str, path: str, options: dict | None = None, mode: str = "append"
+) -> SinkFn:
+    """parquet/csv/json file northbound (reference K6,
+    doc/user-guide.adoc:24-26). Binary envelope columns are cast to
+    string for text formats (csv/json cannot carry raw bytes)."""
+
+    def write(batch: DataFrame, _epoch: int) -> None:
+        out = batch
+        if fmt in ("csv", "json"):
+            for name, dtype in batch.dtypes:
+                if dtype == "binary":
+                    out = out.withColumn(name, F.col(name).cast("string"))
+                elif dtype.startswith("map<"):
+                    out = out.withColumn(name, F.to_json(F.col(name)))
+        writer = out.write.mode(mode).format(fmt)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.save(path)
+
+    return write
+
+
 def memory_rows_sink(store: list) -> SinkFn:
     """Test sink collecting rows driver-side (small batches only)."""
 

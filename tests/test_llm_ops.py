@@ -69,3 +69,24 @@ def test_bruteforce_topk_excludes_self(spark, sf_dir):
     )
     for r in per_q.collect():
         assert (r["n"], r["mx"]) == (5, 5)
+
+
+def test_hll_within_rsd_of_exact(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=2%) must track exact counts."""
+    from dsp_spark import catalog
+
+    rows = catalog.entries()["approx_distinct_docs_hll"].fn(spark, sf_dir).collect()
+    from dsp_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["source"]: r["n"]
+        for r in read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.countDistinct(F.md5("text")).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_distinct"] - exact[r["source"]]) / exact[r["source"]]
+        assert rel_err < 0.1, (r["source"], r["approx_distinct"], exact[r["source"]])

@@ -301,3 +301,43 @@ def test_simulator_rate_source(spark, tmp_path):
         "SELECT count(*) AS n FROM sim_out WHERE client_id NOT BETWEEN 0 AND 3"
     ).collect()[0]["n"]
     assert bad == 0
+
+
+def test_csv_json_file_sinks(spark, sf_dir, tmp_path):
+    """K6 file northbound types: csv/json sinks handle binary+map cols."""
+    from dsp_spark.config import PipelineConfig
+    from dsp_spark.engine import Pipeline
+    from dsp_spark.session import read_table
+
+    batch = read_table(spark, sf_dir, "events").limit(50)
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    cfg = PipelineConfig.from_dict(
+        {
+            "interfaces": {
+                "southbound": {"type": "file", "path": src, "schema": batch.schema},
+                "northbound": [
+                    {"name": "c", "type": "csv", "path": str(tmp_path / "csv"),
+                     "options": {"header": "true"}},
+                    {"name": "j", "type": "json", "path": str(tmp_path / "json")},
+                ],
+            }
+        }
+    )
+
+    def to_msgs(df):
+        return df.select(
+            F.col("event_id"),
+            F.col("props").cast("binary").alias("value"),
+            F.create_map(F.lit("type"), F.col("event_type")).alias("properties"),
+        )
+
+    pipe = Pipeline(spark, cfg, transform=to_msgs)
+    pipe.start(checkpoint=str(tmp_path / "ck"), available_now=True)
+    pipe.await_termination(120)
+    n = batch.count()
+    got_csv = spark.read.option("header", "true").csv(str(tmp_path / "csv"))
+    got_json = spark.read.json(str(tmp_path / "json"))
+    assert got_csv.count() == n
+    assert got_json.count() == n
+    assert set(got_json.columns) == {"event_id", "value", "properties"}
