@@ -57,6 +57,8 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
+    throughput = _throughput_suite(spark)
+
     print(
         json.dumps(
             {
@@ -66,9 +68,64 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "wall_sec": wall,
+                "throughput": throughput,
             }
         )
     )
+
+
+def _throughput_suite(spark) -> dict:
+    """Message-pipeline throughput in the reference's own units
+    (MPS/MBps over 200-byte messages — doc/perf.adoc:34-42,75-80):
+
+    * relay: the K2K identity projection (key/topic/value), reference
+      perf-dsp-k2k (5M x 200 B);
+    * route: 3-rule router with include/exclude + multicast copies,
+      the full perf-dsp pipeline shape (10M msgs in the reference).
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from dsp_spark.config import RouterRule
+    from dsp_spark.operators.router import route
+
+    n = 5_000_000
+    size = 200
+    msgs = spark.range(n).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.create_map(
+            F.lit("type"),
+            F.when(F.col("id") % 3 == 0, "click")
+            .when(F.col("id") % 3 == 1, "purchase")
+            .otherwise("error"),
+        ).alias("properties"),
+        F.lit("dev-test").alias("topic"),
+        F.encode(F.rpad(F.col("id").cast("string"), size, "x"), "UTF-8").alias(
+            "value"
+        ),
+    )
+    relay = msgs.select("key", F.lit("dev-test-2").alias("topic"), "value")
+    rules = [
+        RouterRule("clicks", 1, "type", "click", "include", "nb", "clicks"),
+        RouterRule("not-errors", 2, "type", "error", "exclude", "nb", "ok"),
+        RouterRule("all", 3, "*", "*", "include", "audit", "everything"),
+    ]
+    routed = route(msgs, rules)
+
+    out = {}
+    for name, df in (("relay", relay), ("route", routed)):
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, _t.perf_counter() - t0)
+        out[f"{name}_mps"] = round(n / best, 0)
+        out[f"{name}_mbps"] = round(n * size / 1e6 / best, 1)
+        out[f"{name}_sec"] = round(best, 3)
+    out["message_bytes"] = size
+    out["n_messages"] = n
+    return out
     spark.stop()
 
 
