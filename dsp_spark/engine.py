@@ -54,6 +54,7 @@ class Pipeline:
     listener: MetricsListener | None = None
     stores: dict[str, list] = field(default_factory=dict)
     query = None
+    _start_opts: dict = field(default_factory=dict, repr=False)
 
     def compose(self, source_df: DataFrame) -> tuple[DataFrame, mc.Multicast]:
         """Assemble transform + router over a source frame and the
@@ -86,6 +87,12 @@ class Pipeline:
             if self.config.metrics_port:
                 self.listener.export_prometheus(self.config.metrics_port)
 
+        self._start_opts = {
+            "checkpoint": checkpoint,
+            "available_now": available_now,
+            "processing_time": processing_time,
+            "with_metrics": with_metrics,
+        }
         src = build_stream(self.spark, self.config.source)
         df, fan = self.compose(src)
         df = observed(df)
@@ -100,6 +107,68 @@ class Pipeline:
             writer = writer.trigger(processingTime=processing_time)
         self.query = writer.start()
         return self.query
+
+    def reload(self, transform: Transform | None):
+        """Hot-swap the user transform and restart the query.
+
+        The Spark realization of the reference's aspirational
+        `POST /reload` script swap (svc/main.cpp:203-230, commented-out
+        Lua eval svc/handler.cpp:211-221): stop the running query, swap
+        the DataFrame transform, restart on the SAME checkpoint — the
+        source resumes exactly where it left off, so no message is lost
+        or reprocessed across the swap.
+        """
+        if self.query is None:
+            raise RuntimeError("pipeline not started")
+        opts = self._start_opts
+        self.stop()
+        self.transform = transform
+        return self.start(**opts)
+
+    def run_forever(
+        self,
+        *,
+        checkpoint: str,
+        processing_time: str | None = None,
+        watchdog_interval: float = 10.0,
+        log=print,
+    ) -> None:
+        """Daemon loop: run until SIGINT/SIGTERM, with a periodic
+        watchdog publishing the running summary (reference:
+        daemon.hpp:34-141 — keep-alive loop + metrics publish every
+        daemon-interval; first signal stops gracefully, second aborts,
+        doc/user-guide.adoc:148-169)."""
+        import signal
+        import threading
+
+        self.start(checkpoint=checkpoint, processing_time=processing_time)
+        stop_evt = threading.Event()
+        signals_seen = {"n": 0}
+
+        def on_signal(signum, _frame):
+            signals_seen["n"] += 1
+            if signals_seen["n"] > 1:  # double-signal: abort hard
+                raise SystemExit(130)
+            log(f"signal {signum}: stopping gracefully")
+            stop_evt.set()
+
+        old = {
+            s: signal.signal(s, on_signal)
+            for s in (signal.SIGINT, signal.SIGTERM)
+        }
+        try:
+            while not stop_evt.wait(timeout=watchdog_interval):
+                if self.query is not None and not self.query.isActive:
+                    break
+                summary = self.summary()
+                if summary:
+                    log(summary)
+        finally:
+            for s, h in old.items():
+                signal.signal(s, h)
+            self.stop()
+            if self.summary():
+                log(self.summary())
 
     def await_termination(self, timeout: float | None = None):
         if self.query is not None:

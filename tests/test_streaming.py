@@ -341,3 +341,58 @@ def test_csv_json_file_sinks(spark, sf_dir, tmp_path):
     assert got_csv.count() == n
     assert got_json.count() == n
     assert set(got_json.columns) == {"event_id", "value", "properties"}
+
+
+def test_transform_hot_reload(spark, tmp_path):
+    """reload() swaps the transform; checkpoint resumes, no reprocess."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    src = tmp_path / "reload_src"
+    src.mkdir()
+    ck = str(tmp_path / "ck_reload")
+    spark.createDataFrame([("a",), ("b",)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "interfaces": {
+                "southbound": {"type": "file", "path": str(src), "schema": schema},
+                "northbound": [{"name": "nb", "type": "memory"}],
+            }
+        }
+    )
+    upper = lambda df: df.select(F.upper("v").alias("v"))  # noqa: E731
+    lower = lambda df: df.select(F.concat(F.lit("x_"), F.col("v")).alias("v"))  # noqa: E731
+
+    pipe = Pipeline(spark, cfg, transform=upper)
+    pipe.start(checkpoint=ck, available_now=True)
+    pipe.await_termination(120)
+    assert {r["v"] for r in pipe.stores["nb"]} == {"A", "B"}
+
+    # swap transform, append new data; only the NEW file is processed
+    spark.createDataFrame([("c",), ("d",)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    pipe.reload(lower)
+    pipe.await_termination(120)
+    got = {r["v"] for r in pipe.stores["nb"]}
+    assert got == {"A", "B", "x_c", "x_d"}
+
+
+def test_tools_cli_roundtrip(spark, tmp_path):
+    """gen-frames -> parse-file roundtrip prints the summary line."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dsp_spark import tools
+
+    out = str(tmp_path / "frames")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert tools.main(["gen-frames", "--out", out, "--count", "5000"]) == 0
+        assert tools.main(["parse-file", "--path", out]) == 0
+    lines = [l for l in buf.getvalue().splitlines() if l.startswith("Summary:")]
+    assert len(lines) == 2
+    assert "5000 messages" in lines[0] and "5000 messages" in lines[1]
