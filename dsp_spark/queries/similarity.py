@@ -198,3 +198,37 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rnk")
     )
+
+
+@register(
+    "array_function_surface",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
+           round(list_max(embedding::DOUBLE[]), 6) AS vec_max,
+           round(list_min(embedding::DOUBLE[]), 6) AS vec_min,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sq_sum,
+           round((list_sort(embedding::DOUBLE[]))[1], 6) AS sorted_head,
+           round((embedding::DOUBLE[])[1] + (embedding::DOUBLE[])[64], 6) AS ends_sum
+    FROM embeddings
+    """,
+    doc="Higher-order array surface (transform/filter/aggregate/sort/"
+    "element_at) over the embedding column — all JVM-side codegen, the "
+    "vector feature-engineering toolkit with zero Python.",
+)
+def array_function_surface(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    emb = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return e.selectExpr(
+        "vec_id",
+        "CAST(size(embedding) AS INT) AS dim",
+        f"round(aggregate({emb}, 0D, (a, x) -> a + x), 6) AS vec_sum",
+        f"round(array_max({emb}), 6) AS vec_max",
+        f"round(array_min({emb}), 6) AS vec_min",
+        f"CAST(size(filter({emb}, x -> x > 0)) AS INT) AS n_pos",
+        f"round(aggregate({emb}, 0D, (a, x) -> a + x * x), 6) AS sq_sum",
+        f"round(element_at(array_sort({emb}), 1), 6) AS sorted_head",
+        f"round(element_at({emb}, 1) + element_at({emb}, 64), 6) AS ends_sum",
+    )

@@ -206,3 +206,79 @@ def event_transitions(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "window_function_surface",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Full ranking/analytic window surface (row_number/rank/dense_rank/"
+    "ntile/percent_rank/cume_dist/lag/lead/first_value/running frame sum) "
+    "in ONE window spec — a single shuffle+sort serves all ten functions.",
+)
+def window_function_surface(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.sum(dec("o_totalprice")).over(wrun).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "events_range_join_pairs",
+    """
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id <> b.event_id
+    """,
+    doc="Range join: same-user event pairs within a 5-minute follow "
+    "window — equi-join on user_id carries the shuffle, the time range "
+    "is a post-join band filter. At scale: bucket by user, or interval "
+    "self-join via time-bucket blocking if users are hot.",
+)
+def events_range_join_pairs(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("a.event_id") != F.col("b.event_id")),
+    ).select(
+        F.col("a.user_id"),
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("gap_s"),
+    )

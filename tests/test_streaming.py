@@ -396,3 +396,36 @@ def test_tools_cli_roundtrip(spark, tmp_path):
     lines = [l for l in buf.getvalue().splitlines() if l.startswith("Summary:")]
     assert len(lines) == 2
     assert "5000 messages" in lines[0] and "5000 messages" in lines[1]
+
+
+def test_run_forever_stops_on_signal(spark, sf_dir, tmp_path):
+    """Daemon loop: SIGINT stops the query gracefully and logs summary."""
+    import os
+    import signal
+    import threading
+
+    batch = read_table(spark, sf_dir, "events").limit(100)
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    cfg = PipelineConfig.from_dict(
+        {
+            "interfaces": {
+                "southbound": {"type": "file", "path": src, "schema": batch.schema},
+                "northbound": [{"name": "nb", "type": "memory"}],
+            }
+        }
+    )
+    pipe = Pipeline(spark, cfg)
+    logs = []
+    killer = threading.Timer(3.0, lambda: os.kill(os.getpid(), signal.SIGINT))
+    killer.start()
+    pipe.run_forever(
+        checkpoint=str(tmp_path / "ck"),
+        processing_time="500 milliseconds",
+        watchdog_interval=1.0,
+        log=logs.append,
+    )
+    assert pipe.query is None  # stopped
+    assert any("stopping gracefully" in str(m) for m in logs)
+    assert any(str(m).startswith("Summary:") for m in logs)
+    assert len(pipe.stores["nb"]) == 100
