@@ -282,3 +282,42 @@ def events_range_join_pairs(spark, sf_dir):
         F.col("b.event_id").alias("id_b"),
         (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("gap_s"),
     )
+
+
+@register(
+    "events_multigrain_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day_bucket,
+           CASE WHEN GROUPING(hour_bucket) = 0 THEN hour_bucket END AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT ts, date_trunc('hour', ts) AS hour_bucket, event_type, value
+          FROM events)
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), hour_bucket, event_type),
+                            (date_trunc('day', ts), event_type))
+    """,
+    doc="Hypertable-style multi-granularity rollup: hourly and daily "
+    "aggregates for every event type in ONE pass (grouping sets => one "
+    "Expand + one shuffle instead of two scans of a 100 TB table).",
+)
+def events_multigrain_rollup(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day_bucket"),
+        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        "event_type",
+        "value",
+    )
+    e.createOrReplaceTempView("events_buckets")
+    return spark.sql(
+        """
+        SELECT day_bucket,
+               CASE WHEN GROUPING(hour_bucket) = 0 THEN hour_bucket END AS hour_bucket,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events_buckets
+        GROUP BY GROUPING SETS ((day_bucket, hour_bucket, event_type),
+                                (day_bucket, event_type))
+        """
+    )
