@@ -126,7 +126,6 @@ def _throughput_suite(spark) -> dict:
     out["message_bytes"] = size
     out["n_messages"] = n
     return out
-    spark.stop()
 
 
 if __name__ == "__main__":

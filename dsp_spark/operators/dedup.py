@@ -37,8 +37,21 @@ def exact_dedup(df: DataFrame, id_col: str, *content_cols: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 8, k: int = 5
 ) -> DataFrame:
-    sh = textops.char_shingles(text_col, k)
-    return spread(df).select(F.col(id_col), *textops.minhash_signature(sh, n_hashes))
+    """n_hashes MinHash values per doc: one md5 per distinct shingle,
+    then affine permutations — the base-hash array is materialized once
+    so hash work is O(len), not O(len * n_hashes)."""
+    hs = textops.shingle_hashes(text_col, k)
+    return (
+        spread(df)
+        .select(F.col(id_col), hs.alias("_hs"))
+        .select(
+            F.col(id_col),
+            *[
+                textops.minhash_from_hashes("_hs", s).alias(f"mh{s}")
+                for s in range(n_hashes)
+            ],
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -59,7 +72,11 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, k=k)
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        )
         for b in range(bands)
     ]
     bands_df = sig.select(

@@ -6,9 +6,10 @@ no Python in the hot path, embarrassingly parallel, no shuffle. The
 hash family is md5-based so results are engine-independent and the
 DuckDB oracle can mirror every operator exactly:
 
-* MinHash value for seed s = lexicographic MIN over shingles of
-  md5('s|' || shingle) — a valid min-hash family (the md5 hex string
-  order is a fixed random permutation of the shingle universe).
+* MinHash value for seed s = MIN over distinct shingles of
+  (a_s * h + b_s) % (2^31-1), where h is a 28-bit md5-derived base
+  hash — one digest per shingle, then cheap affine permutations per
+  seed (the classic universal-hash MinHash family).
 * SimHash uses the low 16 bits of md5(token) per token, ±1 votes per
   bit position, sign -> fingerprint bit.
 
@@ -43,22 +44,57 @@ def char_shingles(col: str = "text", k: int = 5) -> Column:
     )
 
 
-def minhash(shingles: Column, seed: int) -> Column:
-    """One MinHash value (hex string) for a given seed."""
-    return F.array_min(
-        F.transform(shingles, lambda sh: F.md5(F.concat(F.lit(f"{seed}|"), sh)))
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; products stay < 2^62 (no overflow)
+
+
+def _mh_consts(seed: int) -> tuple[int, int]:
+    """Deterministic affine-permutation constants for one hash seed."""
+    a = (1103515245 * (seed + 1) + 12345) % MINHASH_P or 1
+    b = (2654435761 * seed + 1013904223) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes(col: str = "text", k: int = 5) -> Column:
+    """28-bit base hash per *distinct* char-k-gram shingle.
+
+    One md5 per distinct shingle; every MinHash seed then reuses these
+    via a cheap affine permutation (a*h + b) % p — the standard
+    universal-hash family. ~n_hashes x less digest work than hashing
+    per (seed, shingle), and fully mirrored in DuckDB
+    (:func:`shingle_hashes_sql`).
+    """
+    return F.expr(
+        f"transform(array_distinct(transform("
+        f"sequence(1, greatest(length({col}) - {k - 1}, 1)), "
+        f"i -> substring({col}, i, {k}))), "
+        f"sh -> CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
-    return [minhash(shingles, s).alias(f"mh{s}") for s in range(n_hashes)]
+def minhash_from_hashes(hashes_col: str, seed: int) -> Column:
+    """MinHash value for one seed over a base-hash array column."""
+    a, b = _mh_consts(seed)
+    return F.expr(
+        f"array_min(transform({hashes_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+    )
 
 
-def minhash_sql(k: int, seed: int, col: str = "text") -> str:
-    """DuckDB SQL mirror of minhash(char_shingles(col, k), seed)."""
+def shingle_hashes_sql(k: int, col: str = "text") -> str:
+    """DuckDB mirror of :func:`shingle_hashes`."""
     return (
-        f"list_min(list_transform(range(1, greatest(length({col}) - {k - 1}, 1) + 1), "
-        f"i -> md5('{seed}|' || substr({col}, i, {k}))))"
+        f"list_transform(list_distinct(list_transform("
+        f"range(1, greatest(length({col}) - {k - 1}, 1) + 1), "
+        f"i -> substr({col}, i, {k}))), "
+        f"sh -> ('0x' || substr(md5(sh), 1, 7))::BIGINT)"
+    )
+
+
+def minhash_from_hashes_sql(seed: int, hashes_expr: str = "hs") -> str:
+    """DuckDB mirror of :func:`minhash_from_hashes`."""
+    a, b = _mh_consts(seed)
+    return (
+        f"list_min(list_transform({hashes_expr}, "
+        f"h -> ({a} * h + {b}) % {MINHASH_P}))"
     )
 
 

@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
 from dsp_spark.operators import dedup as dd
-from dsp_spark.operators.textops import minhash_sql, simhash16_sql
+from dsp_spark.operators.textops import (
+    minhash_from_hashes_sql,
+    shingle_hashes_sql,
+    simhash16_sql,
+)
 from dsp_spark.queries._util import t
 
 # --- exact ---------------------------------------------------------------
@@ -34,7 +38,7 @@ def dedup_exact(spark, sf_dir):
 # --- MinHash -------------------------------------------------------------
 
 _MH4 = ",\n           ".join(
-    f"{minhash_sql(5, s)} AS mh{s}" for s in range(4)
+    f"{minhash_from_hashes_sql(s)} AS mh{s}" for s in range(4)
 )
 
 
@@ -43,7 +47,7 @@ _MH4 = ",\n           ".join(
     f"""
     SELECT doc_id,
            {_MH4}
-    FROM documents
+    FROM (SELECT doc_id, {shingle_hashes_sql(5)} AS hs FROM documents)
     """,
     doc="4-hash MinHash signatures over char-5-gram shingles (md5 hash "
     "family, engine-independent). Narrow scan-side compute, no shuffle.",
@@ -55,11 +59,12 @@ def dedup_minhash_signature(spark, sf_dir):
 
 
 _MH8 = ",\n               ".join(
-    f"{minhash_sql(5, s)} AS mh{s}" for s in range(8)
+    f"{minhash_from_hashes_sql(s)} AS mh{s}" for s in range(8)
 )
 _BANDS = "\n        UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig".format(
-        b=b, cols=" || '|' || ".join(f"mh{4 * b + r}" for r in range(4))
+    "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash "
+    "FROM sig".format(
+        b=b, cols=", ".join(f"mh{4 * b + r}" for r in range(4))
     )
     for b in range(2)
 )
@@ -71,7 +76,7 @@ _BANDS = "\n        UNION ALL ".join(
     WITH sig AS (
         SELECT doc_id,
                {_MH8}
-        FROM documents
+        FROM (SELECT doc_id, {shingle_hashes_sql(5)} AS hs FROM documents)
     ), bands AS (
         {_BANDS}
     )
