@@ -70,6 +70,7 @@ def _load_all() -> None:
     # Imported for their registration side effects.
     from dsp_spark.queries import (  # noqa: F401
         relational,
+        tpch_extra,
         windows,
         dedup,
         similarity,

@@ -1,0 +1,398 @@
+"""Remaining TPC-H query *shapes*, adapted to the reduced synthetic
+star schema (no partsupp table, no commit/receipt dates, no
+phone/container/shipmode columns — TESTDATA.md).
+
+What each entry preserves from the official query is the plan shape —
+multi-way joins with dim broadcast, correlated aggregate subqueries
+(decorrelated to joins), two-level aggregation, OR'd compound
+predicates, scalar-subquery thresholds — not the exact predicate
+constants. Cross-multiplied decimal comparisons replace
+`x < frac * AVG(y)` so no engine-dependent double division ever
+decides a filter (see queries/_util.py determinism contract).
+
+The reference has no relational layer at all (SURVEY.md §2.4);
+this module is part of the capability-parity-plus surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.queries._util import MONEY, PCT, dec, dsum, t
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev():
+    one = F.lit(1).cast(PCT)
+    return dec("l_extendedprice") * (one - dec("l_discount", PCT))
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+    """,
+    doc="TPC-H-Q7-style bilateral trade volume: fact joins two broadcast "
+    "copies of the nation dim (supplier side and customer side); the "
+    "nation-pair filter lands on the broadcast hash join, so only "
+    "matching rows reach the final group-by shuffle.",
+)
+def q7_nation_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_rev()).alias("volume"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               {_REV_SQL} AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H-Q8-style market share: 8-way star join (all dims "
+    "broadcast), then conditional-sum / total-sum per year — both sums "
+    "exact decimals cast to double before the one final division.",
+)
+def q8_market_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    zero = F.lit(0).cast(MONEY)
+    vol = _rev().alias("volume")
+    all_nations = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)
+    ).cast("double")
+    return all_nations.groupBy("o_year").agg(
+        (num / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    doc="TPC-H-Q9-style profit by supplier nation and year (supply-cost "
+    "term dropped: no partsupp table in the schema). Part filter LIKE "
+    "'%gear%' broadcast into the fact scan.",
+)
+def q9_product_type_profit(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(_rev()).alias("sum_profit"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H-Q13-style customer order-count distribution: left outer "
+    "join with an extra join-side predicate, then two-level aggregation "
+    "(per-customer count, then histogram). One shuffle per level; the "
+    "second input is tiny (one row per customer).",
+)
+def q13_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H-Q15-style top supplier: quarterly revenue per supplier, "
+    "scalar-subquery MAX threshold (planned as a 1-row broadcast join "
+    "against the reused revenue aggregate — double equality is safe "
+    "because both sides derive from the same exact decimal sum).",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev()).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H-Q16-style supplier variety per part group (partsupp "
+    "replaced by observed lineitem suppliers). Negated + IN-list dim "
+    "predicates, distinct-count aggregation (two-phase: local distinct "
+    "then merge).",
+)
+def q16_supplier_part_variety(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS agg_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+               COUNT(*) AS cnt_qty
+        FROM lineitem GROUP BY l_partkey
+    ) part_agg ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt_qty < sum_qty
+    """,
+    doc="TPC-H-Q17-style small-quantity revenue: correlated AVG subquery "
+    "decorrelated to a per-part aggregate join (the standard rewrite), "
+    "with the `qty < 0.2 * avg` threshold cross-multiplied into exact "
+    "decimal arithmetic (5*qty*cnt < sum) so no double division decides "
+    "the filter.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_agg, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(dec("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg((dsum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H-Q19-style OR'd compound join predicates (three "
+    "brand/size/quantity envelopes). The disjunction spans both sides, "
+    "so it stays a post-join filter; the part side is broadcast and "
+    "Catalyst pushes the derivable per-side bounds.",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+        SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM pos)
+          > (SELECT SUM(bal) FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H-Q22-style sales opportunity: scalar AVG threshold "
+    "cross-multiplied to exact decimals (bal*n > sum), NOT EXISTS "
+    "anti-join against orders, grouped by nation (phone-prefix column "
+    "doesn't exist in this schema).",
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0).select(
+        dec("c_acctbal").alias("bal")
+    )
+    stats = pos.agg(F.count("*").alias("n_pos"), F.sum("bal").alias("sum_pos"))
+    return (
+        c.join(F.broadcast(stats))
+        .filter(dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(dec("c_acctbal")).alias("totacctbal"),
+        )
+    )
