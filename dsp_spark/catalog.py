@@ -74,6 +74,7 @@ def _load_all() -> None:
         windows,
         dedup,
         similarity,
+        sampling,
         text,
         streaming_parity,
     )
