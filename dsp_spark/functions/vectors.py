@@ -36,3 +36,40 @@ def cosine(a: str, b: str) -> Column:
 
 def cosine_rounded(a: str, b: str, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
+
+
+def quantize_int8(a: str) -> tuple[Column, Column]:
+    """Symmetric int8 quantization: (codes array<tinyint>, scale).
+
+    codes = round(x / scale) with scale = max|x| / 127 — the standard
+    storage/bandwidth cut for billion-vector ANN (4x smaller than
+    float32, 8x smaller than the double path). Deterministic and
+    mirrored in DuckDB (:func:`quantize_int8_sql`); both engines
+    round half away from zero for doubles.
+    """
+    mx = f"array_max(transform({a}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = F.expr(f"greatest({mx}, 1e-30D) / 127D")
+    codes = F.expr(
+        f"transform({a}, x -> CAST(round(CAST(x AS DOUBLE) "
+        f"/ (greatest({mx}, 1e-30D) / 127D)) AS TINYINT))"
+    )
+    return codes, scale
+
+
+def quantize_int8_sql(a: str) -> tuple[str, str]:
+    """DuckDB mirror of :func:`quantize_int8` -> (codes_sql, scale_sql)."""
+    mx = f"list_max(list_transform({a}, x -> abs(CAST(x AS DOUBLE))))"
+    scale = f"greatest({mx}, 1e-30) / 127"
+    codes = (
+        f"list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) "
+        f"/ (greatest({mx}, 1e-30) / 127)) AS TINYINT))"
+    )
+    return codes, scale
+
+
+def dot_int8(a: str, b: str) -> Column:
+    """Integer dot product over two int8 code arrays (exact int math)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+        f"0L, (acc, v) -> acc + v)"
+    )

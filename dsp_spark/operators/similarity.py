@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from dsp_spark.functions.vectors import dot, norm
+from dsp_spark.functions.vectors import dot, dot_int8, norm, quantize_int8
 
 
 def _hexfrac(s: str) -> float:
@@ -167,6 +167,49 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k by cosine over int8-quantized vectors.
+
+    The billion-vector bandwidth path: 4x smaller than float32 in
+    shuffle/cache, and scoring is integer multiply-adds. With symmetric
+    per-vector quantization the scales cancel in cosine, so the score
+    is round(dot8(q,c) / (sqrt(dot8(q,q)) * sqrt(dot8(c,c))), 6) —
+    exact integer dots (sums < 2^53) make it bit-identical across
+    engines. Compose with LSH/IVF blocking for candidate generation;
+    here it scores a broadcast query set like brute_force_topk.
+    """
+    codes, _ = quantize_int8(vec_col)
+    c = corpus.select(F.col(id_col), codes.alias("codes")).withColumn(
+        "inorm", F.sqrt(dot_int8("codes", "codes").cast("double"))
+    )
+    q = queries.select(F.col(id_col), codes.alias("codes")).select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.sqrt(dot_int8("codes", "codes").cast("double")).alias("q_inorm"),
+    )
+    sim = F.round(
+        dot_int8("q_codes", "codes").cast("double")
+        / (F.col("q_inorm") * F.col("inorm")),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, sim.alias("qsim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

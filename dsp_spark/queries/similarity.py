@@ -200,6 +200,49 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+_Q8_CODES = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / "
+    "(greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)"
+    " / 127)) AS TINYINT))"
+)
+
+
+@register(
+    "ann_int8_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, {_Q8_CODES} AS codes FROM embeddings
+    ), n AS (
+        SELECT vec_id, codes, sqrt(list_dot_product(codes, codes)) AS inorm FROM e
+    ), q AS (
+        SELECT vec_id AS query_id, codes AS q_codes, inorm AS q_inorm
+        FROM n WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.query_id, n.vec_id,
+               round(list_dot_product(q.q_codes, n.codes)
+                     / (q.q_inorm * n.inorm), 6) AS qsim
+        FROM n, q WHERE n.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, qsim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY qsim DESC, vec_id) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, qsim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    doc="Int8-quantized cosine top-10: symmetric per-vector quantization "
+    "(scales cancel in cosine), integer dot products — the 4x "
+    "bandwidth/storage cut for billion-vector ANN; exact int math makes "
+    "it engine-identical.",
+)
+def ann_int8_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    out = sim.int8_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "vec_id", "qsim", F.col("rank").cast("int").alias("rnk")
+    )
+
+
 @register(
     "array_function_surface",
     """
