@@ -72,6 +72,23 @@ def test_no_cartesian_in_catalog_joins(spark, sf_dir):
     assert not bad, f"cartesian joins in: {bad}"
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (the 100 TB table format): an equality
+    filter on the partition column must prune at planning time —
+    the scan lists only matching directories, it never reads others."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == "1997-03-02")
+    plan = plans.formatted(one_day)
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+
+
 def test_exact_dedup_single_shuffle(spark, sf_dir):
     """Hash-groupBy dedup: one exchange (partial agg map-side first)."""
     df = q("dedup_exact", spark, sf_dir)
