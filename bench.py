@@ -115,6 +115,11 @@ def _throughput_suite(spark) -> dict:
 
     out = {}
     for name, df in (("relay", relay), ("route", routed)):
+        # the suite runs right after 70+ catalog queries; drain the
+        # ContextCleaner + full GC so throughput reflects the operator,
+        # not the session's accumulated garbage (route was 6x slower
+        # degraded than fresh)
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = _t.perf_counter()

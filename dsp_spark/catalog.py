@@ -75,6 +75,7 @@ def _load_all() -> None:
         dedup,
         similarity,
         sampling,
+        chunking,
         text,
         streaming_parity,
     )

@@ -321,3 +321,39 @@ def events_multigrain_rollup(spark, sf_dir):
                                 (day_bucket, event_type))
         """
     )
+
+
+_SLIDE_US = 5 * 60 * 1_000_000  # 5 min slide
+_DUR_US = 10 * 60 * 1_000_000  # 10 min window
+
+
+@register(
+    "events_sliding_window",
+    f"""
+    SELECT make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                          - k * {_SLIDE_US}) AS w_start,
+           make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}
+                          - k * {_SLIDE_US} + {_DUR_US}) AS w_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events, generate_series(0, 1) AS g(k)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding windows (10 min window, 5 min slide) via native F.window "
+    "— each event lands in duration/slide = 2 windows; Spark's Expand "
+    "does the 2x fan-out before ONE shuffle on the window key. The same "
+    "operator runs under readStream with a watermark "
+    "(streaming/stateful.py).",
+)
+def events_sliding_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(dec("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -39,6 +39,11 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES; compute-dense shuffles (pairwise dedup /
+        # similarity: tiny ids+vectors in, heavy per-row math out) would
+        # collapse to 1 task under the 1MB default floor. 64kb keeps them
+        # parallel; at production scale partitions are >64MB so no effect.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

@@ -72,10 +72,21 @@ def test_tcp_source_end_to_end(spark, tmp_path):
         .start()
     )
     try:
-        # wait for the source's listener to bind, then send 50 frames
+        # wait for the source's listener to bind, then send 50 frames;
+        # under full-suite load the bind can take >3s, so retry connect
         time.sleep(3)
         frames = [tm.make_heartbeat(7, i, i * 10) for i in range(50)]
-        with socket.create_connection(("127.0.0.1", port), timeout=10) as c:
+        c = None
+        deadline = time.time() + 60
+        while True:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), timeout=10)
+                break
+            except ConnectionRefusedError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(1)
+        with c:
             for f in frames:
                 c.sendall(f)
         deadline = time.time() + 60
