@@ -202,3 +202,131 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) where component = the min node id in the component.
+
+    The clustering step of near-dedup: LSH/Jaccard pairs are edges, each
+    connected component is one duplicate group (keep min id, drop the
+    rest). Algorithm: partition-local contraction. Every round runs
+    union-find inside each edge partition (one Arrow-batched pass, no
+    per-pair Python in the driver), folds the resulting (node -> local
+    min root) mappings into the label table, and rewrites the edge list
+    through the new labels, dropping self-loops. Each round contracts
+    every partition-induced subgraph completely, so the surviving edge
+    count falls by roughly the partition count per round: O(log_P n)
+    rounds, independent of graph diameter.
+
+    Plain min-label propagation needs diameter rounds (26 on the sf0.1
+    chain-shaped near-dup graph vs 3 for this), and pointer-jumping
+    variants barely help because the min id within a radius is usually
+    *near* the node, so the jump target isn't far. Local union-find
+    contracts a whole partition in one step instead.
+
+    Scale notes: the shuffled state is (node, label) pairs and the
+    shrinking edge list — never payloads; labels/edges are
+    localCheckpoint'ed per round so lineage stays flat; the per-round
+    fixpoint test is an isEmpty on the checkpointed edges. Residual
+    label chains (a -> b -> c from mappings discovered in different
+    partitions the same round) are resolved by a final pointer-halving
+    loop whose depth is bounded by the round count.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = nodes.schema[id_col].dataType
+    uf_schema = StructType(
+        [StructField("node", id_type), StructField("root", id_type)]
+    )
+
+    def local_uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            ns = list(parent)
+            yield pd.DataFrame({"node": ns, "root": [find(n) for n in ns]})
+
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iter):
+        if E.isEmpty():
+            break
+        rounds += 1
+        delta = (
+            E.mapInPandas(local_uf, schema=uf_schema)
+            .groupBy("node")
+            .agg(F.min("root").alias("root"))
+        )
+        # root <= any node in its local tree, so coalesce (not least) is
+        # enough: a mapped label only ever decreases
+        labels = (
+            labels.join(delta, labels.label == delta.node, "left")
+            .select(labels.node, F.coalesce("root", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        lu = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+        E = (
+            E.join(lu, "u")
+            .join(lv, "v")
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    # resolve residual mapping chains (a -> b -> c when partitions
+    # discover overlapping unions in one round): pointer halving,
+    # label := label(label), converges in log(chain depth) passes
+    for _ in range(max_iter):
+        hop = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("hop")
+        )
+        labels = (
+            labels.join(hop, "label", "left")
+            .select("node", F.coalesce("hop", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        hop = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("hop")
+        )
+        if (
+            labels.join(hop, "label")
+            .filter(F.col("hop") < F.col("label"))
+            .isEmpty()
+        ):
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("component")
+    )

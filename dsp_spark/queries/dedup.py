@@ -205,3 +205,52 @@ def approx_distinct_docs_hll(spark, sf_dir):
         F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_distinct"),
         F.count("*").alias("n_docs"),
     )
+
+
+# --- connected components (duplicate clusters) ---------------------------
+
+_LSH_CTES = f"""sig AS (
+        SELECT doc_id,
+               {_MH8}
+        FROM (SELECT doc_id, {shingle_hashes_sql(5)} AS hs FROM documents)
+    ), bands AS (
+        {_BANDS}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.u
+    )
+    SELECT u AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+    doc="Duplicate-group clustering: connected components over the "
+    "MinHash-LSH pair graph (min-label propagation — "
+    "operators/dedup.py:connected_components). Turns pairwise near-dup "
+    "hits into keep/drop groups: one cluster id per component, "
+    "singletons keep their own id. Oracle is a recursive-CTE transitive "
+    "closure — exponential tuple growth on big components, which is "
+    "exactly why the distributed path iterates joins instead.",
+)
+def dedup_clusters(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    return dd.connected_components(docs, pairs, "doc_id").select(
+        "doc_id", F.col("component").alias("cluster_id")
+    )

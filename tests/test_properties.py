@@ -202,3 +202,58 @@ def test_asof_join_matches_pandas(spark_mod, left, right):
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+# --- connected components vs python union-find ----------------------------
+
+
+def _cc_model(n_nodes, edge_list):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_list:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min id per component
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return sorted((x, min(members)) for members in comp.values() for x in members)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark_mod, data):
+    """Distributed contraction CC == sequential union-find on random
+    graphs, including path graphs (worst-case diameter), isolated
+    nodes, self loops, and duplicate/reversed edges."""
+    from dsp_spark.operators.dedup import connected_components
+
+    spark = spark_mod
+    n = data.draw(st.integers(1, 60), label="n_nodes")
+    edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            max_size=120,
+        ),
+        label="edges",
+    )
+    if data.draw(st.booleans(), label="add_path"):
+        # adversarial long chain across the id space
+        edges += [(i, i + 1) for i in range(n - 1)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a bigint, id_b bigint"
+    )
+    got = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(nodes_df, edges_df, "id").collect()
+    )
+    assert got == _cc_model(n, edges)
