@@ -396,3 +396,103 @@ def q22_global_sales_opportunity(spark, sf_dir):
             dsum(dec("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l_returnflag AS ship_group,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H-Q12-style late-shipment priority split (shipmode/"
+    "commit/receipt dates don't exist in this schema: 'late' = shipped "
+    ">90 days after order date, ship_group = l_returnflag). Shape "
+    "preserved: fact-fact equi-join with a non-equi date predicate "
+    "evaluated join-side, then conditional counting — the join shuffles "
+    "on orderkey and the CASE sums fold map-side.",
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy(F.col("l_returnflag").alias("ship_group"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q21_suppliers_who_kept_orders_waiting",
+    """
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name, n_name
+    """,
+    doc="TPC-H-Q21-style suppliers who kept orders waiting ('late' = "
+    "shipped >60 days after order date on a finished order). The "
+    "correlated EXISTS / NOT EXISTS pair is decorrelated to per-order "
+    "aggregates: an order qualifies iff it has >=2 distinct suppliers "
+    "and exactly 1 distinct *late* supplier — one extra pass over "
+    "lineitem grouped by orderkey instead of two correlated self-joins, "
+    "so the plan is two shuffles on orderkey plus broadcast dims, the "
+    "shape that survives a 100x scale-up.",
+)
+def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    order_supps = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    late_per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count("*").alias("n_late_rows")
+    )
+    late_per_order = late_per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_late_supp")
+    )
+    qualified = (
+        late_per_supp.join(late_per_order, "l_orderkey")
+        .join(order_supps, "l_orderkey")
+        .filter((F.col("n_late_supp") == 1) & (F.col("n_supp") >= 2))
+    )
+    return (
+        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+    )
