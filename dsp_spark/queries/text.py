@@ -230,3 +230,124 @@ def multimodal_frame_sample(spark, sf_dir):
     return sample_frames(
         d, id_col="doc_id", media_col="media", n_frames=3, media_type="fake"
     )
+
+
+# --- PII scan / redaction -------------------------------------------------
+
+from dsp_spark.operators import pii as _pii  # noqa: E402
+
+_PII_SQL_COLS = ",\n           ".join(
+    f"CAST(SUM({_pii.pii_count_sql('text', k)}) AS BIGINT) AS n_{k}"
+    for k in _pii.PII_PATTERNS
+)
+
+
+@register(
+    "text_pii_scan",
+    f"""
+    SELECT source,
+           {_PII_SQL_COLS},
+           CAST(SUM(CASE WHEN md5({_pii.redact_sql('text')}) <> md5(text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="PII audit per source: regex counts for email/IPv4/phone/SSN and "
+    "how many docs a redaction pass would touch (md5(redacted) vs "
+    "md5(original), so full texts never leave the scan stage). All "
+    "JVM-side regexp_count/regexp_replace — narrow scan-speed pass, one "
+    "tiny shuffle on source. The synthetic corpus is PII-free (all "
+    "zeros here); injected-PII behavior is pinned by unit tests "
+    "(tests/test_llm_ops.py).",
+)
+def text_pii_scan(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    counts = [
+        F.sum(_pii.pii_count("text", k)).cast("long").alias(f"n_{k}")
+        for k in _pii.PII_PATTERNS
+    ]
+    touched = F.sum(
+        F.when(F.md5(_pii.redact("text")) != F.md5(F.col("text")), 1).otherwise(0)
+    ).cast("long")
+    return d.groupBy("source").agg(
+        *counts,
+        touched.alias("n_docs_redacted"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --- train/eval decontamination ------------------------------------------
+
+_NGRAM = 8
+_EVAL_SPLIT = 10  # sources srcN with N >= 10 form the eval split
+
+
+@register(
+    "decontam_eval_overlap",
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               CAST(substr(source, 4) AS INTEGER) >= {_EVAL_SPLIT} AS is_eval,
+               string_split_regex(text, '\\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id, is_eval,
+               unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}),
+                      i -> md5(concat_ws(' ', tk[i:i+{_NGRAM - 1}])))) AS gram
+        FROM tk WHERE len(tk) >= {_NGRAM}
+    ), train_g AS (
+        SELECT DISTINCT gram FROM g WHERE NOT is_eval
+    ), eval_g AS (
+        SELECT DISTINCT doc_id, gram FROM g WHERE is_eval
+    ), hits AS (
+        SELECT doc_id, COUNT(*) AS n_overlap
+        FROM eval_g JOIN train_g USING (gram) GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COALESCE(ANY_VALUE(h.n_overlap), 0) AS BIGINT) AS n_overlap,
+           COALESCE(ANY_VALUE(h.n_overlap), 0) > 0 AS contaminated
+    FROM eval_g e LEFT JOIN hits h USING (doc_id)
+    GROUP BY e.doc_id
+    """,
+    doc="Train/eval decontamination (GPT-3/Dolma style): word 8-grams of "
+    "each eval doc checked against the distinct 8-gram set of the train "
+    "split (sources src10+ are 'eval'). Grams are md5'd scan-side so "
+    "the shuffle carries 16-byte keys, distinct() folds map-side, and "
+    "the gram-gram equi-join is uniform-hash — no broadcast needed, no "
+    "skew: the shape that holds when the train set is 100 TB.",
+)
+def decontam_eval_overlap(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") >= _EVAL_SPLIT).alias("is_eval"),
+        textops.tokens("text").alias("tk"),
+    ).filter(F.size("tk") >= _NGRAM)
+    grams = tk.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - (_NGRAM - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, _NGRAM))),
+            )
+        ).alias("gram"),
+    )
+    train_g = grams.filter(~F.col("is_eval")).select("gram").distinct()
+    eval_g = grams.filter(F.col("is_eval")).select("doc_id", "gram").distinct()
+    hits = eval_g.join(train_g, "gram").groupBy("doc_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        eval_g.groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -90,3 +90,98 @@ def test_hll_within_rsd_of_exact(spark, sf_dir):
     for r in rows:
         rel_err = abs(r["approx_distinct"] - exact[r["source"]]) / exact[r["source"]]
         assert rel_err < 0.1, (r["source"], r["approx_distinct"], exact[r["source"]])
+
+
+# --- PII scan / redaction -------------------------------------------------
+
+_PII_DOC = (
+    "contact jane.doe+spam@example.co.uk or +14155551234 "
+    "from 10.0.255.7; ssn 123-45-6789 ends"
+)
+
+
+def test_pii_counts_and_redaction(spark):
+    from dsp_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [(1, _PII_DOC), (2, "no pii here at all"), (3, "x@y.io x@y.io")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[pii.pii_count("text", k).alias(k) for k in pii.PII_PATTERNS],
+            pii.redact("text").alias("red"),
+        ).collect()
+    }
+    assert (got[1]["email"], got[1]["ipv4"], got[1]["phone"], got[1]["ssn"]) == (
+        1, 1, 1, 1,
+    )
+    assert got[1]["red"] == "contact [EMAIL] or [PHONE] from [IP]; ssn [SSN] ends"
+    assert (got[2]["email"], got[2]["red"]) == (0, "no pii here at all")
+    assert got[3]["email"] == 2 and got[3]["red"] == "[EMAIL] [EMAIL]"
+
+
+def test_pii_sql_mirror_matches_spark(spark):
+    """The DuckDB-side templates count/redact identically to the Spark
+    expressions on PII-bearing text (the corpus parity test only sees
+    zeros — this pins the non-zero path)."""
+    import duckdb
+
+    from dsp_spark.operators import pii
+
+    rows = [(1, _PII_DOC), (2, "a +123456789 b"), (3, "plain")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    s = (
+        df.select(
+            "doc_id",
+            *[pii.pii_count("text", k).alias(k) for k in pii.PII_PATTERNS],
+            pii.redact("text").alias("red"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cols = ", ".join(
+        f"{pii.pii_count_sql('text', k)} AS {k}" for k in pii.PII_PATTERNS
+    )
+    d = con.execute(
+        f"SELECT doc_id, {cols}, {pii.redact_sql('text')} AS red "
+        "FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert [tuple(r) for r in s] == d
+
+
+# --- decontamination ------------------------------------------------------
+
+
+def test_decontam_flags_planted_overlap(spark, tmp_path):
+    """An eval doc sharing an 8-gram run with a train doc is flagged;
+    a disjoint eval doc is not."""
+    import pyspark.sql.functions as F
+
+    from dsp_spark.catalog import queries
+
+    words = lambda s: " ".join(s)
+    train = words("abcdefghij")          # grams over a..j
+    clean = words("qrstuvwxyz")          # disjoint vocabulary
+    dirty = words("zzabcdefgh")          # contains the a..h 8-gram
+    rows = [
+        (1, train, "en", "src0", len(train)),
+        (2, clean, "en", "src10", len(clean)),
+        (3, dirty, "en", "src11", len(dirty)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in queries()["decontam_eval_overlap"](spark, str(tmp_path)).collect()
+    }
+    assert out[2] == (0, False)
+    assert out[3][0] == 1 and out[3][1] is True
+    assert 1 not in out  # train docs aren't scored
