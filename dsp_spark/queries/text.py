@@ -313,10 +313,13 @@ _EVAL_SPLIT = 10  # sources srcN with N >= 10 form the eval split
     """,
     doc="Train/eval decontamination (GPT-3/Dolma style): word 8-grams of "
     "each eval doc checked against the distinct 8-gram set of the train "
-    "split (sources src10+ are 'eval'). Grams are md5'd scan-side so "
-    "the shuffle carries 16-byte keys, distinct() folds map-side, and "
+    "split (sources src10+ are 'eval'). Grams are hashed scan-side so "
+    "the shuffle carries 8-byte keys, distinct() folds map-side, and "
     "the gram-gram equi-join is uniform-hash — no broadcast needed, no "
-    "skew: the shape that holds when the train set is 100 TB.",
+    "skew: the shape that holds when the train set is 100 TB. The gram "
+    "hash only ever meets itself within one engine (the join and the "
+    "counts are per-engine), so Spark uses cheap xxhash64 while the "
+    "oracle uses md5 — counts agree as long as neither collides.",
 )
 def decontam_eval_overlap(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -331,7 +334,7 @@ def decontam_eval_overlap(spark, sf_dir):
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("tk") - (_NGRAM - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("tk", i, _NGRAM))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("tk", i, _NGRAM))),
             )
         ).alias("gram"),
     )

@@ -458,37 +458,43 @@ def q12_late_shipment_priority(spark, sf_dir):
     "shipped >60 days after order date on a finished order). The "
     "correlated EXISTS / NOT EXISTS pair is decorrelated to per-order "
     "aggregates: an order qualifies iff it has >=2 distinct suppliers "
-    "and exactly 1 distinct *late* supplier — one extra pass over "
-    "lineitem grouped by orderkey instead of two correlated self-joins, "
-    "so the plan is two shuffles on orderkey plus broadcast dims, the "
-    "shape that survives a 100x scale-up.",
+    "and exactly 1 distinct *late* supplier. Single-pass plan: one "
+    "partial-agg shuffle to (orderkey, suppkey) granularity, one window "
+    "over orderkey for the per-order supplier counts, broadcast dims — "
+    "no lineitem self-join anywhere, the shape that survives a 100x "
+    "scale-up. The EXISTS semi-join on the *full* lineitem is free "
+    "because 'a supplier on the order' is exactly a (orderkey, suppkey) "
+    "group; late rows qualify orders with o_orderstatus='F' only.",
 )
 def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
+    from pyspark.sql import Window as W
+
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
-    late = (
+    late = (F.col("o_orderstatus") == "F") & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    # no broadcast hint on orders: it's a fact table; locally it fits the
+    # 64MB auto-broadcast threshold, at scale AQE plans a co-partitioned
+    # shuffle join on orderkey that the downstream agg + window reuse
+    per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            (F.col("o_orderstatus") == "F")
-            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        )
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"))
     )
-    order_supps = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
-    )
-    late_per_supp = late.groupBy("l_orderkey", "l_suppkey").agg(
-        F.count("*").alias("n_late_rows")
-    )
-    late_per_order = late_per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_late_supp")
-    )
-    qualified = (
-        late_per_supp.join(late_per_order, "l_orderkey")
-        .join(order_supps, "l_orderkey")
-        .filter((F.col("n_late_supp") == 1) & (F.col("n_supp") >= 2))
+    w = W.partitionBy("l_orderkey")
+    qualified = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_rows",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((F.col("n_late_rows") > 0).cast("int")).over(w).alias("n_late_supp"),
+    ).filter(
+        (F.col("n_late_rows") > 0)
+        & (F.col("n_late_supp") == 1)
+        & (F.col("n_supp") >= 2)
     )
     return (
         qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
