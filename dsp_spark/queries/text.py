@@ -354,3 +354,65 @@ def decontam_eval_overlap(spark, sf_dir):
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+_VOCAB_K = 256
+
+
+@register(
+    "text_vocab_topk",
+    f"""
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT {_VOCAB_K}
+    """,
+    doc="Corpus vocabulary top-k by frequency (the counting pass of "
+    "BPE/WordPiece vocab building). groupBy folds map-side so the "
+    "shuffle carries (token, partial count); the global top-k is "
+    "TakeOrderedAndProject — per-partition heaps merged on the driver, "
+    "never a single-partition global sort. Ties broken by token for "
+    "determinism.",
+)
+def text_vocab_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(textops.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(_VOCAB_K)
+    )
+
+
+@register(
+    "corpus_dataset_card",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Per-language dataset card: docs, chars, tokens, sources, "
+    "distinct contents — the summary block of a training-data release. "
+    "Multiple count-distincts expand via a single Expand + two-phase "
+    "agg (one shuffle per distinct column, partials map-side); token "
+    "counts are computed scan-side, so text never shuffles.",
+)
+def corpus_dataset_card(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(textops.tokens("text"))).cast("long").alias("total_tokens"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
+    )
