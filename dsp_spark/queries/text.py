@@ -340,19 +340,14 @@ def decontam_eval_overlap(spark, sf_dir):
     )
     train_g = grams.filter(~F.col("is_eval")).select("gram").distinct()
     eval_g = grams.filter(F.col("is_eval")).select("doc_id", "gram").distinct()
-    hits = eval_g.join(train_g, "gram").groupBy("doc_id").agg(
-        F.count("*").alias("n_overlap")
-    )
-    return (
-        eval_g.groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
-        )
+    # mark matches at gram level, then ONE grouping gives both the gram
+    # count and the overlap count — eval grams are computed and shuffled
+    # once, not re-derived per output column
+    marked = eval_g.join(train_g.withColumn("m", F.lit(1)), "gram", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("n_overlap"),
+        (F.sum(F.coalesce("m", F.lit(0))) > 0).alias("contaminated"),
     )
 
 

@@ -101,3 +101,45 @@ def test_topk_partial_ranking(spark, sf_dir):
     plan = plans.formatted(q("topk_orders_per_segment", spark, sf_dir))
     assert "Window" in plan
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_q21_no_lineitem_self_join(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS pair must decorrelate to one lineitem
+    scan + one window, never a lineitem-lineitem self-join (which would
+    shuffle the fact table twice more at 100 TB)."""
+    plan = plans.formatted(q("q21_suppliers_who_kept_orders_waiting", spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+
+
+def test_decontam_split_filter_reaches_scan(spark, sf_dir):
+    """Each decontam branch (train / eval) must compute n-grams only for
+    its own split: the is_eval filter has to sit below the explode, so
+    every documents scan carries a source-derived filter rather than
+    fanning out 8-grams for the whole corpus twice."""
+    df = q("decontam_eval_overlap", spark, sf_dir)
+    plan = plans.formatted(df)
+    # exactly two scans: one per split — a third scan means some branch
+    # re-derives grams instead of reusing one grouping
+    assert plan.count("documents.parquet") == 2
+    # the substring(source) split predicate sits in Filter nodes below
+    # each Generate (explode), so each branch fans out only its own split
+    assert plan.count("substring(source") >= 2
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """doc_chunk_sliding is a narrow explode: zero exchanges."""
+    df = q("doc_chunk_sliding", spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+
+
+def test_pii_scan_single_shuffle(spark, sf_dir):
+    """Regex counting folds map-side; only the per-source agg shuffles."""
+    df = q("text_pii_scan", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject, not Sort+Limit."""
+    plan = plans.formatted(q("text_vocab_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
