@@ -411,3 +411,57 @@ def corpus_dataset_card(spark, sf_dir):
         F.count_distinct("source").cast("long").alias("n_sources"),
         F.count_distinct(F.md5("text")).cast("long").alias("n_distinct_texts"),
     )
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM tk WHERE len(tk) >= 2
+    ), c AS (
+        SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_2grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+           round(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_2gram_frac,
+           round(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) AS top_2gram_frac
+    FROM c GROUP BY doc_id
+    """,
+    doc="Gopher/MassiveText repetition signals per document: duplicate "
+    "word-2-gram fraction and most-common-2-gram fraction — the "
+    "filters that catch boilerplate and degenerate repetition. "
+    "Explode + two-level aggregation: keys are (doc_id, gram) so the "
+    "shuffle is uniform and partials fold map-side; no per-doc "
+    "quadratic loop, no Python.",
+)
+def text_repetition_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", textops.tokens("text").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    grams = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    total = F.sum("n").cast("double")
+    return c.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_2grams"),
+        F.count("*").cast("long").alias("n_distinct_2grams"),
+        F.round(1.0 - F.count("*") / total, 6).alias("dup_2gram_frac"),
+        F.round(F.max("n") / total, 6).alias("top_2gram_frac"),
+    )
