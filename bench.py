@@ -47,7 +47,14 @@ def main() -> None:
             # refuse so late queries don't run in a degraded session
             spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(2):
+        # best-of-2, plus a third attempt after a forced GC when both
+        # runs were slow — a collection pause can span two back-to-back
+        # runs and otherwise sticks an outlier in the recorded number
+        for attempt in range(3):
+            if attempt == 2:
+                if best <= 5.0:
+                    break
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # noop sink executes the full plan without driver-side collection
