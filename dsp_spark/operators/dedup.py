@@ -212,6 +212,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    edges_per_partition: int = 4_000_000,
 ) -> DataFrame:
     """(id, component) where component = the min node id in the component.
 
@@ -281,8 +282,18 @@ def connected_components(
     ).localCheckpoint(eager=True)
     rounds = 0
     for _ in range(max_iter):
-        if E.isEmpty():
+        # count() on the checkpointed edges doubles as the fixpoint test
+        # and sizes the contraction: coalescing to ~edges_per_partition
+        # per task means the whole residual graph lands in one partition
+        # as soon as it fits, so the next local union-find finishes it in
+        # a single round. At full scale this is a no-op until the edge
+        # list has already shrunk by the partition count.
+        n_edges = E.count()
+        if n_edges == 0:
             break
+        target = max(1, -(-n_edges // edges_per_partition))
+        if E.rdd.getNumPartitions() > target:
+            E = E.coalesce(target)
         rounds += 1
         delta = (
             E.mapInPandas(local_uf, schema=uf_schema)
