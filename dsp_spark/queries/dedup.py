@@ -7,6 +7,7 @@ same templates as the Spark expressions — see operators/textops.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
@@ -253,4 +254,59 @@ def dedup_clusters(spark, sf_dir):
     pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=2, k=5)
     return dd.connected_components(docs, pairs, "doc_id").select(
         "doc_id", F.col("component").alias("cluster_id")
+    )
+
+
+# --- segment-level (C4-style) dedup --------------------------------------
+
+_SEG_WORDS = 10
+
+
+@register(
+    "dedup_segments_corpus",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS seg_no,
+               array_to_string(w[(i*{_SEG_WORDS}+1):(i*{_SEG_WORDS}+{_SEG_WORDS})], ' ') AS segment
+        FROM tk, UNNEST(range(CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT))) AS r(i)
+    ),
+    ranked AS (
+        SELECT doc_id, seg_no,
+               row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_no) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_segments
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="C4-style sub-document dedup at fixed 10-word segment granularity "
+    "(the corpus has no newlines, so segments stand in for lines — "
+    "reference has no dedup at all; this is the training-data-pipeline "
+    "layer). Each distinct segment is kept only at its first occurrence "
+    "(smallest doc_id, seg_no); later copies are dropped. One shuffle on "
+    "the segment key; at 100 TB, partition by xxhash64(segment) so only "
+    "8-byte keys shuffle, and the first-occurrence rule stays a "
+    "row_number over that key.",
+)
+def dedup_segments_corpus(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", r"\s+")
+    n = _SEG_WORDS
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(float(n))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    )
+    e = d.select("doc_id", F.posexplode(segs).alias("seg_no", "segment"))
+    win = W.partitionBy("segment").orderBy("doc_id", "seg_no")
+    return (
+        e.withColumn("rn", F.row_number().over(win))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept_segments"),
+        )
     )

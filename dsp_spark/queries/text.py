@@ -465,3 +465,58 @@ def text_repetition_stats(spark, sf_dir):
         F.round(1.0 - F.count("*") / total, 6).alias("dup_2gram_frac"),
         F.round(F.max("n") / total, 6).alias("top_2gram_frac"),
     )
+
+
+@register(
+    "text_quality_filter",
+    """
+    WITH x AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(tk) AS n_words,
+               list_sum(list_transform(tk, w -> length(w))) / len(tk) AS mean_len,
+               len(list_filter(tk, w -> length(w) <= 2)) / len(tk) AS short_frac,
+               len(list_distinct(tk)) / len(tk) AS distinct_ratio
+        FROM x
+    )
+    SELECT doc_id,
+           n_words >= 30 AS r_min_words,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS r_mean_word_len,
+           short_frac <= 0.08 AS r_short_words,
+           distinct_ratio >= 0.45 AS r_distinct_ratio,
+           (n_words >= 30 AND mean_len >= 3.0 AND mean_len <= 10.0
+            AND short_frac <= 0.08 AND distinct_ratio >= 0.45) AS keep
+    FROM m
+    """,
+    doc="Gopher-style document keep/drop filter: per-rule booleans "
+    "(min word count, mean word length band, short-word fraction cap, "
+    "distinct-token floor) plus the combined keep flag — the decision "
+    "stage downstream of text_quality_score. Pure narrow map over the "
+    "scan (no shuffle); at 100 TB this is the first pass that prunes "
+    "the corpus before any shuffle-bearing dedup runs.",
+)
+def text_quality_filter(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = textops.tokens("text")
+    n_words = F.size(tk)
+    mean_len = (
+        F.expr("aggregate(split(text, '\\\\s+'), 0, (acc, w) -> acc + length(w))")
+        / n_words
+    )
+    short_frac = (
+        F.size(F.expr("filter(split(text, '\\\\s+'), w -> length(w) <= 2)")) / n_words
+    )
+    distinct_ratio = F.size(F.array_distinct(tk)) / n_words
+    r1 = (n_words >= 30).alias("r_min_words")
+    r2 = ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_mean_word_len")
+    r3 = (short_frac <= 0.08).alias("r_short_words")
+    r4 = (distinct_ratio >= 0.45).alias("r_distinct_ratio")
+    keep = (
+        (n_words >= 30)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (short_frac <= 0.08)
+        & (distinct_ratio >= 0.45)
+    ).alias("keep")
+    return d.select("doc_id", r1, r2, r3, r4, keep)

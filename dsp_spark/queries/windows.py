@@ -357,3 +357,104 @@ def events_sliding_window(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS vt
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > vt THEN ts END)
+                      OVER (PARTITION BY user_id) AS ct
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > ct THEN ts END)
+                      OVER (PARTITION BY user_id) AS pt
+        FROM s2
+    )
+    SELECT user_id,
+           bool_or(vt IS NOT NULL) AS reached_view,
+           bool_or(ct IS NOT NULL) AS reached_click,
+           bool_or(pt IS NOT NULL) AS reached_purchase
+    FROM s3 GROUP BY user_id
+    """,
+    doc="Ordered funnel (view -> click -> purchase) per user: each stage "
+    "counts only if it happens strictly after the previous stage's first "
+    "hit. Three chained window passes + final agg all share the user_id "
+    "partitioning, so the whole funnel costs ONE shuffle (the plan shows "
+    "a single Exchange; the agg's required distribution is already "
+    "satisfied). At 100 TB: no joins, no driver state — just per-key "
+    "window mins.",
+)
+def events_funnel_conversion(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "vt", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "ct",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("vt")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "pt",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")), F.col("ts"))
+        ).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.max(F.col("vt").isNotNull()).alias("reached_view"),
+        F.max(F.col("ct").isNotNull()).alias("reached_click"),
+        F.max(F.col("pt").isNotNull()).alias("reached_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), coh AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM act
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(day - cohort_day AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM coh
+    WHERE day - cohort_day <= 7
+    GROUP BY CAST(cohort_day AS TIMESTAMP), day_offset
+    """,
+    doc="Retention cohorts: users grouped by first-active day, counted on "
+    "each of the next 7 days they return. One user_id-keyed agg builds "
+    "the bounded per-user day set (<=31 elements, with map-side partial "
+    "agg collapsing dup (user, day) pairs before the shuffle); cohort = "
+    "array_min of that set, so cohort assignment costs no extra "
+    "exchange. Only the tiny (cohort, offset) rollup reshuffles. Output "
+    "is bounded by days^2 regardless of input scale - safe at 100 TB.",
+)
+def events_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("days")
+    )
+    coh = per_user.select(
+        "user_id",
+        F.array_min("days").alias("cohort0"),
+        F.explode("days").alias("day"),
+    )
+    return (
+        coh.withColumn("day_offset", F.datediff("day", "cohort0").cast("int"))
+        .where(F.col("day_offset") <= 7)
+        .groupBy(
+            F.col("cohort0").cast("timestamp").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

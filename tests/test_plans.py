@@ -143,3 +143,38 @@ def test_vocab_topk_no_global_sort(spark, sf_dir):
     """Global top-k must be TakeOrderedAndProject, not Sort+Limit."""
     plan = plans.formatted(q("text_vocab_topk", spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """Three chained window passes + the final per-user agg all share the
+    user_id partitioning: the whole funnel is ONE exchange."""
+    df = q("events_funnel_conversion", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    plan = plans.formatted(df)
+    assert plan.count("events.parquet") == 1
+
+
+def test_retention_two_shuffles(spark, sf_dir):
+    """Cohort assignment rides the per-user day-set agg (array_min of the
+    collected set), so only the user agg and the tiny rollup shuffle."""
+    df = q("events_retention_cohorts", spark, sf_dir)
+    assert plans.count_exchanges(df) == 2
+
+
+def test_quality_filter_shuffle_free(spark, sf_dir):
+    """The keep/drop filter is a narrow map over the scan: zero
+    exchanges, whole plan in one codegen stage."""
+    df = q("text_quality_filter", spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
+    assert df.columns[0] == "doc_id"
+
+
+def test_segment_dedup_two_shuffles(spark, sf_dir):
+    """Segment dedup shuffles once on the segment key (first-occurrence
+    window) and once to re-group per doc — never a third time."""
+    df = q("dedup_segments_corpus", spark, sf_dir)
+    assert plans.count_exchanges(df) == 2
+    # the explode (Generate) must sit below the first exchange: segments
+    # are produced map-side, not after a shuffle of whole documents
+    plan = plans.formatted(df)
+    assert "Generate" in plan
