@@ -243,3 +243,51 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def assign_nearest_centroid(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "seed_id",
+) -> DataFrame:
+    """K-means assignment step: nearest centroid by cosine, per corpus row.
+
+    The centroid set is packed into ONE array-of-structs row and
+    cross-joined broadcast, so assignment is a per-row fold over K
+    candidates — zero shuffle of the corpus, the only viable shape when
+    the corpus is 100 TB and K fits in memory (same broadcast-centroids
+    pattern MLlib's KMeans uses per iteration). Ties break to the
+    smallest centroid id via array_min over (-sim, id) structs.
+    """
+    packed = centroids.select(
+        F.struct(
+            F.col(centroid_id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            norm(vec_col).alias("cnrm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cands"))
+    scored = F.expr(
+        """
+        array_min(transform(cands, c -> struct(
+            -round(aggregate(zip_with(embedding, c.cvec,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm), 6) AS negsim,
+            c.cid AS cid)))
+        """
+    )
+    return (
+        corpus.select(id_col, vec_col, norm(vec_col).alias("nrm"))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            id_col,
+            scored.alias("best"),
+        )
+        .select(
+            id_col,
+            F.col("best.cid").alias("centroid_id"),
+            (-F.col("best.negsim")).alias("sim"),
+        )
+    )

@@ -275,3 +275,72 @@ def array_function_surface(spark, sf_dir):
         f"round(element_at(array_sort({emb}), 1), 6) AS sorted_head",
         f"round(element_at({emb}, 1) + element_at({emb}, 64), 6) AS ends_sum",
     )
+
+
+@register(
+    "embedding_kmeans_assign",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (SELECT vec_id AS seed_id, emb AS sv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT e.vec_id, s.seed_id,
+               round(list_dot_product(e.emb, s.sv) /
+                     (sqrt(list_dot_product(e.emb, e.emb)) *
+                      sqrt(list_dot_product(s.sv, s.sv))), 6) AS sim
+        FROM e, s
+    ), ranked AS (
+        SELECT vec_id, seed_id, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, seed_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, seed_id AS centroid_id, sim FROM ranked WHERE rn = 1
+    """,
+    doc="K-means assignment step (the inner loop of distributed "
+    "clustering): nearest of 10 seed centroids by cosine, ties to the "
+    "lowest centroid id. Centroids are packed into one array-of-structs "
+    "row and cross-joined broadcast; the argmin is a per-row array_min "
+    "fold — ZERO shuffle of the corpus (vs. the window-rank shape, "
+    "which would shuffle N*K scored rows). MLlib's KMeans broadcasts "
+    "centroids the same way each iteration.",
+)
+def embedding_kmeans_assign(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("seed_id"), "embedding"
+    )
+    return sim.assign_nearest_centroid(
+        e, seeds, centroid_id_col="seed_id"
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH x AS (
+        SELECT label, CAST(i AS INTEGER) AS pos,
+               CAST(emb[CAST(i + 1 AS INTEGER)] AS DECIMAL(20,10)) AS v
+        FROM (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+             UNNEST(range(64)) AS r(i)
+    )
+    SELECT label, pos,
+           round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid_v,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM x GROUP BY label, pos
+    """,
+    doc="Per-label centroid vectors (the k-means update step / "
+    "class-prototype embedding): posexplode to (label, dim) cells, one "
+    "partial-agg shuffle on the 640 (label, pos) keys. Sums run in "
+    "DECIMAL(20,10) so the mean is accumulation-order-independent and "
+    "engine-exact. At 100 TB the map-side partial agg reduces each "
+    "partition to at most labels*dims rows before the exchange.",
+)
+def embedding_label_centroids(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return x.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*"), 6
+        ).alias("centroid_v"),
+        F.count("*").alias("n_vectors"),
+    )

@@ -178,3 +178,20 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
     # are produced map-side, not after a shuffle of whole documents
     plan = plans.formatted(df)
     assert "Generate" in plan
+
+
+def test_kmeans_assign_no_corpus_shuffle(spark, sf_dir):
+    """Assignment must be a map-side fold over broadcast centroids: no
+    Window/Sort of scored pairs, and the only exchanges are the tiny
+    seed-packing agg + its broadcast (never the corpus)."""
+    df = q("embedding_kmeans_assign", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "Window" not in plan and "Sort" not in plan
+    assert plans.count_exchanges(df) == 2
+
+
+def test_label_centroids_single_shuffle(spark, sf_dir):
+    """Centroid update: posexplode map-side, one partial-agg exchange on
+    the (label, pos) keys."""
+    df = q("embedding_label_centroids", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
