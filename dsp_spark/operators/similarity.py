@@ -252,6 +252,7 @@ def assign_nearest_centroid(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "seed_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """K-means assignment step: nearest centroid by cosine, per corpus row.
 
@@ -278,16 +279,76 @@ def assign_nearest_centroid(
             c.cid AS cid)))
         """
     )
+    vec_cols = [vec_col] if keep_vec else []
     return (
         corpus.select(id_col, vec_col, norm(vec_col).alias("nrm"))
         .crossJoin(F.broadcast(packed))
         .select(
             id_col,
+            *vec_cols,
             scored.alias("best"),
         )
         .select(
             id_col,
+            *vec_cols,
             F.col("best.cid").alias("centroid_id"),
             (-F.col("best.negsim")).alias("sim"),
         )
+    )
+
+
+def kmeans(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "seed_id",
+) -> DataFrame:
+    """Lloyd's k-means over embedding rows: `iters` update rounds, then a
+    final assignment.
+
+    Per iteration: assignment is the zero-shuffle broadcast fold of
+    assign_nearest_centroid; the update step posexplodes assigned
+    vectors and means them per (centroid, dim) in DECIMAL(20,10) —
+    one partial-agg exchange on k*dim keys, then the per-centroid
+    array is rebuilt with array_sort(collect_list(struct(pos, v))) so
+    element order never depends on shuffle arrival order. Means are
+    rounded to 6 digits, making every iteration engine-deterministic
+    (the DuckDB oracle unrolls the same rounds as CTEs). Empty clusters
+    drop out, exactly as in the oracle. Driver never sees the data —
+    centroids live in a k x dim DataFrame, corpus is touched only by
+    narrow maps + one k*dim-key agg per round.
+    """
+    cents = seeds
+    cid = centroid_id_col
+    for _ in range(iters):
+        assigned = assign_nearest_centroid(
+            corpus, cents, id_col=id_col, vec_col=vec_col,
+            centroid_id_col=cid, keep_vec=True,
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("v").cast("decimal(20,10)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("cv")
+            )
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias(vec_col)
+            )
+            .withColumnRenamed("centroid_id", cid)
+        )
+    return assign_nearest_centroid(
+        corpus, cents, id_col=id_col, vec_col=vec_col, centroid_id_col=cid
     )

@@ -344,3 +344,58 @@ def embedding_label_centroids(spark, sf_dir):
         ).alias("centroid_v"),
         F.count("*").alias("n_vectors"),
     )
+
+
+_KM_SIM = (
+    "round(list_dot_product(e.emb, c.cv) / "
+    "(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 6)"
+)
+
+
+@register(
+    "embedding_kmeans_iterate",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    x AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS pos,
+               CAST(emb[CAST(i + 1 AS INTEGER)] AS DECIMAL(20,10)) AS v
+        FROM e, UNNEST(range(64)) AS r(i)
+    ),
+    c0 AS (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 10),
+    s1 AS (SELECT e.vec_id, c.cid, {_KM_SIM} AS sim FROM e, c0 c),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM s1)
+        WHERE rn = 1
+    ),
+    m1 AS (
+        SELECT a1.cid, x.pos, round(CAST(SUM(x.v) AS DOUBLE) / COUNT(*), 6) AS cv
+        FROM a1 JOIN x USING (vec_id) GROUP BY a1.cid, x.pos
+    ),
+    c1 AS (SELECT cid, list(cv ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+    s2 AS (SELECT e.vec_id, c.cid, {_KM_SIM} AS sim FROM e, c1 c)
+    SELECT vec_id, cid AS centroid_id, sim FROM (
+        SELECT vec_id, cid, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM s2)
+    WHERE rn = 1
+    """,
+    doc="Full Lloyd k-means round over embeddings (seed -> assign -> "
+    "recompute means -> reassign): the iterative-algorithm pattern the "
+    "SQL layer can't do without unrolling — the oracle IS the unrolled "
+    "CTE chain, so even the iterative path is value-checked, not "
+    "rows-only. Per round: one broadcast of k centroids (zero corpus "
+    "shuffle for assignment) + one k*dim-key partial-agg exchange for "
+    "the update; rounded decimal means keep every iteration "
+    "engine-deterministic. operators/similarity.py:kmeans.",
+)
+def embedding_kmeans_iterate(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("seed_id"), "embedding"
+    )
+    return sim.kmeans(e, seeds, iters=1)

@@ -458,3 +458,45 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               SUM(CAST(value AS DECIMAL(12,2)))
+                   OVER (PARTITION BY user_id) AS s,
+               SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+                   OVER (PARTITION BY user_id) AS s2,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    ), z AS (
+        SELECT event_id, user_id, value,
+               round((value - CAST(s AS DOUBLE) / n) /
+                     sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n),
+                     6) AS zscore
+        FROM w
+    )
+    SELECT event_id, user_id, value, zscore FROM z WHERE abs(zscore) >= 3
+    """,
+    doc="Per-user z-score outliers (|z| >= 3): population mean/stddev via "
+    "DECIMAL window sums (sum and sum-of-squares are exact, so the "
+    "double-math variance is bit-identical across engines), z computed "
+    "per event in the same user_id window pass — ONE shuffle, no joins. "
+    "The streaming twin keeps (n, s, s2) as per-key state.",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    v = dec("value")
+    s = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    n = F.count("*").over(w)
+    zscore = F.round(
+        (F.col("value") - s / n) / F.sqrt((s2 - s * s / n) / n), 6
+    )
+    return (
+        ev.select("event_id", "user_id", "value", zscore.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= 3)
+    )

@@ -195,3 +195,9 @@ def test_label_centroids_single_shuffle(spark, sf_dir):
     the (label, pos) keys."""
     df = q("embedding_label_centroids", spark, sf_dir)
     assert plans.count_exchanges(df) == 1
+
+
+def test_zscore_single_shuffle(spark, sf_dir):
+    """Mean/std/z all ride one user_id window pass: one exchange."""
+    df = q("events_anomaly_zscore", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
