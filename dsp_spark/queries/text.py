@@ -436,34 +436,46 @@ def corpus_dataset_card(spark, sf_dir):
     """,
     doc="Gopher/MassiveText repetition signals per document: duplicate "
     "word-2-gram fraction and most-common-2-gram fraction — the "
-    "filters that catch boilerplate and degenerate repetition. "
-    "Explode + two-level aggregation: keys are (doc_id, gram) so the "
-    "shuffle is uniform and partials fold map-side; no per-doc "
-    "quadratic loop, no Python.",
+    "filters that catch boilerplate and degenerate repetition. Every "
+    "stat is per-document, so nothing ever shuffles: grams are sorted "
+    "per row and distinct/max-run counts fall out of one O(n log n) "
+    "aggregate fold, all inside whole-stage codegen. (The earlier "
+    "explode + (doc_id, gram) groupBy moved every gram string through "
+    "an exchange for what is row-local arithmetic.)",
 )
 def text_repetition_stats(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tk = d.select("doc_id", textops.tokens("text").alias("tk")).filter(
         F.size("tk") >= 2
     )
-    grams = tk.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
-                ),
-            )
-        ).alias("gram"),
+    g = F.expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i-1], tk[i]))"
     )
-    c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
-    total = F.sum("n").cast("double")
-    return c.groupBy("doc_id").agg(
-        F.sum("n").cast("long").alias("n_2grams"),
-        F.count("*").cast("long").alias("n_distinct_2grams"),
-        F.round(1.0 - F.count("*") / total, 6).alias("dup_2gram_frac"),
-        F.round(F.max("n") / total, 6).alias("top_2gram_frac"),
+    # sorted-run fold: one pass over the sorted grams yields the distinct
+    # count (nd) and the longest run (mx = count of the most common gram)
+    runs = F.expr(
+        """
+        aggregate(
+            array_sort(grams),
+            struct(CAST('' AS STRING) AS prev, 0 AS cur, 0 AS mx, 0 AS nd),
+            (acc, x) -> struct(
+                x AS prev,
+                IF(x = acc.prev, acc.cur + 1, 1) AS cur,
+                IF(x = acc.prev, acc.mx, greatest(acc.mx, acc.cur)) AS mx,
+                IF(x = acc.prev, acc.nd, acc.nd + 1) AS nd),
+            acc -> struct(greatest(acc.mx, acc.cur) AS mx, acc.nd AS nd))
+        """
+    )
+    x = tk.select("doc_id", g.alias("grams")).select(
+        "doc_id", F.size("grams").alias("n_2grams_i"), runs.alias("r")
+    )
+    total = F.col("n_2grams_i").cast("double")
+    return x.select(
+        "doc_id",
+        F.col("n_2grams_i").cast("long").alias("n_2grams"),
+        F.col("r.nd").cast("long").alias("n_distinct_2grams"),
+        F.round(1.0 - F.col("r.nd") / total, 6).alias("dup_2gram_frac"),
+        F.round(F.col("r.mx") / total, 6).alias("top_2gram_frac"),
     )
 
 

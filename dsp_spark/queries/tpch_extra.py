@@ -294,17 +294,26 @@ def q16_supplier_part_variety(spark, sf_dir):
     "decorrelated to a per-part aggregate join (the standard rewrite), "
     "with the `qty < 0.2 * avg` threshold cross-multiplied into exact "
     "decimal arithmetic (5*qty*cnt < sum) so no double division decides "
-    "the filter.",
+    "the filter. The brand predicate is semi-joined into BOTH lineitem "
+    "scans first (broadcast of ~1/25 of partkeys), so the per-part "
+    "aggregate shuffles partials for brand parts only and comes back "
+    "small enough to broadcast — zero full-fact shuffles anywhere.",
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    part_agg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+    pk = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    part_agg = li_b.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
         F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt_qty")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(part_agg, F.col("agg_partkey") == F.col("l_partkey"))
+        li_b.join(F.broadcast(part_agg), F.col("agg_partkey") == F.col("l_partkey"))
         .filter(dec("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty"))
         .agg((dsum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
@@ -458,19 +467,21 @@ def q12_late_shipment_priority(spark, sf_dir):
     "shipped >60 days after order date on a finished order). The "
     "correlated EXISTS / NOT EXISTS pair is decorrelated to per-order "
     "aggregates: an order qualifies iff it has >=2 distinct suppliers "
-    "and exactly 1 distinct *late* supplier. Single-pass plan: one "
-    "partial-agg shuffle to (orderkey, suppkey) granularity, one window "
-    "over orderkey for the per-order supplier counts, broadcast dims — "
-    "no lineitem self-join anywhere, the shape that survives a 100x "
-    "scale-up. The EXISTS semi-join on the *full* lineitem is free "
-    "because 'a supplier on the order' is exactly a (orderkey, suppkey) "
-    "group; late rows qualify orders with o_orderstatus='F' only.",
+    "and exactly 1 distinct *late* supplier. Two cascaded partial-agg "
+    "shuffles — (orderkey, suppkey) granularity, then orderkey — each "
+    "strictly reducing (no window, so no per-partition sort and no "
+    "fact-sized rows carried past the agg); when exactly one supplier "
+    "is late, that supplier and the order's late-row count survive the "
+    "rollup as max/sum. Broadcast dims, no lineitem self-join anywhere "
+    "— the shape that survives a 100x scale-up. The EXISTS semi-join "
+    "on the *full* lineitem is free because 'a supplier on the order' "
+    "is exactly a (orderkey, suppkey) group.",
 )
 def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     late = (F.col("o_orderstatus") == "F") & (
@@ -478,27 +489,28 @@ def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
     )
     # no broadcast hint on orders: it's a fact table; locally it fits the
     # 64MB auto-broadcast threshold, at scale AQE plans a co-partitioned
-    # shuffle join on orderkey that the downstream agg + window reuse
+    # shuffle join on orderkey that the downstream aggs reuse
     per_supp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"))
     )
-    w = W.partitionBy("l_orderkey")
-    qualified = per_supp.select(
-        "l_orderkey",
-        "l_suppkey",
-        "n_late_rows",
-        F.count("*").over(w).alias("n_supp"),
-        F.sum((F.col("n_late_rows") > 0).cast("int")).over(w).alias("n_late_supp"),
-    ).filter(
-        (F.col("n_late_rows") > 0)
-        & (F.col("n_late_supp") == 1)
-        & (F.col("n_supp") >= 2)
+    is_late = F.col("n_late_rows") > 0
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(is_late.cast("int")).alias("n_late_supp"),
+            F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(is_late, F.col("n_late_rows")).otherwise(0)).alias(
+                "late_rows"
+            ),
+        )
+        .filter((F.col("n_late_supp") == 1) & (F.col("n_supp") >= 2))
     )
     return (
-        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name", "n_name")
-        .agg(F.sum("n_late_rows").alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
     )

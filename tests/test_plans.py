@@ -105,11 +105,13 @@ def test_topk_partial_ranking(spark, sf_dir):
 
 def test_q21_no_lineitem_self_join(spark, sf_dir):
     """q21's EXISTS/NOT-EXISTS pair must decorrelate to one lineitem
-    scan + one window, never a lineitem-lineitem self-join (which would
-    shuffle the fact table twice more at 100 TB)."""
-    plan = plans.formatted(q("q21_suppliers_who_kept_orders_waiting", spark, sf_dir))
+    scan + two cascaded reducing aggs, never a lineitem-lineitem
+    self-join (which would shuffle the fact table twice more at 100 TB)
+    and no window (which would sort and carry fact-sized rows)."""
+    df = q("q21_suppliers_who_kept_orders_waiting", spark, sf_dir)
+    plan = plans.formatted(df)
     assert plan.count("lineitem.parquet") == 1
-    assert "Window" in plan
+    assert "Window" not in plan
 
 
 def test_decontam_split_filter_reaches_scan(spark, sf_dir):
@@ -201,3 +203,9 @@ def test_zscore_single_shuffle(spark, sf_dir):
     """Mean/std/z all ride one user_id window pass: one exchange."""
     df = q("events_anomaly_zscore", spark, sf_dir)
     assert plans.count_exchanges(df) == 1
+
+
+def test_repetition_stats_shuffle_free(spark, sf_dir):
+    """Per-doc repetition signals are row-local: zero exchanges."""
+    df = q("text_repetition_stats", spark, sf_dir)
+    assert plans.count_exchanges(df) == 0
