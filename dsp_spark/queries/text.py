@@ -532,3 +532,28 @@ def text_quality_filter(spark, sf_dir):
         & (distinct_ratio >= 0.45)
     ).alias("keep")
     return d.select("doc_id", r1, r2, r3, r4, keep)
+
+
+@register(
+    "source_median_chars_udaf",
+    """
+    SELECT source, median(n_chars) AS median_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source exact median document length computed by a "
+    "grouped-agg pandas UDF (functions/udx.py:median_udaf) — the UDAF "
+    "extension point exercised as a first-class catalog entry with a "
+    "full value check (integer medians are engine-exact). One shuffle "
+    "on source; the group's values stream to the executor as Arrow "
+    "batches, so this is the pattern for bounded-group custom "
+    "aggregates that pyspark.sql.functions can't express.",
+)
+def source_median_chars_udaf(spark, sf_dir):
+    from dsp_spark.functions.udx import median_udaf, nrows_udaf
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        median_udaf("n_chars").alias("median_chars"),
+        nrows_udaf("n_chars").alias("n_docs"),
+    )
