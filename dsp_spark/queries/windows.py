@@ -25,7 +25,7 @@ GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
 @register(
     "events_hourly_rollup",
     """
-    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+    SELECT date_trunc('day', ts) AS hour_start, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
@@ -292,7 +292,7 @@ def events_range_join_pairs(spark, sf_dir):
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM (SELECT ts, date_trunc('hour', ts) AS hour_bucket, event_type, value
+    FROM (SELECT ts, date_trunc('day', ts) AS hour_bucket, event_type, value
           FROM events)
     GROUP BY GROUPING SETS ((date_trunc('day', ts), hour_bucket, event_type),
                             (date_trunc('day', ts), event_type))
@@ -499,4 +499,73 @@ def events_anomaly_zscore(spark, sf_dir):
     return (
         ev.select("event_id", "user_id", "value", zscore.alias("zscore"))
         .filter(F.abs(F.col("zscore")) >= 3)
+    )
+
+
+@register(
+    "timeseries_similar_users",
+    """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('day', ts) AS h,
+               SUM(CAST(value AS DECIMAL(12,2))) AS v
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), q AS (
+        SELECT h, v AS qv FROM hourly WHERE user_id = 1
+    ), g AS (
+        SELECT e.user_id,
+               COUNT(*) AS n,
+               CAST(SUM(e.v) AS DOUBLE) AS sx,
+               CAST(SUM(q.qv) AS DOUBLE) AS sy,
+               CAST(SUM(e.v * q.qv) AS DOUBLE) AS sxy,
+               CAST(SUM(e.v * e.v) AS DOUBLE) AS sxx,
+               CAST(SUM(q.qv * q.qv) AS DOUBLE) AS syy
+        FROM hourly e JOIN q ON e.h = q.h
+        WHERE e.user_id <> 1
+        GROUP BY e.user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+    FROM g
+    WHERE n >= 14 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY r DESC, user_id LIMIT 10
+    """,
+    doc="Time-series similarity search (EDBT'19 shape): top-10 users "
+    "whose daily activity series Pearson-correlates with user 1's, "
+    "over co-active days (>= 14). Sums/products accumulate in DECIMAL (exact), "
+    "so the correlation is one engine-identical double formula at the "
+    "edge; zero-variance series are filtered BEFORE the division "
+    "(engines disagree on x/0). One shuffle for the daily rollup; the "
+    "query series broadcasts; top-k is TakeOrderedAndProject, never a "
+    "global sort. At 100 TB the same plan ranks against any broadcast "
+    "reference series.",
+)
+def timeseries_similar_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("h")
+    ).agg(F.sum(dec("value")).alias("v"))
+    q = hourly.filter(F.col("user_id") == 1).select("h", F.col("v").alias("qv"))
+    j = hourly.filter(F.col("user_id") != 1).join(F.broadcast(q), "h")
+    g = j.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum("qv").cast("double").alias("sy"),
+        F.sum(F.col("v") * F.col("qv")).cast("double").alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("sxx"),
+        F.sum(F.col("qv") * F.col("qv")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.round(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
+        6,
+    )
+    return (
+        g.filter((F.col("n") >= 14) & (varx > 0) & (vary > 0))
+        .select("user_id", F.col("n").alias("n_days"), r.alias("r"))
+        .orderBy(F.desc("r"), "user_id")
+        .limit(10)
     )

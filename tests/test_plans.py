@@ -209,3 +209,12 @@ def test_repetition_stats_shuffle_free(spark, sf_dir):
     """Per-doc repetition signals are row-local: zero exchanges."""
     df = q("text_repetition_stats", spark, sf_dir)
     assert plans.count_exchanges(df) == 0
+
+
+def test_timeseries_similarity_topk_no_global_sort(spark, sf_dir):
+    """Correlation top-k must be TakeOrderedAndProject over the per-user
+    agg — a rangepartitioning global sort here is a scale bug."""
+    df = q("timeseries_similar_users", spark, sf_dir)
+    plan = plans.formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
