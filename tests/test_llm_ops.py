@@ -185,3 +185,26 @@ def test_decontam_flags_planted_overlap(spark, tmp_path):
     assert out[2] == (0, False)
     assert out[3][0] == 1 and out[3][1] is True
     assert 1 not in out  # train docs aren't scored
+
+
+def test_multimodal_binaryfile_ingestion(spark, tmp_path):
+    """End-to-end media ingestion: opaque blobs land as files, the
+    binaryFile source reads (path, content) without decoding, and the
+    Arrow-batched feature extractor runs over the content column — the
+    exact shape a 100 TB image/audio lake uses (manifests + blob
+    columns, decode only inside mapInPandas)."""
+    blobs = {f"m{i}.bin": bytes([i]) * (50 + i) for i in range(8)}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .selectExpr("reverse(split(path, '/'))[0] AS fname", "content")
+    )
+    feats = multimodal.extract_features(
+        df, id_col="fname", media_col="content"
+    ).collect()
+    assert len(feats) == 8
+    by_name = {r.fname: r for r in feats}
+    for name, data in blobs.items():
+        assert by_name[name].n_bytes == len(data)
