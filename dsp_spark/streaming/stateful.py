@@ -33,7 +33,7 @@ def _gap_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
     (client_id,) = key
-    last = state.get()[0] if state.exists else None
+    last = state.get[0] if state.exists else None
     gaps: list[dict] = []
     for pdf in batches:
         for seq in sorted(int(s) for s in pdf["sequence"]):
@@ -200,4 +200,103 @@ def session_counts(
             key,
             "n_events",
         )
+    )
+
+
+# --- running z-score anomaly detection ----------------------------------
+
+ZSCORE_SCHEMA = "user_id bigint, event_id bigint, value double, zscore double"
+_Z_STATE_SCHEMA = "n bigint, s_cents bigint, s2_cents2 bigint"
+_Z_MIN_N = 10
+_Z_THRESHOLD = 3.0
+
+
+def _zscore_point(n: int, s: int, s2: int, v_cents: int) -> float | None:
+    """z of v against the stats of the PRIOR n points (cents-exact)."""
+    if n < _Z_MIN_N:
+        return None
+    mean = s / n
+    var = (s2 - s * s / n) / n
+    if var <= 0:
+        return None
+    return (v_cents - mean) / (var**0.5)
+
+
+def _z_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, s, s2 = state.get if state.exists else (0, 0, 0)
+    out: list[dict] = []
+    rows: list[tuple] = []
+    for pdf in batches:
+        rows.extend(
+            zip(pdf["ts"], pdf["event_id"], pdf["value"])
+        )
+    # event-time order inside the batch: state must evolve as if rows
+    # arrived one at a time (matches the batch twin's window ordering)
+    for _ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        v_cents = round(float(v) * 100)
+        z = _zscore_point(n, s, s2, v_cents)
+        if z is not None and abs(z) >= _Z_THRESHOLD:
+            out.append(
+                {
+                    "user_id": user_id,
+                    "event_id": int(eid),
+                    "value": float(v),
+                    "zscore": z,
+                }
+            )
+        n, s, s2 = n + 1, s + v_cents, s2 + v_cents * v_cents
+    state.update((n, s, s2))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def running_zscore_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user anomaly detector: each event is scored against
+    the running mean/std of that user's PRIOR events (cents-exact
+    integer moments — state is 3 numbers per user, O(#keys) total).
+    The online twin of queries/windows.py:events_anomaly_zscore."""
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _z_fn,
+        outputStructType=ZSCORE_SCHEMA,
+        stateStructType=_Z_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def running_zscore_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: prefix-window moments over (user, event-time order),
+    z of each event vs the stats of the rows STRICTLY before it."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    n = F.count("*").over(w)
+    s = F.sum(cents).over(w)
+    s2 = F.sum(cents * cents).over(w)
+    mean = s / n
+    var = (s2.cast("double") - s * s / n) / n
+    z = (cents - mean) / F.sqrt(var)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            n.alias("prior_n"),
+            var.alias("prior_var"),
+            z.alias("zscore"),
+        )
+        .filter(
+            (F.col("prior_n") >= _Z_MIN_N)
+            & (F.col("prior_var") > 0)
+            & (F.abs(F.col("zscore")) >= _Z_THRESHOLD)
+        )
+        .select("user_id", "event_id", "value", "zscore")
     )

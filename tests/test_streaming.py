@@ -162,14 +162,21 @@ def test_session_window_stream_matches_batch_sessionize(spark, events_stream, tm
 
 
 def test_sequence_gap_detection_stream_vs_batch(spark, tmp_path):
-    rows = []
-    # client 1: gap 3..4 missing (1,2,5); client 2: clean (1,2,3)
-    for cid, seqs in ((1, [1, 2, 5, 6]), (2, [1, 2, 3])):
-        rows += [(cid, s) for s in seqs]
-    batch = spark.createDataFrame(rows, "client_id long, sequence long")
+    # client 1: gap 3..4 inside file one, gap 7..9 ACROSS the micro-batch
+    # boundary (state must carry last_seq between batches); client 2 clean
+    first = [(1, s) for s in (1, 2, 5, 6)] + [(2, s) for s in (1, 2)]
+    second = [(1, 10), (2, 3)]
+    batch = spark.createDataFrame(first + second, "client_id long, sequence long")
     src = str(tmp_path / "hb")
-    batch.repartition(1).write.parquet(src)
-    stream = spark.readStream.schema(batch.schema).parquet(src)
+    spark.createDataFrame(first, batch.schema).repartition(1).write.parquet(src)
+    spark.createDataFrame(second, batch.schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
 
     q = (
         stateful.sequence_gaps_stream(stream)
@@ -189,7 +196,7 @@ def test_sequence_gap_detection_stream_vs_batch(spark, tmp_path):
         (r["client_id"], r["gap_start"], r["gap_end"], r["missed"])
         for r in stateful.sequence_gaps_batch(batch).collect()
     ]
-    assert sorted(got) == sorted(expected) == [(1, 3, 4, 2)]
+    assert sorted(got) == sorted(expected) == [(1, 3, 4, 2), (1, 7, 9, 3)]
 
 
 def test_load_shed_accounting(spark):
@@ -483,3 +490,59 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
     ).count()
     # availableNow processes everything; watermarks only bound state here
     assert got == expected > 0
+
+
+def test_running_zscore_stream_matches_batch(spark, tmp_path):
+    """The stateful online z-score must equal the batch prefix-window
+    twin, including across micro-batch boundaries (state carries the
+    moments from batch to batch)."""
+    import pandas as pd
+    from dsp_spark.streaming.stateful import (
+        running_zscore_batch,
+        running_zscore_stream,
+    )
+
+    rng = __import__("random").Random(7)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for u in range(5):
+        for i in range(80):
+            v = round(rng.uniform(10, 20), 2)
+            if i in (50, 70):  # inject clear outliers
+                v = 400.0 + u
+            rows.append((eid, base + pd.Timedelta(minutes=eid), u, v))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    # two files => two micro-batches in arrival order
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "a.parquet", coerce_timestamps="us")
+    pdf.iloc[half:].to_parquet(src / "b.parquet", coerce_timestamps="us")
+
+    batch_df = spark.createDataFrame(pdf)
+    want = {
+        (r.user_id, r.event_id): round(r.zscore, 9)
+        for r in running_zscore_batch(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    q = (
+        running_zscore_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id): round(r.zscore, 9)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == want and len(got) >= 10
