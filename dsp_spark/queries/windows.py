@@ -25,7 +25,7 @@ GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
 @register(
     "events_hourly_rollup",
     """
-    SELECT date_trunc('day', ts) AS hour_start, event_type,
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
@@ -292,7 +292,7 @@ def events_range_join_pairs(spark, sf_dir):
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM (SELECT ts, date_trunc('day', ts) AS hour_bucket, event_type, value
+    FROM (SELECT ts, date_trunc('hour', ts) AS hour_bucket, event_type, value
           FROM events)
     GROUP BY GROUPING SETS ((date_trunc('day', ts), hour_bucket, event_type),
                             (date_trunc('day', ts), event_type))
