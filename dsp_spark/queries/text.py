@@ -557,3 +557,78 @@ def source_median_chars_udaf(spark, sf_dir):
         median_udaf("n_chars").alias("median_chars"),
         nrows_udaf("n_chars").alias("n_docs"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+    WITH x AS (
+        SELECT doc_id, source, string_split_regex(text, '\\s+') AS tk
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               len(tk) >= 30
+               AND list_sum(list_transform(tk, w -> length(w))) / len(tk)
+                   BETWEEN 3.0 AND 10.0
+               AND len(list_filter(tk, w -> length(w) <= 2)) / len(tk) <= 0.08
+               AND len(list_distinct(tk)) / len(tk) >= 0.45 AS keep_quality
+        FROM x
+    ), firsts AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
+        FROM documents
+    ), survivors AS (
+        SELECT m.doc_id, m.source,
+               m.keep_quality AND f.doc_id = f.keep_doc AS keep
+        FROM m JOIN firsts f ON m.doc_id = f.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS keep_rate
+    FROM survivors GROUP BY source
+    """,
+    doc="End-to-end curation pass as ONE query: Gopher-style quality "
+    "rules AND exact-dup first-occurrence survival, rolled up to a "
+    "per-source keep-rate report — the number a dataset release tracks "
+    "per ingest. The quality leg is shuffle-free; dedup survival "
+    "shuffles (md5, doc_id) only; the rollup output is bounded by "
+    "source cardinality. Composes text_quality_filter + dedup_exact "
+    "semantics without rescanning between stages.",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = textops.tokens("text")
+    n_words = F.size(tk)
+    mean_len = (
+        F.expr("aggregate(split(text, '\\\\s+'), 0, (acc, w) -> acc + length(w))")
+        / n_words
+    )
+    short_frac = (
+        F.size(F.expr("filter(split(text, '\\\\s+'), w -> length(w) <= 2)")) / n_words
+    )
+    distinct_ratio = F.size(F.array_distinct(tk)) / n_words
+    keep_quality = (
+        (n_words >= 30)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (short_frac <= 0.08)
+        & (distinct_ratio >= 0.45)
+    )
+    from pyspark.sql import Window as W
+
+    keep_doc = F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    keep = keep_quality & (F.col("doc_id") == keep_doc)
+    return (
+        d.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

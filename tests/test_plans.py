@@ -218,3 +218,10 @@ def test_timeseries_similarity_topk_no_global_sort(spark, sf_dir):
     plan = plans.formatted(df)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_curation_pipeline_two_shuffles(spark, sf_dir):
+    """Quality rules are map-side; only the dup-survival window (md5 key)
+    and the tiny per-source rollup exchange."""
+    df = q("corpus_curation_pipeline", spark, sf_dir)
+    assert plans.count_exchanges(df) == 2
