@@ -569,3 +569,40 @@ def timeseries_similar_users(spark, sf_dir):
         .orderBy(F.desc("r"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "events_rolling_1h_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_sum,
+           CAST(COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_1h_n
+    FROM events
+    """,
+    doc="Per-user rolling 1-hour aggregate via a RANGE frame over "
+    "epoch-microseconds (the hypertable moving-window shape): every "
+    "event carries the exact decimal sum/count of that user's trailing "
+    "hour, ties included. One shuffle on user_id; the frame is a "
+    "sliding pointer over the partition-sorted run, not a self-join — "
+    "O(n) per partition at any scale.",
+)
+def events_rolling_1h_sum(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_1h_sum"),
+        F.count("*").over(w).alias("rolling_1h_n"),
+    )

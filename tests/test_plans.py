@@ -225,3 +225,10 @@ def test_curation_pipeline_two_shuffles(spark, sf_dir):
     and the tiny per-source rollup exchange."""
     df = q("corpus_curation_pipeline", spark, sf_dir)
     assert plans.count_exchanges(df) == 2
+
+
+def test_rolling_window_single_shuffle(spark, sf_dir):
+    """RANGE-frame rolling sum: one user_id exchange, no self-join."""
+    df = q("events_rolling_1h_sum", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    assert plans.formatted(df).count("events.parquet") == 1
