@@ -194,7 +194,7 @@ def q3_shipping_priority(spark, sf_dir):
     one = F.lit(1).cast(PCT)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(dec("l_extendedprice") * (one - dec("l_discount", PCT))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -230,8 +230,8 @@ def q5_regional_supplier_volume(spark, sf_dir):
     one = F.lit(1).cast(PCT)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey))
         .join(F.broadcast(n), (s.s_nationkey == n.n_nationkey) & (c.c_nationkey == n.n_nationkey))
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -264,7 +264,7 @@ def q10_returned_items(spark, sf_dir):
     one = F.lit(1).cast(PCT)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(dec("l_extendedprice") * (one - dec("l_discount", PCT))).alias("revenue"))
@@ -354,7 +354,7 @@ def topk_orders_per_segment(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
@@ -583,7 +583,7 @@ def q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(
             (F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias(
                 "promo_revenue_pct"

@@ -69,8 +69,8 @@ def q7_nation_volume(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -124,10 +124,10 @@ def q8_market_share(spark, sf_dir):
     zero = F.lit(0).cast(MONEY)
     vol = _rev().alias("volume")
     all_nations = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -165,9 +165,9 @@ def q9_product_type_profit(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -240,7 +240,7 @@ def q15_top_supplier(spark, sf_dir):
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -268,7 +268,7 @@ def q16_supplier_part_variety(spark, sf_dir):
         & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -297,7 +297,9 @@ def q16_supplier_part_variety(spark, sf_dir):
     "the filter. The brand predicate is semi-joined into BOTH lineitem "
     "scans first (broadcast of ~1/25 of partkeys), so the per-part "
     "aggregate shuffles partials for brand parts only and comes back "
-    "small enough to broadcast — zero full-fact shuffles anywhere.",
+    "small enough that the optimizer broadcasts it locally (no hint: at "
+    "extreme SF the same plan degrades gracefully to co-partitioned "
+    "shuffle joins under AQE).",
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
@@ -306,14 +308,14 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter(F.col("p_brand") == "Brand#3")
         .select("p_partkey")
     )
-    li_b = li.join(F.broadcast(pk), li.l_partkey == F.col("p_partkey")).drop(
+    li_b = li.join(pk, li.l_partkey == F.col("p_partkey")).drop(
         "p_partkey"
     )
     part_agg = li_b.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
         F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt_qty")
     )
     return (
-        li_b.join(F.broadcast(part_agg), F.col("agg_partkey") == F.col("l_partkey"))
+        li_b.join(part_agg, F.col("agg_partkey") == F.col("l_partkey"))
         .filter(dec("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty"))
         .agg((dsum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"))
     )
@@ -361,7 +363,7 @@ def q19_discounted_revenue(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(_rev()).alias("revenue"))
     )
@@ -509,7 +511,7 @@ def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
         .filter((F.col("n_late_supp") == 1) & (F.col("n_supp") >= 2))
     )
     return (
-        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        per_order.join(s, per_order.late_supp == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(F.sum("late_rows").alias("numwait"))
