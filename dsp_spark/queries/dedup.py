@@ -310,3 +310,55 @@ def dedup_segments_corpus(spark, sf_dir):
             F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept_segments"),
         )
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""
+    WITH {_LSH_CTES},
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), members AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY doc_id
+    """,
+    doc="Triangle participation counts on the MinHash-LSH near-dup "
+    "graph — the graph-analytics step beyond connected components: "
+    "triangle-dense nodes sit in tight dup cliques (template/boilerplate "
+    "families), bridge-only nodes are borderline matches. Edges are "
+    "id-oriented (a<b<c) so each triangle is enumerated exactly once by "
+    "two equi-joins on 8-byte ids; the LSH banding already bounds "
+    "degree, which is the classic orientation trick that keeps triangle "
+    "counting shuffle-light at scale.",
+)
+def dedup_graph_triangles(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    e = pairs.select("id_a", "id_b")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))

@@ -85,3 +85,44 @@ def dataset_mixture_audit(spark, sf_dir):
         n_sampled.alias("n_sampled"),
         (n_sampled.cast("double") / F.count("*")).alias("realized_rate"),
     )
+
+
+@register(
+    "sample_weighted_systematic",
+    """
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(cum // 10000 AS BIGINT) AS bucket
+    FROM w
+    WHERE cum // 10000 > (cum - n_chars) // 10000
+    """,
+    doc="Length-weighted systematic sample: walk each source's docs in "
+    "id order accumulating characters and keep the doc that crosses "
+    "each 10k-char boundary — selection probability proportional to "
+    "doc length, all integer arithmetic (no RNG, no libm), stable "
+    "under re-runs and engine-exact. One shuffle (per-source window "
+    "cumsum); no global sort — shards are sources, the same trick "
+    "doc_pack_sequences uses. The weighted analogue of the "
+    "content-addressed uniform sampler (operators/sampling.py).",
+)
+def sample_weighted_systematic(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_chars").over(w)
+    x = d.select("doc_id", "source", "n_chars", cum.alias("cum"))
+    return (
+        x.withColumn("bucket", F.expr("cum div 10000"))
+        .filter(F.expr("cum div 10000 > (cum - n_chars) div 10000"))
+        .select("doc_id", "source", "n_chars", F.col("bucket").cast("long").alias("bucket"))
+    )

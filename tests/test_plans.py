@@ -232,3 +232,17 @@ def test_rolling_window_single_shuffle(spark, sf_dir):
     df = q("events_rolling_1h_sum", spark, sf_dir)
     assert plans.count_exchanges(df) == 1
     assert plans.formatted(df).count("events.parquet") == 1
+
+
+def test_weighted_sample_single_shuffle_no_global_sort(spark, sf_dir):
+    """Per-source cumsum: one exchange, never a rangepartitioning sort."""
+    df = q("sample_weighted_systematic", spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    assert "rangepartitioning" not in plans.formatted(df).lower().replace(" ", "")
+
+
+def test_triangle_count_single_pair_derivation(spark, sf_dir):
+    """Triangle enumeration must derive the LSH pair list once and reuse
+    the exchange for all three join legs, not recompute signatures."""
+    df = q("dedup_graph_triangles", spark, sf_dir)
+    assert plans.has_reused_exchange(df)
