@@ -97,13 +97,13 @@ def dataset_mixture_audit(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id, source, n_chars,
-           CAST(cum // 10000 AS BIGINT) AS bucket
+           CAST(cum // 2000 AS BIGINT) AS bucket
     FROM w
-    WHERE cum // 10000 > (cum - n_chars) // 10000
+    WHERE cum // 2000 > (cum - n_chars) // 2000
     """,
     doc="Length-weighted systematic sample: walk each source's docs in "
     "id order accumulating characters and keep the doc that crosses "
-    "each 10k-char boundary — selection probability proportional to "
+    "each 2k-char boundary — selection probability proportional to "
     "doc length, all integer arithmetic (no RNG, no libm), stable "
     "under re-runs and engine-exact. One shuffle (per-source window "
     "cumsum); no global sort — shards are sources, the same trick "
@@ -122,7 +122,7 @@ def sample_weighted_systematic(spark, sf_dir):
     cum = F.sum("n_chars").over(w)
     x = d.select("doc_id", "source", "n_chars", cum.alias("cum"))
     return (
-        x.withColumn("bucket", F.expr("cum div 10000"))
-        .filter(F.expr("cum div 10000 > (cum - n_chars) div 10000"))
+        x.withColumn("bucket", F.expr("cum div 2000"))
+        .filter(F.expr("cum div 2000 > (cum - n_chars) div 2000"))
         .select("doc_id", "source", "n_chars", F.col("bucket").cast("long").alias("bucket"))
     )
