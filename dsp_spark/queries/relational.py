@@ -704,3 +704,76 @@ def top100_orders_global(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "orders_yoy_growth",
+    """
+    WITH yr AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY year(o_orderdate)
+    )
+    SELECT yr, revenue,
+           round(revenue / lag(revenue) OVER (ORDER BY yr) - 1.0, 6) AS yoy_growth
+    FROM yr
+    """,
+    doc="Year-over-year revenue growth: the yearly agg collapses to a "
+    "handful of rows before the lag window, so the single-partition "
+    "window is over ~7 rows, not the fact table — the safe version of "
+    "a global window. Decimal-exact sums, growth rounded at the edge.",
+)
+def orders_yoy_growth(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    yr = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        dsum(dec("o_totalprice")).alias("revenue")
+    )
+    w = W.orderBy("yr")
+    return yr.select(
+        "yr",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_order, custkey) AS INTEGER) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency, custkey) AS INTEGER) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary, custkey) AS INTEGER) AS m_quartile
+    FROM rfm
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary from "
+    "one orders agg, then quartile NTILEs with custkey tie-breaks so "
+    "bucket edges are deterministic. The ntile windows are global but "
+    "run on the customer-cardinality aggregate, not on orders; at "
+    "extreme scale swap ntile for approx-percentile cutpoints joined "
+    "back (same output contract).",
+)
+def customer_rfm_segments(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dsum(dec("o_totalprice")).alias("monetary"),
+    )
+    return rfm.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "custkey")).cast("int").alias("r_quartile"),
+        F.ntile(4).over(W.orderBy("frequency", "custkey")).cast("int").alias("f_quartile"),
+        F.ntile(4).over(W.orderBy("monetary", "custkey")).cast("int").alias("m_quartile"),
+    )

@@ -606,3 +606,37 @@ def events_rolling_1h_sum(spark, sf_dir):
         F.sum(dec("value")).over(w).cast("double").alias("rolling_1h_sum"),
         F.count("*").over(w).alias("rolling_1h_n"),
     )
+
+
+@register(
+    "events_windowed_topk_types",
+    """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS w_start, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, n, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT w_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY w_start
+                                  ORDER BY n DESC, event_type) AS rnk
+        FROM c
+    ) WHERE rnk <= 3
+    """,
+    doc="Windowed heavy hitters: top-3 event types per hourly window. "
+    "The count agg reduces to (window, type) cardinality before the "
+    "ranking window touches anything, so the rank sort runs on a "
+    "bounded aggregate, never on raw events — the windowed top-k shape "
+    "that stays cheap at any input scale.",
+)
+def events_windowed_topk_types(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("w_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("w_start").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("w_start", "event_type", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
