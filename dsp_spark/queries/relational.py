@@ -447,8 +447,8 @@ def intersect_active_building(spark, sf_dir):
            replace(p_name, ' ', '_') AS name_snake,
            CAST(p_size % 7 AS INTEGER) AS size_mod,
            abs(p_retailprice) AS price_abs,
-           floor(p_retailprice) AS price_floor,
-           ceil(p_retailprice) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            round(p_retailprice, 1) AS price_round
     FROM part
     """,

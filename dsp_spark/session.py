@@ -109,13 +109,34 @@ def spread(df, *cols: str):
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table, normalizing types.
 
-    ``events.ts`` is parquet timestamp[ns]; with ``nanosAsLong`` it
-    arrives as a long which we truncate to microseconds — identical to
-    DuckDB's ns->µs truncation, so oracle comparisons line up.
+    ``events.ts`` is parquet INT64 timestamp (isAdjustedToUTC=false), so
+    Spark infers TIMESTAMP_NTZ while DuckDB treats it as a plain (naive)
+    timestamp. We pin the session to UTC and cast NTZ -> TIMESTAMP: under
+    UTC the cast is value-preserving, every timestamp function
+    (``unix_micros``, ``window``, ``date_trunc``) works, and wall-clock
+    results line up with the DuckDB oracle. Older generators emitted
+    timestamp[ns], which Spark reads only via ``nanosAsLong``; both
+    legacy shapes normalize to the same µs TIMESTAMP column.
     """
     from pyspark.sql import functions as F
 
+    if name == "events":
+        # Defensive: a caller-provided session (the correctness driver
+        # builds its own) may have a non-UTC zone or lack the nanos
+        # fallback. Both confs are runtime-settable.
+        for k, v in (
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # nanosAsLong legacy path
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

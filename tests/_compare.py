@@ -30,6 +30,17 @@ def assert_results_equal(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: 
     assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        a_num = np.issubdtype(av.dtype, np.number)
+        b_num = np.issubdtype(bv.dtype, np.number)
+        if a_num and b_num:
+            # the driver's value-hash stringifies, so int 900 vs float 900.0
+            # is a MISMATCH there — catch kind drift here, not in CI
+            a_f = np.issubdtype(av.dtype, np.floating)
+            b_f = np.issubdtype(bv.dtype, np.floating)
+            assert a_f == b_f, (
+                f"{name}: column {c!r} numeric kind differs: "
+                f"spark={av.dtype} duck={bv.dtype} (int-vs-float hashes differently)"
+            )
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = av.astype("float64")
             bv = bv.astype("float64")
