@@ -516,3 +516,216 @@ def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
         .groupBy("s_name", "n_name")
         .agg(F.sum("late_rows").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q2/q11/q20 need TPC-H's partsupp table, which the synthetic schema lacks
+# (TESTDATA.md). Each is adapted over the same derived relation:
+#     ps(partkey, suppkey, agg)  =  lineitem GROUP BY (l_partkey, l_suppkey)
+# which preserves the queries' defining plan shapes — correlated-min
+# subquery (q2), global-fraction HAVING with a scalar subquery (q11),
+# nested semi-joins with a correlated per-part threshold (q20) — on a
+# relation with partsupp's exact key structure.
+
+_PS_COST_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_PS_COST_SQL})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM ps
+    JOIN part     ON ps_partkey = p_partkey
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO' AND p_size <= 10
+      AND supplycost = (
+          SELECT MIN(ps2.supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H-Q2-style min-cost supplier per part (ref has no relational "
+    "layer, SURVEY.md §2.4; partsupp derived from lineitem). The "
+    "correlated MIN subquery is decorrelated to a window-min over the "
+    "already-joined regional candidates: ONE extra shuffle (by partkey) "
+    "instead of recomputing the 4-way subquery join. Part filter is "
+    "broadcast so pruning reaches the ps aggregate; the tie-break ORDER "
+    "BY is total, making LIMIT 100 deterministic across engines.",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("supplycost")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), national AS (
+        SELECT ps_partkey, val
+        FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    )
+    SELECT ps_partkey AS p_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+    FROM national
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(val) AS DECIMAL(18,2)) * 10000 >
+           (SELECT CAST(SUM(val) AS DECIMAL(18,2)) FROM national)
+    """,
+    doc="TPC-H-Q11-style important-stock list (partsupp derived from "
+    "lineitem): per-part value within one nation, kept when it exceeds "
+    "1/10000 of the national total. The scalar subquery total is a "
+    "1-row broadcast cross-join; the fraction compare is "
+    "cross-multiplied in exact decimals so no double division decides "
+    "the filter. Two strictly-reducing partial-agg shuffles; the "
+    "nation filter prunes at the supplier (broadcast) join before "
+    "either shuffle.",
+)
+def q11_important_parts(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_extendedprice")).alias("val")
+    )
+    national = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("l_partkey").alias("ps_partkey"), "val")
+    )
+    total = national.agg(
+        F.sum("val").cast("decimal(18,2)").alias("total_val")
+    )
+    return (
+        national.groupBy("ps_partkey")
+        .agg(F.sum("val").alias("sum_val"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("sum_val").cast("decimal(18,2)") * 10000 > F.col("total_val")
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("sum_val").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q20_dominant_part_suppliers",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                 AS supp_qty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), shipped AS (
+        SELECT l_partkey AS sh_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                 AS year_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+      AND s_suppkey IN (
+          SELECT ps_suppkey
+          FROM ps JOIN shipped ON ps_partkey = sh_partkey
+          WHERE ps_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+            AND supp_qty * 2 > year_qty)
+    """,
+    doc="TPC-H-Q20-style nested semi-join chain (partsupp derived from "
+    "lineitem): suppliers of 'small *' parts whose lifetime quantity "
+    "for the part exceeds half the part's 1996 shipped volume. The "
+    "name-filtered part list broadcasts into the ps aggregate; the "
+    "correlated availqty threshold becomes an equi-join of two "
+    "partial aggregates co-partitioned on partkey (AQE reuses the "
+    "exchange); the IN on suppkey is a left-semi join, so supplier "
+    "rows are never duplicated.",
+)
+def q20_dominant_part_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    qty = dec("l_quantity")
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).cast("decimal(18,2)").alias("supp_qty"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("sh_partkey"))
+        .agg(F.sum(qty).cast("decimal(18,2)").alias("year_qty"))
+    )
+    dominant = (
+        ps.join(shipped, ps.l_partkey == shipped.sh_partkey)
+        .filter(F.col("supp_qty") * 2 > F.col("year_qty"))
+        .select(F.col("l_suppkey").alias("dom_suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == dominant.dom_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
