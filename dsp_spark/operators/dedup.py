@@ -233,8 +233,10 @@ def connected_components(
     *near* the node, so the jump target isn't far. Local union-find
     contracts a whole partition in one step instead.
 
-    Scale notes: the shuffled state is (node, label) pairs and the
-    shrinking edge list — never payloads; labels/edges are
+    Scale notes: the shuffled state is (node, label) pairs for
+    edge-incident nodes only (singletons — most of the corpus — never
+    enter the loop) and the shrinking edge list — never payloads;
+    labels/edges are
     localCheckpoint'ed per round so lineage stays flat; the per-round
     fixpoint test is an isEmpty on the checkpointed edges. Residual
     label chains (a -> b -> c from mappings discovered in different
@@ -277,9 +279,17 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Only edge-incident nodes can ever change label; iterating over the
+    # full node set would drag every singleton (the vast majority of a
+    # near-dup corpus) through each round's joins. Singletons re-attach
+    # after the fixpoint with label = own id.
+    labels = (
+        E.select("u")
+        .union(E.select("v"))
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     for _ in range(max_iter):
         # count() on the checkpointed edges doubles as the fixpoint test
@@ -338,6 +348,11 @@ def connected_components(
             .isEmpty()
         ):
             break
-    return labels.select(
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    return labels.unionByName(singletons).select(
         F.col("node").alias(id_col), F.col("label").alias("component")
     )

@@ -575,8 +575,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(dec("l_extendedprice")).alias("supplycost")
+    # broadcast semi-join BELOW the aggregate: only lineitem rows for
+    # qualifying parts reach the (partkey, suppkey) shuffle. Legal
+    # because supplycost is per-(pk, sk), independent of the part filter.
+    ps = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("supplycost"))
     )
     cand = (
         ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)

@@ -246,3 +246,28 @@ def test_triangle_count_single_pair_derivation(spark, sf_dir):
     the exchange for all three join legs, not recompute signatures."""
     df = q("dedup_graph_triangles", spark, sf_dir)
     assert plans.has_reused_exchange(df)
+
+
+def test_q2_part_filter_prunes_below_aggregate(spark, sf_dir):
+    """The part semi-join must sit under the (pk, sk) aggregate so only
+    qualifying parts reach the shuffle, and part filters must reach the
+    part scan."""
+    df = q("q2_min_cost_supplier", spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "p_type" in pushed and "p_size" in pushed
+
+
+def test_q11_scalar_total_reuses_exchange(spark, sf_dir):
+    """The national relation feeds both the per-part aggregate and the
+    1-row total; the second read must be a ReusedExchange, not a
+    recompute."""
+    df = q("q11_important_parts", spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert plans.has_reused_exchange(df)
+
+
+def test_q20_partial_aggs_share_scan(spark, sf_dir):
+    df = q("q20_dominant_part_suppliers", spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert plans.has_reused_exchange(df)
