@@ -126,3 +126,146 @@ def sample_weighted_systematic(spark, sf_dir):
         .filter(F.expr("cum div 2000 > (cum - n_chars) div 2000"))
         .select("doc_id", "source", "n_chars", F.col("bucket").cast("long").alias("bucket"))
     )
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+    SELECT CASE WHEN {_BUCKET} < 100 THEN 'test'
+                WHEN {_BUCKET} < 200 THEN 'val'
+                ELSE 'train' END AS split,
+           lang, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (98/1/1): membership is a "
+    "CASE over the content-addressed md5 bucket, so the split is "
+    "stable under repartition, re-runs, and corpus growth (a doc "
+    "never migrates between splits when new data arrives). One scan, "
+    "tiny verification aggregate; at 100 TB the assignment is a "
+    "narrow projection written alongside the data.",
+)
+def dataset_split_assign(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    b = smp.hash_bucket("doc_id")
+    split = (
+        F.when(b < 100, "test").when(b < 200, "val").otherwise("train")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_N_SHARDS = 32
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    SELECT {_BUCKET} % {_N_SHARDS} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Training-shard manifest: every doc lands in one of N shards "
+    "by content-addressed hash, and the manifest reports per-shard "
+    "row/byte balance (the skew check before a shuffle-write). At "
+    "scale this IS the plan for `df.repartition(N, shard).write` — "
+    "hash sharding gives balanced shards regardless of source or "
+    "time skew in the input order.",
+)
+def corpus_shard_manifest(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    shard = smp.hash_bucket("doc_id") % _N_SHARDS
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "doc_length_histogram",
+    """
+    SELECT length(bin(n_chars)) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Sequence-length histogram in power-of-2 buckets — the packing-"
+    "efficiency / truncation-loss report before choosing a training "
+    "context length. Bucket = bit-length of n_chars (length of the "
+    "binary string), an exact integer op on both engines — no "
+    "floating log2 whose last-ulp rounding could differ across libm "
+    "implementations. One scan, ~20-row output.",
+)
+def doc_length_histogram(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.length(F.bin("n_chars")).alias("log2_bucket"), "n_chars"
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "mixture_temperature_weights",
+    """
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars,
+           sqrt(CAST(n_docs AS DOUBLE))
+             / sqrt(CAST((SELECT MAX(n_docs) FROM counts) AS DOUBLE))
+             AS rel_weight
+    FROM counts
+    """,
+    doc="Temperature-based mixture reweighting (alpha = 0.5): each "
+    "language's sampling weight relative to the largest one, "
+    "sqrt(n_l)/sqrt(n_max) — upweights rare languages the way "
+    "multilingual training mixtures do. sqrt and one division are "
+    "IEEE-exact on both engines (no order-dependent double sum: the "
+    "normalizer is a MAX, not a SUM). Scalar subquery = 1-row "
+    "broadcast over a per-language aggregate.",
+)
+def mixture_temperature_weights(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    mx = counts.agg(F.max("n_docs").alias("max_n"))
+    return (
+        counts.crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            (
+                F.sqrt(F.col("n_docs").cast("double"))
+                / F.sqrt(F.col("max_n").cast("double"))
+            ).alias("rel_weight"),
+        )
+    )
