@@ -122,6 +122,61 @@ def sample_frames(
     )
 
 
+def image_resize(blob: bytes, width: int, height: int) -> bytes:  # pragma: no cover - stub
+    raise NotImplementedError(
+        "image resize requires PIL/opencv (not in this container); "
+        "plug a real resizer with the same bytes->bytes contract"
+    )
+
+
+def fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a resizer: width*height bytes from a
+    repeated md5 chain (oracle mirror:
+    substr(repeat(md5(text), ceil(w*h/32)), 1, w*h))."""
+    n = width * height
+    s = hashlib.md5(blob).hexdigest()
+    return (s * ((n + 31) // 32))[:n].encode()
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    id_col: str,
+    media_col: str,
+    width: int,
+    height: int,
+    media_type: str = "fake",
+) -> DataFrame:
+    """bytes->bytes media resize over a binary column (mapInPandas).
+
+    The image path is the stub (`image_resize`); the fake resizer
+    exercises the real plumbing — blobs in, fixed-size blobs out, one
+    Arrow batch at a time, narrow map with no shuffle. Output replaces
+    the media column with the resized bytes plus (out_w, out_h).
+    """
+    if media_type not in ("fake", "image"):
+        raise ValueError(f"resize needs fake|image, got {media_type!r}")
+    id_field = df.schema[id_col]
+    id_ddl = f"{id_col} {id_field.dataType.simpleString()}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for rid, blob in zip(pdf[id_col], pdf[media_col]):
+                data = bytes(blob)
+                if media_type == "image":  # pragma: no cover - stub
+                    image_resize(data, width, height)
+                ids.append(rid)
+                blobs.append(fake_resize(data, width, height))
+            yield pd.DataFrame(
+                {id_col: ids, "media": blobs, "out_w": width, "out_h": height}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=f"{id_ddl}, media binary, out_w int, out_h int"
+    )
+
+
 def extract_features(
     df: DataFrame,
     *,

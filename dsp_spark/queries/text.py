@@ -232,6 +232,36 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_resize_audit",
+    """
+    SELECT doc_id, 16 AS out_w, 16 AS out_h,
+           CAST(256 AS BIGINT) AS out_bytes,
+           md5(substr(repeat(md5(text), 8), 1, 256)) AS out_md5
+    FROM documents
+    """,
+    doc="bytes->bytes media resize plumbing (image path stubbed; the "
+    "deterministic fake resizer proves the blob-in/blob-out mapInPandas "
+    "shape and fixed output geometry). The audit hashes every resized "
+    "blob JVM-side so the oracle checks the actual bytes produced, not "
+    "just row counts. Narrow map, no shuffle.",
+)
+def multimodal_resize_audit(spark, sf_dir):
+    from dsp_spark.operators.multimodal import resize_media
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    r = resize_media(d, id_col="doc_id", media_col="media", width=16, height=16)
+    return r.select(
+        "doc_id",
+        "out_w",
+        "out_h",
+        F.length("media").cast("long").alias("out_bytes"),
+        F.md5("media").alias("out_md5"),
+    )
+
+
 # --- PII scan / redaction -------------------------------------------------
 
 from dsp_spark.operators import pii as _pii  # noqa: E402
