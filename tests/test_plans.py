@@ -271,3 +271,20 @@ def test_q20_partial_aggs_share_scan(spark, sf_dir):
     df = q("q20_dominant_part_suppliers", spark, sf_dir)
     assert plans.has_broadcast_join(df)
     assert plans.has_reused_exchange(df)
+
+
+def test_sampling_reports_single_shuffle(spark, sf_dir):
+    """Split assignment, shard manifest, and the length histogram are
+    scan + one partial-agg exchange — membership/bucketing is computed
+    map-side, never shuffled raw."""
+    for name in (
+        "dataset_split_assign",
+        "corpus_shard_manifest",
+        "doc_length_histogram",
+    ):
+        assert plans.count_exchanges(q(name, spark, sf_dir)) == 1, name
+
+
+def test_resize_is_narrow_map(spark, sf_dir):
+    """bytes->bytes resize + audit hash: zero exchanges end to end."""
+    assert plans.count_exchanges(q("multimodal_resize_audit", spark, sf_dir)) == 0
