@@ -300,3 +300,140 @@ def running_zscore_batch(events: DataFrame) -> DataFrame:
         )
         .select("user_id", "event_id", "value", "zscore")
     )
+
+
+# --- streaming near-dup candidate filter (MinHash-LSH band witnesses) ----
+
+NEAR_DUP_SCHEMA = "band_key string, doc_id bigint, witness_id bigint"
+_WITNESS_STATE = "witness_id bigint"
+
+
+def near_dup_bands(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, band_key) pairs — the LSH banding step, stream-safe.
+
+    Same signature math as operators/dedup.py:minhash_lsh_pairs, minus
+    the `spread` repartition (RDD access is illegal on streaming
+    DataFrames; a stream's parallelism comes from the source). The band
+    key embeds the band index, so cross-band collisions are impossible.
+    """
+    from dsp_spark.operators import textops
+
+    rows = n_hashes // bands
+    hs = textops.shingle_hashes(text_col, k)
+    sig = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        hs.alias("_hs"),
+    ).select(
+        "doc_id",
+        *[
+            textops.minhash_from_hashes("_hs", s).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ],
+    )
+    band_cols = [
+        F.concat(
+            F.lit(f"{b}|"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
+def _witness_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (band_key,) = key
+    ids: set[int] = set()
+    for pdf in batches:
+        ids.update(int(x) for x in pdf["doc_id"])
+    ordered = sorted(ids)
+    if not ordered:
+        return
+    if state.exists:
+        witness = int(state.get[0])
+    else:
+        witness = ordered[0]
+        state.update((witness,))
+    dups = [i for i in ordered if i != witness]
+    if dups:
+        yield pd.DataFrame(
+            {
+                "band_key": [band_key] * len(dups),
+                "doc_id": dups,
+                "witness_id": [witness] * len(dups),
+            }
+        )
+
+
+def near_dup_candidates_stream(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming near-dup ingestion filter: the first doc to claim an
+    LSH band bucket becomes its witness; every later doc hitting the
+    bucket is emitted as a (doc, witness) candidate for a downstream
+    verifier (token-set Jaccard, operators/dedup.py). The admit/flag
+    decision a training-data ingest pipeline makes on arrival, without
+    ever joining the corpus against itself.
+
+    State per band bucket is ONE bigint (the witness) — O(#buckets)
+    total, RocksDB-backed on a cluster; an unbounded corpus stream
+    near-dedups with bounded memory. Arrival order decides witnesses;
+    with doc_id-ordered arrival this matches the batch twin exactly
+    (parity-tested across micro-batch boundaries).
+    """
+    bands_df = near_dup_bands(
+        docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes, bands=bands, k=k
+    )
+    return bands_df.groupBy("band_key").applyInPandasWithState(
+        _witness_fn,
+        outputStructType=NEAR_DUP_SCHEMA,
+        stateStructType=_WITNESS_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def near_dup_candidates_batch(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Batch twin: witness = min doc_id per band bucket (one shuffle)."""
+    bands_df = near_dup_bands(
+        docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes, bands=bands, k=k
+    )
+    w = W.partitionBy("band_key")
+    return (
+        bands_df.withColumn("witness_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("witness_id"))
+        .select("band_key", "doc_id", "witness_id")
+    )

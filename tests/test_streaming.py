@@ -589,3 +589,53 @@ def test_continuous_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
     view.apply(hourly_rollup_agg(ev), epoch_id=999)
     again = sorted(map(tuple, view.read().select("hour_start", "event_type", "n", "sum_value").collect()))
     assert again == want
+
+
+def test_near_dup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming LSH band-witness filter == batch twin, across
+    micro-batch boundaries: docs arrive in doc_id order over two
+    micro-batches (maxFilesPerTrigger=1); witnesses claimed in batch 1
+    must flag colliders arriving in batch 2 from state."""
+    from dsp_spark.session import read_table
+    from dsp_spark.streaming.stateful import (
+        near_dup_candidates_batch,
+        near_dup_candidates_stream,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "docs_src")
+    # two files, id-ordered so arrival order == id order
+    docs.filter(F.col("doc_id") <= mid).repartition(1).write.parquet(
+        f"{src}/f0"
+    )
+    docs.filter(F.col("doc_id") > mid).repartition(1).write.parquet(
+        f"{src}/f1"
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = near_dup_candidates_stream(stream, id_col="doc_id", text_col="text")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_neardup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["band_key"], r["doc_id"], r["witness_id"])
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    }
+    want = {
+        (r["band_key"], r["doc_id"], r["witness_id"])
+        for r in near_dup_candidates_batch(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture has no near-dup collisions; test is vacuous"
