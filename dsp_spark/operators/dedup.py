@@ -291,6 +291,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    single_partition_rounds = True
     for _ in range(max_iter):
         # count() on the checkpointed edges doubles as the fixpoint test
         # and sizes the contraction: coalescing to ~edges_per_partition
@@ -304,6 +305,8 @@ def connected_components(
         target = max(1, -(-n_edges // edges_per_partition))
         if E.rdd.getNumPartitions() > target:
             E = E.coalesce(target)
+        if E.rdd.getNumPartitions() > 1:
+            single_partition_rounds = False
         rounds += 1
         delta = (
             E.mapInPandas(local_uf, schema=uf_schema)
@@ -329,8 +332,10 @@ def connected_components(
         )
     # resolve residual mapping chains (a -> b -> c when partitions
     # discover overlapping unions in one round): pointer halving,
-    # label := label(label), converges in log(chain depth) passes
-    for _ in range(max_iter):
+    # label := label(label), converges in log(chain depth) passes.
+    # When every contraction ran in ONE partition, its union-find already
+    # returned final roots — no chains can exist, skip the halving jobs.
+    for _ in range(0 if single_partition_rounds else max_iter):
         hop = labels.select(
             F.col("node").alias("label"), F.col("label").alias("hop")
         )
