@@ -51,6 +51,9 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # write µs timestamps, not legacy INT96: INT96 chunks carry no
+        # min/max statistics, so time-range scans can't skip row groups
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.parquet stores timestamp[ns]; Spark rejects NANOS
         # unless read as long (we convert to µs — same truncation DuckDB does)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
