@@ -361,3 +361,53 @@ def connected_components(
     return labels.unionByName(singletons).select(
         F.col("node").alias(id_col), F.col("label").alias("component")
     )
+
+
+def verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verification stage of the MinHash pipeline: exact token-set
+    Jaccard on CANDIDATE pairs only (LSH gives recall, this gives
+    precision). Token arrays are semi-join-pruned to docs that appear
+    in some candidate before the pair join, so the shuffle carries
+    token sets for the near-dup fringe of the corpus, never all of it;
+    per-pair array_intersect is fine because banding already bounded
+    the pair count.
+    """
+    from dsp_spark.operators import textops
+
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    toks = (
+        docs.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_distinct(textops.tokens(text_col)).alias("tk"),
+        )
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("tk").alias("tka"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("tk").alias("tkb"))
+    inter = F.size(F.array_intersect("tka", "tkb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("tka") + F.size("tkb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

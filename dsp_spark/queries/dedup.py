@@ -362,3 +362,32 @@ def dedup_graph_triangles(spark, sf_dir):
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_LSH_CTES},
+    toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+               round({_INTER} / (len(a.tk) + len(b.tk) - {_INTER}), 6) AS jaccard
+        FROM pairs p
+        JOIN toks a ON p.id_a = a.doc_id
+        JOIN toks b ON p.id_b = b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="The full MinHash near-dup pipeline composed end to end: LSH "
+    "banding proposes candidates (recall), exact token-set Jaccard on "
+    "those pairs filters them (precision). Token arrays are semi-join "
+    "pruned to docs appearing in some candidate, so the verify join "
+    "touches the near-dup fringe only — the decision list a curation "
+    "run feeds to dedup_survivors/dedup_clusters.",
+)
+def dedup_lsh_verified(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    return dd.verify_pairs(docs, pairs, "doc_id", "text", threshold=0.5)
