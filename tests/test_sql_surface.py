@@ -94,3 +94,9 @@ def test_oracle_sql_runs_on_spark(name, views, duck, sf_dir):
     got = views.sql(oracle).toPandas()
     want = duck.execute(oracle).fetchdf()
     assert_results_equal(got, want, f"spark.sql:{name}")
+
+
+def test_catalog_cli_lists_entries(capsys):
+    assert catalog.main([]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "dedup_lsh_verified" in out
