@@ -340,7 +340,11 @@ def dedup_segments_corpus(spark, sf_dir):
 )
 def dedup_graph_triangles(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    # materialize the pair list once: three join sides would otherwise
+    # each replicate the whole LSH subplan (signatures + band self-join)
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=2, k=5
+    ).localCheckpoint(eager=True)
     e = pairs.select("id_a", "id_b")
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -356,10 +360,10 @@ def dedup_graph_triangles(spark, sf_dir):
             F.col("e2.id_b").alias("c"),
         )
     )
-    members = (
-        tri.select(F.col("a").alias("doc_id"))
-        .unionAll(tri.select(F.col("b").alias("doc_id")))
-        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    # one evaluation of tri, fanned out map-side — not a 3-way union
+    # that re-runs the triangle joins per corner
+    members = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
     )
     return members.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
 
@@ -389,5 +393,10 @@ def dedup_graph_triangles(spark, sf_dir):
 )
 def dedup_lsh_verified(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    # materialize candidates once: the verify stage consumes them three
+    # times (two id prunes + the pair join) and would otherwise replicate
+    # the whole LSH subplan per consumer
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=2, k=5
+    ).localCheckpoint(eager=True)
     return dd.verify_pairs(docs, pairs, "doc_id", "text", threshold=0.5)
