@@ -269,3 +269,98 @@ def mixture_temperature_weights(spark, sf_dir):
             ).alias("rel_weight"),
         )
     )
+
+
+@register(
+    "table_stats_documents",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS ndv_doc_id,
+           COUNT(DISTINCT lang) AS ndv_lang,
+           COUNT(DISTINCT source) AS ndv_source,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_text,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+    doc="ANALYZE-style column statistics in one scan: row count, exact "
+    "NDVs, null counts, min/max — what a catalog/CBO ingests and what a "
+    "curation run sanity-checks first. Exact distincts partial-aggregate "
+    "per column; swap in approx_count_distinct at 100 TB (the HLL "
+    "sketch path, approx_distinct_docs_hll) when exactness isn't "
+    "required.",
+)
+def table_stats_documents(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("ndv_doc_id"),
+        F.countDistinct("lang").alias("ndv_lang"),
+        F.countDistinct("source").alias("ndv_source"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_text"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+        WHERE {_BUCKET} < 9000
+    ), v2 AS (
+        SELECT doc_id,
+               CASE WHEN {_BUCKET} % 13 = 0 THEN md5(text || '!') 
+                    ELSE md5(text) END AS h
+        FROM documents
+        WHERE {_BUCKET} >= 1000
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n_docs,
+           MIN(COALESCE(v1.doc_id, v2.doc_id)) AS min_doc_id
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1
+    """,
+    doc="Dataset-versioning diff: full outer join of two corpus "
+    "snapshots on doc id, content compared by hash -> added / removed / "
+    "changed / unchanged counts (the audit before retraining on a new "
+    "crawl). Snapshots here are hash-bucket slices of the one documents "
+    "table (v1 = first 90%, v2 = last 90% with every 13th doc's text "
+    "perturbed); the join shuffles 8-byte ids + 32-byte hashes, never "
+    "documents.",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    b = smp.hash_bucket("doc_id")
+    v1 = d.filter(b < 9000).select("doc_id", F.md5("text").alias("h"))
+    v2 = d.filter(b >= 1000).select(
+        "doc_id",
+        F.when(b % 13 == 0, F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("v1.doc_id").isNull(), "added")
+        .when(F.col("v2.doc_id").isNull(), "removed")
+        .when(F.col("v1.h") != F.col("v2.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("v1.doc_id"), F.col("v2.doc_id")).alias("did"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"), F.min("did").alias("min_doc_id"))
+    )
