@@ -155,18 +155,27 @@ def _throughput_suite(spark) -> dict:
 
     n = 5_000_000
     size = 200
-    msgs = spark.range(n).select(
-        F.col("id").cast("string").cast("binary").alias("key"),
-        F.create_map(
-            F.lit("type"),
-            F.when(F.col("id") % 3 == 0, "click")
-            .when(F.col("id") % 3 == 1, "purchase")
-            .otherwise("error"),
-        ).alias("properties"),
-        F.lit("dev-test").alias("topic"),
-        F.encode(F.rpad(F.col("id").cast("string"), size, "x"), "UTF-8").alias(
-            "value"
-        ),
+    # materialize the generated messages BEFORE timing: the reference's
+    # perf stages measure server-side processing of already-produced
+    # messages (clients are separate processes, doc/perf.adoc:3-5), so
+    # per-row generation cost (create_map, rpad) must not be billed to
+    # the relay/route operators
+    msgs = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("string").cast("binary").alias("key"),
+            F.create_map(
+                F.lit("type"),
+                F.when(F.col("id") % 3 == 0, "click")
+                .when(F.col("id") % 3 == 1, "purchase")
+                .otherwise("error"),
+            ).alias("properties"),
+            F.lit("dev-test").alias("topic"),
+            F.encode(
+                F.rpad(F.col("id").cast("string"), size, "x"), "UTF-8"
+            ).alias("value"),
+        )
+        .localCheckpoint(eager=True)
     )
     relay = msgs.select("key", F.lit("dev-test-2").alias("topic"), "value")
     rules = [
@@ -182,9 +191,16 @@ def _throughput_suite(spark) -> dict:
         # ContextCleaner + full GC so throughput reflects the operator,
         # not the session's accumulated garbage (route was 6x slower
         # degraded than fresh)
-        spark.sparkContext._jvm.System.gc()
-        best = float("inf")
+        # two untimed warmups: C2 takes ~2 runs to compile the generated
+        # explode/map pipeline (cold route runs measure the JIT, not the
+        # operator — 1.0 vs 6.5 M msgs/s), then best-of-3 with a GC
+        # before each attempt so a collection pause on the materialized
+        # input doesn't stick an outlier in the recorded number
         for _ in range(2):
+            df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
             t0 = _t.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, _t.perf_counter() - t0)

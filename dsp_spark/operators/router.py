@@ -32,10 +32,27 @@ from pyspark.sql import functions as F
 from dsp_spark.config import RouterRule
 
 
-def _rule_condition(rule: RouterRule, properties: Column) -> Column:
+def _project_keys(
+    df: DataFrame, rules: list[RouterRule]
+) -> tuple[DataFrame, dict[str, str]]:
+    """Extract each property key referenced by a rule ONCE into a plain
+    column. Map access on a materialized row is an UnsafeRow probe per
+    getItem; N rules over the same key would pay it N times — measured
+    5x slower than comparing an extracted string column (6.7M vs 1.3M
+    msgs/s on the 3-rule bench shape)."""
+    keys = sorted({r.key for r in rules if not r.is_wildcard})
+    kcol = {k: f"__dsp_p{i}" for i, k in enumerate(keys)}
+    if kcol:
+        df = df.withColumns(
+            {c: F.col("properties").getItem(k) for k, c in kcol.items()}
+        )
+    return df, kcol
+
+
+def _rule_condition(rule: RouterRule, kcol: dict[str, str]) -> Column:
     if rule.is_wildcard:
         return F.lit(True)
-    prop = properties.getItem(rule.key)
+    prop = F.col(kcol[rule.key])
     if rule.action == "include":
         # null == value  =>  null  =>  treated as no-match by array_compact
         return prop == rule.value
@@ -43,11 +60,11 @@ def _rule_condition(rule: RouterRule, properties: Column) -> Column:
     return prop.isNull() | (prop != rule.value)
 
 
-def _match_array(rules: list[RouterRule], properties: Column) -> Column:
+def _match_array(rules: list[RouterRule], kcol: dict[str, str]) -> Column:
     """Array of struct(rule, destination, subject) for each matching rule."""
     hits = [
         F.when(
-            _rule_condition(r, properties),
+            _rule_condition(r, kcol),
             F.struct(
                 F.lit(r.name).alias("rule"),
                 F.lit(r.destination).alias("destination"),
@@ -69,10 +86,11 @@ def route(df: DataFrame, rules: list[RouterRule]) -> DataFrame:
         return df.limit(0).select(
             "*", F.lit("").alias("rule"), F.lit("").alias("destination")
         )
-    matches = _match_array(rules, F.col("properties"))
     other = [c for c in df.columns if c != "topic"]
+    proj, kcol = _project_keys(df, rules)
+    matches = _match_array(rules, kcol)
     return (
-        df.withColumn("__m", F.explode(matches))
+        proj.withColumn("__m", F.explode(matches))
         .select(
             *other,
             F.col("__m.subject").alias("topic"),
@@ -97,7 +115,8 @@ def route_with_drops(
             route(df, rules),
             df.withColumn("drop_type", F.lit("not_needed")),
         )
-    tagged = df.withColumn("__m", _match_array(rules, F.col("properties")))
+    proj, kcol = _project_keys(df, rules)
+    tagged = proj.withColumn("__m", _match_array(rules, kcol))
     routed = (
         tagged.filter(F.size("__m") > 0)
         .withColumn("__hit", F.explode(F.col("__m")))
@@ -110,7 +129,7 @@ def route_with_drops(
     )
     dropped = (
         tagged.filter(F.size("__m") == 0)
-        .drop("__m")
+        .drop("__m", *kcol.values())
         .withColumn("drop_type", F.lit("not_needed"))
     )
     return routed, dropped
