@@ -242,10 +242,14 @@ def test_weighted_sample_single_shuffle_no_global_sort(spark, sf_dir):
 
 
 def test_triangle_count_single_pair_derivation(spark, sf_dir):
-    """Triangle enumeration must derive the LSH pair list once and reuse
-    the exchange for all three join legs, not recompute signatures."""
+    """Triangle enumeration must derive the LSH pair list ONCE: the
+    pair list is materialized (localCheckpoint), so the triangle plan
+    joins three scans of that RDD and never re-reads documents or
+    recomputes signatures — zero parquet scans, few exchanges."""
     df = q("dedup_graph_triangles", spark, sf_dir)
-    assert plans.has_reused_exchange(df)
+    plan = plans.formatted(df)
+    assert "documents.parquet" not in plan
+    assert plans.count_exchanges(df) <= 6
 
 
 def test_q2_part_filter_prunes_below_aggregate(spark, sf_dir):
