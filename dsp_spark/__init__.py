@@ -19,3 +19,29 @@ Structured Streaming.
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "catalog",
+    "get_session",
+    "read_table",
+    "load_tables",
+    "Pipeline",
+    "PipelineConfig",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports: importing dsp_spark must not start a JVM or pull
+    # pyspark until an engine symbol is actually touched. import_module
+    # (not `from ... import`) avoids re-entering this hook mid-import.
+    import importlib
+
+    if name == "catalog":
+        return importlib.import_module("dsp_spark.catalog")
+    if name in ("get_session", "read_table", "load_tables"):
+        return getattr(importlib.import_module("dsp_spark.session"), name)
+    if name == "Pipeline":
+        return importlib.import_module("dsp_spark.engine").Pipeline
+    if name == "PipelineConfig":
+        return importlib.import_module("dsp_spark.config").PipelineConfig
+    raise AttributeError(f"module 'dsp_spark' has no attribute {name!r}")
