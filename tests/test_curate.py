@@ -1,0 +1,37 @@
+"""The composed curation run: stage counts must be monotone, the
+written corpus must round-trip, and no surviving pair may still be a
+verified near-duplicate."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+
+def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
+    sys.path.insert(0, "/root/repo")
+    from tools.curate import curate
+    from dsp_spark.operators import dedup as dd
+
+    out = str(tmp_path / "curated")
+    m = curate(spark, sf_dir, out)
+    assert (
+        m["input_docs"]
+        >= m["after_quality"]
+        >= m["after_exact_dedup"]
+        >= m["after_near_dedup"]
+        > 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == m["after_near_dedup"]
+    assert sum(m["splits"].values()) == m["after_near_dedup"]
+    assert set(back.columns) >= {"doc_id", "text", "shard"}
+    # the survivor set must be near-dup free: re-running LSH + verify on
+    # the output yields no verified pair
+    pairs = dd.minhash_lsh_pairs(back, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    verified = dd.verify_pairs(back, pairs, "doc_id", "text", threshold=0.5)
+    assert verified.count() == 0
+    # exact dups gone too
+    n_hashes = back.select(F.md5("text")).distinct().count()
+    assert n_hashes == m["after_near_dedup"]

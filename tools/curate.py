@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation run: the engine doing its real job.
+
+    python tools/curate.py [--sf-dir DIR] [--out DIR]
+
+Stages (each a cataloged operator, composed):
+  1. quality filter   - Gopher-style keep rules (narrow map, no shuffle)
+  2. exact dedup      - md5 groupBy, keep min doc_id
+  3. near-dup         - MinHash-LSH candidates -> exact-Jaccard verify
+                        -> connected components -> keep min id per family
+  4. split + shard    - stable hash-bucket train/val/test + 32 shards
+  5. write            - parquet partitioned by split, rows range-
+                        clustered by n_chars inside each partition
+Prints a one-line JSON manifest with per-stage survivor counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def curate(spark, sf_dir: str, out_dir: str) -> dict:
+    from dsp_spark.operators import dedup as dd
+    from dsp_spark.operators import sampling as smp
+    from dsp_spark.operators.layout import optimize_layout
+    from dsp_spark import catalog
+    from dsp_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1. quality: reuse the cataloged rule set, keep only passing docs
+    flags = catalog.entries()["text_quality_filter"].fn(spark, sf_dir)
+    kept_q = docs.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    n_quality = kept_q.count()
+
+    # 2. exact dedup: survivors carry the smallest id per content hash
+    survivors = dd.exact_dedup(kept_q, "doc_id", "text").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    kept_e = kept_q.join(survivors, "doc_id", "left_semi")
+    n_exact = kept_e.count()
+
+    # 3. near-dup: LSH -> verify -> components; keep one doc per family
+    pairs = dd.minhash_lsh_pairs(
+        kept_e, "doc_id", "text", n_hashes=8, bands=2, k=5
+    ).localCheckpoint(eager=True)
+    verified = dd.verify_pairs(kept_e, pairs, "doc_id", "text", threshold=0.5)
+    comp = dd.connected_components(kept_e, verified, "doc_id")
+    keepers = comp.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    kept_n = kept_e.join(keepers, "doc_id", "left_semi")
+    n_neardup = kept_n.count()
+
+    # 4. stable split + shard assignment
+    b = smp.hash_bucket("doc_id")
+    final = kept_n.withColumn(
+        "split",
+        F.when(b < 100, "test").when(b < 200, "val").otherwise("train"),
+    ).withColumn("shard", (b % 32).cast("int"))
+
+    # 5. clustered write: one file run per split, length-clustered rows
+    shutil.rmtree(out_dir, ignore_errors=True)
+    optimize_layout(
+        final, range_cols=["n_chars"], target_partitions=8
+    ).write.partitionBy("split").parquet(out_dir)
+
+    by_split = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "input_docs": n_input,
+        "after_quality": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_neardup,
+        "splits": by_split,
+        "out": out_dir,
+    }
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="corpus curation run")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", default="/tmp/dsp_curate")
+    args = p.parse_args(argv)
+
+    from dsp_spark.session import get_session
+
+    spark = get_session("dsp-curate")
+    manifest = curate(spark, args.sf_dir, args.out)
+    print(json.dumps(manifest))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
