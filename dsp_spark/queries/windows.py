@@ -640,3 +640,59 @@ def events_windowed_topk_types(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("w_start", "event_type", "n", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "events_journey_paths",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, n, rnk FROM (
+        SELECT path, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INTEGER)
+                 AS rnk
+        FROM (
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   COUNT(*) AS n
+            FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1
+        )
+    ) WHERE rnk <= 10
+    """,
+    doc="Sequence mining: top-10 three-step user journeys. Per-user "
+    "lead() windows build path trigrams with ONE shuffle on user_id "
+    "(deterministic ts, event_id ordering) and the path count partial-"
+    "aggregates map-side; the global rank runs on the tiny path-count "
+    "table (at most |event_types|^3 rows), never on raw events, with a "
+    "total tie-break for cross-engine determinism. The funnel/retention "
+    "layer's exploratory sibling: which paths actually happen, before "
+    "you pick one to funnel.",
+)
+def events_journey_paths(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counts = (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = W.orderBy(F.desc("n"), "path")
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("path", "n", "rnk")
+    )
