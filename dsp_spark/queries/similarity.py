@@ -399,3 +399,74 @@ def embedding_kmeans_iterate(spark, sf_dir):
         F.col("vec_id").alias("seed_id"), "embedding"
     )
     return sim.kmeans(e, seeds, iters=1)
+
+
+@register(
+    "semantic_dedup_survivors",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (SELECT vec_id AS seed_id, emb AS sv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT e.vec_id, s.seed_id,
+               round(list_dot_product(e.emb, s.sv) /
+                     (sqrt(list_dot_product(e.emb, e.emb)) *
+                      sqrt(list_dot_product(s.sv, s.sv))), 6) AS sim
+        FROM e, s
+    ), assign AS (
+        SELECT vec_id, seed_id AS c FROM (
+            SELECT vec_id, seed_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, seed_id) AS rn
+            FROM scored) WHERE rn = 1
+    ), ec AS (
+        SELECT e.vec_id, e.emb, a.c
+        FROM e JOIN assign a ON e.vec_id = a.vec_id
+    ), dup AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM ec a JOIN ec b ON a.c = b.c AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.emb, b.emb) /
+                    (sqrt(list_dot_product(a.emb, a.emb)) *
+                     sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+    )
+    SELECT ec.vec_id, ec.c AS centroid_id FROM ec
+    WHERE ec.vec_id NOT IN (SELECT dup_id FROM dup)
+    """,
+    doc="SemDeDup-style semantic dedup: k-means clusters bound the "
+    "pairwise term (broadcast-centroid assignment, zero corpus "
+    "shuffle), exact cosine within each cluster flags near-duplicate "
+    "embeddings, and the earliest id in each flagged pair survives "
+    "(later ids drop via anti-join). The embedding-space sibling of "
+    "the text MinHash pipeline: cluster -> compare-inside-cluster -> "
+    "survivors, the shape that scales to billions of vectors because "
+    "no comparison ever crosses a cluster boundary.",
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    from dsp_spark.functions.vectors import dot, norm
+    from dsp_spark.session import spread
+
+    assign = embedding_kmeans_assign(spark, sf_dir).select(
+        "vec_id", "centroid_id"
+    )
+    e = (
+        spread(t(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+        .join(assign, "vec_id")
+    )
+    a = e.alias("a").hint("shuffle_hash")
+    b = e.alias("b").hint("shuffle_hash")
+    cos = F.round(
+        dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup_ids, "vec_id", "left_anti").select(
+        "vec_id", "centroid_id"
+    )
