@@ -777,3 +777,54 @@ def customer_rfm_segments(spark, sf_dir):
         F.ntile(4).over(W.orderBy("frequency", "custkey")).cast("int").alias("f_quartile"),
         F.ntile(4).over(W.orderBy("monetary", "custkey")).cast("int").alias("m_quartile"),
     )
+
+
+@register(
+    "basket_brand_affinity",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT brand_a, brand_b, n_orders FROM (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_orders
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    doc="Market-basket affinity: top-20 brand pairs co-occurring in one "
+    "order. The (order, brand) relation distinct-reduces BEFORE the "
+    "self-join, both sides share its exchange, and the pair count is "
+    "bounded by |brands|^2 regardless of fact size — the co-occurrence "
+    "shape that stays cheap at 100 TB because the quadratic term is on "
+    "the dictionary, not the data. Total ORDER BY tie-break keeps the "
+    "LIMIT deterministic across engines.",
+)
+def basket_brand_affinity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a").hint("shuffle_hash")
+    b = ob.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )

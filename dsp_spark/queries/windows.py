@@ -696,3 +696,56 @@ def events_journey_paths(spark, sf_dir):
         .filter(F.col("rnk") <= 10)
         .select("path", "n", "rnk")
     )
+
+
+@register(
+    "events_lateness_audit",
+    """
+    WITH m AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id
+                             ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS high_water
+        FROM events
+    )
+    SELECT CAST(length(bin(CAST(date_diff('second', ts, high_water) AS BIGINT) + 1))
+                AS INTEGER) AS lateness_bucket,
+           COUNT(*) AS n_events,
+           CAST(MAX(date_diff('second', ts, high_water)) AS BIGINT) AS max_lag_s
+    FROM m
+    GROUP BY 1
+    """,
+    doc="Late-data audit: per-user high-watermark (running max ts in "
+    "arrival order = event_id) vs event time, bucketed by power-of-2 "
+    "lateness seconds — the histogram that tells you what watermark "
+    "delay a streaming job needs before you deploy it. One shuffle "
+    "(user window), integer bit-length buckets (no float log), tiny "
+    "output.",
+)
+def events_lateness_audit(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    lag_s = (
+        F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+    ).cast("long")
+    return (
+        e.select(lag_s.alias("lag_s"))
+        .select(
+            F.length(F.bin(F.col("lag_s") + 1)).cast("int").alias(
+                "lateness_bucket"
+            ),
+            "lag_s",
+        )
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("lag_s").alias("max_lag_s"),
+        )
+    )
