@@ -648,14 +648,19 @@ def q11_important_parts(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(dec("l_extendedprice")).alias("val")
+    # nation selectivity (1/25 of suppliers) pushed BELOW the heavy
+    # (partkey, suppkey) aggregate: semi-join the fact on the national
+    # supplier list first, so the shuffle carries only qualifying rows.
+    # Legal because ps rows of other suppliers are discarded later anyway.
+    nat_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    ps = (
+        li.join(nat_supp, li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val"))
     )
-    national = (
-        ps.join(s, ps.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(F.col("l_partkey").alias("ps_partkey"), "val")
-    )
+    national = ps.select(F.col("l_partkey").alias("ps_partkey"), "val")
     total = national.agg(
         F.sum("val").cast("decimal(18,2)").alias("total_val")
     )
