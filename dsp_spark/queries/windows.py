@@ -744,3 +744,67 @@ def events_lateness_audit(spark, sf_dir):
             F.max("lag_s").alias("max_lag_s"),
         )
     )
+
+
+@register(
+    "events_audience_overlap",
+    """
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           round(CAST(n_both AS DOUBLE)
+                 / (sa.n + sb.n - n_both), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+    doc="Audience overlap: Jaccard similarity of user sets per "
+    "event-type pair. The (type, user) relation distinct-reduces "
+    "before the self-join, the join shuffles on user_id, and the "
+    "output is bounded by |types|^2 — audience-segmentation math whose "
+    "quadratic term lands on the type dictionary, not the events. The "
+    "same shape computes source or language overlap on documents.",
+)
+def events_audience_overlap(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.alias("a").hint("shuffle_hash")
+    b = tu.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
