@@ -662,3 +662,66 @@ def corpus_curation_pipeline(spark, sf_dir):
             ).alias("keep_rate"),
         )
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    r"""
+    WITH tok AS (
+        SELECT source, lower(tk) AS term
+        FROM documents, UNNEST(string_split_regex(text, '\s+')) AS u(tk)
+        WHERE length(tk) >= 4
+    ), tf AS (
+        SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+        SELECT term, COUNT(*) AS n_sources FROM tf GROUP BY 1
+    ), n AS (
+        SELECT COUNT(DISTINCT source) AS total_sources FROM documents
+    )
+    SELECT source, term, tf, rnk FROM (
+        SELECT tf.source, tf.term, tf.tf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY round(tf.tf * CAST((SELECT total_sources FROM n) AS DOUBLE)
+                                  / df.n_sources, 6) DESC,
+                            tf.term) AS INTEGER) AS rnk
+        FROM tf JOIN df ON tf.term = df.term
+    ) WHERE rnk <= 5
+    """,
+    doc="Distinctive vocabulary per source: TF-IDF-shaped score "
+    "tf * total_sources / doc_frequency (a ratio, not log-idf — "
+    "log()'s last-ulp varies across libm builds, a single double "
+    "division does not), top-5 terms per source with a total "
+    "tie-break. Two partial-agg shuffles (term counts, doc "
+    "frequency), a term-keyed join, and the rank runs per source on "
+    "the aggregated term table — raw tokens never pass a window.",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", r"\s+")).alias("tk")
+    ).filter(F.length("tk") >= 4)
+    tf = (
+        tok.select("source", F.lower("tk").alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("n_sources"))
+    total = d.agg(
+        F.countDistinct("source").alias("total_sources")
+    )
+    score = F.round(
+        F.col("tf") * F.col("total_sources").cast("double") / F.col("n_sources"),
+        6,
+    )
+    w = W.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "rnk")
+    )
