@@ -44,19 +44,101 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-def queries() -> dict[str, QueryFn]:
+# The round driver checks AT MOST the first ~50 entries of queries(),
+# in iteration order, against the DuckDB oracle. Registration order is
+# import order, which froze the round-1 entries into the window and left
+# everything added later unverified. This list rotates per round so every
+# entry eventually gets a driver correctness row:
+#   r1+r2 checked 54 entries (all TPC-H/relational/window);
+#   r3 leads with the 50 highest-priority never-checked entries —
+#   reference-core dataflow parity first (router/telemetry/relay — the
+#   engine's raison d'être, SURVEY §3.1-3.2), then the LLM-pipeline
+#   layers (dedup, similarity, text, sampling/corpus);
+#   r4 should lead with the 15 still-unchecked (events_*, multimodal_*,
+#   doc_chunk/pack, doc_length_histogram) then rotate oldest-checked-first.
+# Names not in this list follow in registration order. Unknown names are
+# ignored (defensive: a renamed entry must not break iteration).
+_DRIVER_WINDOW_FIRST: tuple[str, ...] = (
+    # reference-core parity (router.hpp, telemetry frames, k2k relay)
+    "router_multicast_events",
+    "router_drop_accounting",
+    "telemetry_parse_heartbeats",
+    "heartbeat_projection",
+    "k2k_relay_identity",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_survivors",
+    "approx_distinct_docs_hll",
+    "dedup_clusters",
+    "dedup_segments_corpus",
+    "dedup_graph_triangles",
+    "dedup_lsh_verified",
+    # similarity / embeddings
+    "embedding_block_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_int8_topk",
+    "array_function_surface",
+    "embedding_kmeans_assign",
+    "embedding_label_centroids",
+    "embedding_kmeans_iterate",
+    "semantic_dedup_survivors",
+    # text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_pretokens",
+    "text_pii_scan",
+    "decontam_eval_overlap",
+    "text_vocab_topk",
+    "text_repetition_stats",
+    "text_quality_filter",
+    "source_median_chars_udaf",
+    "corpus_curation_pipeline",
+    "text_tfidf_top_terms",
+    # sampling / corpus management
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
+    "dataset_mixture_audit",
+    "sample_weighted_systematic",
+    "dataset_split_assign",
+    "corpus_shard_manifest",
+    "mixture_temperature_weights",
+    "table_stats_documents",
+    "corpus_snapshot_diff",
+    "corpus_dataset_card",
+)
+
+
+def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
-    return {name: e.fn for name, e in _REGISTRY.items()}
+    out: dict[str, CatalogEntry] = {}
+    for name in _DRIVER_WINDOW_FIRST:
+        if name in _REGISTRY:
+            out[name] = _REGISTRY[name]
+    for name, e in _REGISTRY.items():
+        if name not in out:
+            out[name] = e
+    return out
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+    return {name: e.oracle for name, e in _ordered().items() if e.oracle is not None}
 
 
 def entries() -> dict[str, CatalogEntry]:
-    _load_all()
-    return dict(_REGISTRY)
+    return _ordered()
 
 
 _LOADED = False
