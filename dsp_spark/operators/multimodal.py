@@ -165,9 +165,11 @@ def resize_media(
             for rid, blob in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(blob)
                 if media_type == "image":  # pragma: no cover - stub
-                    image_resize(data, width, height)
+                    out = image_resize(data, width, height)
+                else:
+                    out = fake_resize(data, width, height)
                 ids.append(rid)
-                blobs.append(fake_resize(data, width, height))
+                blobs.append(out)
             yield pd.DataFrame(
                 {id_col: ids, "media": blobs, "out_w": width, "out_h": height}
             )

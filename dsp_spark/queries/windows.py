@@ -655,6 +655,7 @@ def events_windowed_topk_types(spark, sf_dir):
             SELECT event_type || '>' || e2 || '>' || e3 AS path,
                    COUNT(*) AS n
             FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+              AND event_type IS NOT NULL
             GROUP BY 1
         )
     ) WHERE rnk <= 10
@@ -680,8 +681,14 @@ def events_journey_paths(spark, sf_dir):
     ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
     counts = (
         seq.select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+            # F.concat (not concat_ws): NULL-propagating like the oracle's
+            # `||`, so a NULL event_type drops the row in both engines
+            # instead of concat_ws silently emitting a truncated "e2>e3"
+            F.concat("event_type", F.lit(">"), "e2", F.lit(">"), "e3").alias(
+                "path"
+            )
         )
+        .filter(F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count("*").alias("n"))
     )

@@ -120,6 +120,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     results line up with the DuckDB oracle. Older generators emitted
     timestamp[ns], which Spark reads only via ``nanosAsLong``; both
     legacy shapes normalize to the same µs TIMESTAMP column.
+
+    .. warning:: SIDE EFFECT: reading ``events`` sets
+       ``spark.sql.session.timeZone=UTC`` (and the nanos fallback) on the
+       *caller's* session, and the setting persists after this call.
+       This is deliberate — the correctness driver hands us a bare
+       session, and the lazily-evaluated DataFrame must still resolve
+       the NTZ cast under UTC whenever the caller executes it (a
+       save/restore here would un-pin the conf before the action runs).
+       Callers that need a non-UTC session zone alongside events data
+       should use a separate session (``spark.newSession()``).
     """
     from pyspark.sql import functions as F
 

@@ -51,10 +51,14 @@ def main() -> int:
         )
         for r in rows:
             f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} |\n")
-    total = sum(r[1] for r in rows)
-    f = open(out, "a")
-    f.write(f"\n{len(rows)} entries, {total} exchanges total; 0 Cartesian products.\n")
-    f.close()
+        total = sum(r[1] for r in rows)
+        n_cartesian = sum(1 for r in rows if r[4])
+        f.write(
+            f"\n{len(rows)} entries, {total} exchanges total; "
+            f"{n_cartesian} Cartesian products.\n"
+        )
+    if n_cartesian:
+        print(f"ERROR: {n_cartesian} Cartesian products in plans", file=sys.stderr)
     print(f"wrote {out}: {len(rows)} entries")
     spark.stop()
     return 0
