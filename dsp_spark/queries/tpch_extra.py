@@ -48,31 +48,53 @@ def _rev():
         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
     GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
     """,
-    doc="TPC-H-Q7-style bilateral trade volume: fact joins two broadcast "
-    "copies of the nation dim (supplier side and customer side); the "
-    "nation-pair filter lands on the broadcast hash join, so only "
-    "matching rows reach the final group-by shuffle.",
+    doc="TPC-H-Q7-style bilateral trade volume. Both nation dims are "
+    "pre-filtered to the two relevant names BEFORE broadcast, and each "
+    "fact input is reduced through its filtered dim (lineitem via "
+    "supplier-nation, orders via customer-nation) ahead of the "
+    "fact-fact join — so the one unavoidable orderkey shuffle moves "
+    "~2/25ths of each table instead of all of it. The pair filter then "
+    "only removes the (1,1)/(2,2) combinations.",
 )
 def q7_nation_volume(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
-    sn = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    names = ("NATION_1", "NATION_2")
+    sn = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*names))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     )
-    cn = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    cn = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*names))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    # reduce each fact side through its (filtered) dims before the
+    # fact-fact shuffle: only suppliers/customers in the two nations
+    # survive, so the orderkey exchange carries ~8% of the rows
+    s2 = s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    # no broadcast hint on s2/c2: under the size threshold Catalyst
+    # broadcasts them anyway; at cluster scale (SF-proportional dims)
+    # AQE picks shuffle join instead of forcing an OOM-sized broadcast
+    li2 = li.join(s2, li.l_suppkey == s2.s_suppkey).select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "supp_nation"
+    )
+    o2 = o.join(c2, o.o_custkey == c2.c_custkey).select(
+        "o_orderkey", "cust_nation"
     )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")

@@ -121,6 +121,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     timestamp[ns], which Spark reads only via ``nanosAsLong``; both
     legacy shapes normalize to the same µs TIMESTAMP column.
 
+    Analyzed reads are memoized per (session, sf_dir, table): re-reading
+    parquet footers costs ~0.1 s per call on local runs, which dominates
+    short queries when a catalog sweep reads the same 10 tables hundreds
+    of times. The cache holds lazy *plans* (no data is pinned), keyed on
+    the session object itself, so a driver-provided bare session and a
+    tuned test session never share entries. Test data is immutable
+    within a round, so staleness is not a concern; a caller reading a
+    path it is actively rewriting should bypass with
+    ``spark.read.parquet`` directly.
+
     .. warning:: SIDE EFFECT: reading ``events`` sets
        ``spark.sql.session.timeZone=UTC`` (and the nanos fallback) on the
        *caller's* session, and the setting persists after this call.
@@ -132,6 +142,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
        should use a separate session (``spark.newSession()``).
     """
     from pyspark.sql import functions as F
+
+    cache = getattr(spark, "_dsp_read_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._dsp_read_cache = cache
+        except AttributeError:  # exotic session proxy; skip memoization
+            cache = None
+    key = (os.path.abspath(sf_dir), name)
+    if cache is not None and key in cache:
+        return cache[key]
 
     if name == "events":
         # Defensive: a caller-provided session (the correctness driver
@@ -152,4 +173,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if cache is not None:
+        cache[key] = df
     return df
