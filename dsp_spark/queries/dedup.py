@@ -194,17 +194,43 @@ def dedup_survivors(spark, sf_dir):
 
 @register(
     "approx_distinct_docs_hll",
-    None,
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS exact_distinct,
+           ABS(approx_count_distinct(md5(text))
+               - COUNT(DISTINCT md5(text)))
+             <= 0.05 * COUNT(DISTINCT md5(text)) AS within_tol
+    FROM documents GROUP BY source
+    """,
     doc="HyperLogLog++ distinct-content estimate per source — the sketch "
-    "path for 100 TB cardinality (no exact shuffle of hashes). No SQL "
-    "oracle: DuckDB's HLL implementation yields different estimates; "
-    "accuracy is asserted against exact counts in tests instead.",
+    "path for 100 TB cardinality (no exact shuffle of hashes). The raw "
+    "estimate differs per HLL implementation, so the compared output is "
+    "tolerance-banded: each engine runs its OWN sketch and reports "
+    "whether it landed within 5%% of the exact NDV (plus the exact "
+    "numbers, which must match bit-for-bit). The sketch stays in the "
+    "compared plan — a broken HLL fails the within_tol column.",
 )
 def approx_distinct_docs_hll(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.approx_count_distinct(F.md5("text"), rsd=0.02).alias("approx_distinct"),
-        F.count("*").alias("n_docs"),
+    exact = F.countDistinct(F.md5("text"))
+    approx = F.approx_count_distinct(F.md5("text"), rsd=0.02)
+    return (
+        d.groupBy("source")
+        .agg(
+            approx.alias("approx"),
+            exact.alias("exact_distinct"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_tol"),
+        )
     )
 
 

@@ -96,6 +96,22 @@ def memory_rows_sink(store: list) -> SinkFn:
     return write
 
 
+def kafka_writer_options(
+    bootstrap: str, default_topic: str | None = None
+) -> dict[str, str]:
+    """Producer config -> spark-sql-kafka writer options (pure mapping,
+    contract-locked in tests/test_kafka_contract.py). The row-level
+    `topic` column wins over the option when both are present, which is
+    how per-row dynamic topics work (reference kafka.hpp:613-625)."""
+    out = {
+        "kafka.bootstrap.servers": bootstrap,
+        "includeHeaders": "true",
+    }
+    if default_topic is not None:
+        out["topic"] = default_topic
+    return out
+
+
 def kafka_sink(bootstrap: str, default_topic: str | None = None) -> SinkFn:
     """Kafka producer sink (reference K1: kafka.hpp:557-792); per-row
     dynamic topic via the envelope's `topic` column, headers from
@@ -103,14 +119,9 @@ def kafka_sink(bootstrap: str, default_topic: str | None = None) -> SinkFn:
     from dsp_spark.message import to_kafka
 
     def write(batch: DataFrame, _epoch: int) -> None:
-        out = to_kafka(batch)
-        writer = (
-            out.write.format("kafka")
-            .option("kafka.bootstrap.servers", bootstrap)
-            .option("includeHeaders", "true")
-        )
-        if default_topic is not None:
-            writer = writer.option("topic", default_topic)
+        writer = to_kafka(batch).write.format("kafka")
+        for key, val in kafka_writer_options(bootstrap, default_topic).items():
+            writer = writer.option(key, val)
         writer.save()
 
     return write

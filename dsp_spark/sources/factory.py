@@ -37,6 +37,29 @@ def build_stream(spark: SparkSession, cfg: SourceConfig) -> DataFrame:
     raise ValueError(f"unknown southbound type {cfg.type!r}")
 
 
+def kafka_reader_options(opts: dict) -> dict[str, str]:
+    """Reference consumer config -> spark-sql-kafka reader options
+    (kafka.hpp:801-925 bootstrap/topics/offset/batchSize/groupid).
+
+    Pure mapping so the contract is testable without the connector jar
+    or a broker: tests/test_kafka_contract.py locks every key/value
+    down; a rename here fails CI before a deployment ever sees it.
+    """
+    k = opts.get("kafka", opts)
+    out = {
+        "kafka.bootstrap.servers": k.get("bootstrap", "localhost:9092"),
+        "subscribe": ",".join(k.get("topics", [])),
+        "startingOffsets": k.get("offset", "latest"),
+        # headers ride along so properties (the envelope map) survive
+        "includeHeaders": "true",
+    }
+    if "batchSize" in k:
+        out["maxOffsetsPerTrigger"] = str(int(k["batchSize"]))
+    if "groupid" in k:
+        out["kafka.group.id"] = k["groupid"]
+    return out
+
+
 def _kafka_stream(spark: SparkSession, opts: dict) -> DataFrame:
     """Kafka consumer source (reference: kafka.hpp:801-925).
 
@@ -44,18 +67,9 @@ def _kafka_stream(spark: SparkSession, opts: dict) -> DataFrame:
     must be on the classpath (not in the test container — config is
     validated here, connection fails lazily like any Spark source).
     """
-    k = opts.get("kafka", opts)
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", k.get("bootstrap", "localhost:9092"))
-        .option("subscribe", ",".join(k.get("topics", [])))
-        .option("startingOffsets", k.get("offset", "latest"))
-        .option("includeHeaders", "true")
-    )
-    if "batchSize" in k:
-        reader = reader.option("maxOffsetsPerTrigger", int(k["batchSize"]))
-    if "groupid" in k:
-        reader = reader.option("kafka.group.id", k["groupid"])
+    reader = spark.readStream.format("kafka")
+    for key, val in kafka_reader_options(opts).items():
+        reader = reader.option(key, val)
     return from_kafka(reader.load())
 
 
