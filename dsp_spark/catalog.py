@@ -47,17 +47,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # The round driver checks AT MOST the first ~50 entries of queries(),
 # in iteration order, against the DuckDB oracle. Registration order is
 # import order, which froze the round-1 entries into the window and left
-# everything added later unverified. This list rotates per round so every
-# entry eventually gets a driver correctness row:
-#   r1+r2 checked 54 entries (all TPC-H/relational/window);
-#   r3 leads with the 50 highest-priority never-checked entries —
-#   reference-core dataflow parity first (router/telemetry/relay — the
-#   engine's raison d'être, SURVEY §3.1-3.2), then the LLM-pipeline
-#   layers (dedup, similarity, text, sampling/corpus);
-#   r4 should lead with the 15 still-unchecked (events_*, multimodal_*,
-#   doc_chunk/pack, doc_length_histogram) then rotate oldest-checked-first.
-# Names not in this list follow in registration order. Unknown names are
-# ignored (defensive: a renamed entry must not break iteration).
+# everything added later unverified. Ordering is therefore rotated so
+# every entry eventually gets a driver correctness row:
+#
+# 1. Entries with no row in any committed CORRECTNESS_r*.json come
+#    first (auto-detected — adding a new entry automatically puts it in
+#    the next round's window), ranked by the priority list below, then
+#    registration order.
+# 2. Already-checked entries follow, least-recently-checked first, so
+#    old rows get re-verified over time.
+#
+# The static list below is the within-group priority: reference-core
+# dataflow parity first (router/telemetry/relay — the engine's raison
+# d'être, SURVEY §3.1-3.2), then the LLM-pipeline layers. Unknown names
+# are ignored (a renamed entry must not break iteration).
 _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     # reference-core parity (router.hpp, telemetry frames, k2k relay)
     "router_multicast_events",
@@ -117,16 +120,48 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
 )
 
 
+def _driver_checked_rounds() -> dict[str, int]:
+    """name -> latest round with a driver correctness row, parsed from
+    the committed CORRECTNESS_r*.json artifacts next to the package.
+    Empty on any problem — ordering then falls back to the static list."""
+    import glob
+    import json
+    import os
+    import re
+
+    out: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            with open(path) as f:
+                data = json.load(f)
+            if not isinstance(data, dict):
+                continue
+            for name in data:
+                out[name] = max(out.get(name, 0), rnd)
+    except Exception:
+        return {}
+    return out
+
+
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
-    out: dict[str, CatalogEntry] = {}
-    for name in _DRIVER_WINDOW_FIRST:
-        if name in _REGISTRY:
-            out[name] = _REGISTRY[name]
-    for name, e in _REGISTRY.items():
-        if name not in out:
-            out[name] = e
-    return out
+    checked = _driver_checked_rounds()
+    prio = {name: i for i, name in enumerate(_DRIVER_WINDOW_FIRST)}
+    reg = {name: i for i, name in enumerate(_REGISTRY)}
+    names = sorted(
+        _REGISTRY,
+        key=lambda n: (
+            checked.get(n, 0),  # never-checked (0) first, then oldest round
+            prio.get(n, len(prio)),  # priority list within a group
+            reg[n],  # stable registration order last
+        ),
+    )
+    return {n: _REGISTRY[n] for n in names}
 
 
 def queries() -> dict[str, QueryFn]:

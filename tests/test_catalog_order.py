@@ -1,0 +1,47 @@
+"""Catalog iteration order drives the round driver's 50-query
+correctness window: never-driver-checked entries must come first."""
+
+from __future__ import annotations
+
+from dsp_spark import catalog
+
+
+def test_never_checked_entries_lead(monkeypatch):
+    names = list(catalog.entries())
+    some_checked = {n: 2 for n in names[10:]}  # pretend the tail is checked
+    monkeypatch.setattr(catalog, "_driver_checked_rounds", lambda: some_checked)
+    ordered = list(catalog.entries())
+    assert ordered[:10] == names[:10] or set(ordered[:10]) == set(names[:10])
+    # every unchecked entry precedes every checked one
+    pos = {n: i for i, n in enumerate(ordered)}
+    assert max(pos[n] for n in names[:10]) < min(pos[n] for n in some_checked)
+
+
+def test_checked_entries_ordered_oldest_round_first(monkeypatch):
+    names = list(catalog.entries())
+    rounds = {n: (1 if i % 2 else 3) for i, n in enumerate(names)}
+    monkeypatch.setattr(catalog, "_driver_checked_rounds", lambda: rounds)
+    ordered = list(catalog.entries())
+    seen_r3 = False
+    for n in ordered:
+        if rounds[n] == 3:
+            seen_r3 = True
+        else:
+            assert not seen_r3, "round-1-checked entry after a round-3 one"
+
+
+def test_order_survives_missing_artifacts(monkeypatch):
+    monkeypatch.setattr(catalog, "_driver_checked_rounds", lambda: {})
+    ordered = list(catalog.entries())
+    assert len(ordered) == len(set(ordered))
+    # static priority list leads when no artifacts exist
+    assert ordered[0] == catalog._DRIVER_WINDOW_FIRST[0]
+
+
+def test_queries_and_oracles_consistent():
+    qs = catalog.queries()
+    os_ = catalog.oracle_sql()
+    assert set(os_) <= set(qs)
+    # iteration order identical between the two driver entry points
+    common = [n for n in qs if n in os_]
+    assert common == list(os_)

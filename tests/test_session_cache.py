@@ -1,0 +1,35 @@
+"""read_table memoization: analyzed plans are reused within a session,
+never across sessions, and never across sf dirs."""
+
+from __future__ import annotations
+
+from dsp_spark.session import read_table
+
+
+def test_same_session_same_table_is_cached(spark, sf_dir):
+    a = read_table(spark, sf_dir, "region")
+    b = read_table(spark, sf_dir, "region")
+    assert a is b
+
+
+def test_cache_keys_on_sf_dir(spark, sf_dir):
+    a = read_table(spark, sf_dir, "region")
+    b = read_table(spark, "/root/testdata/sf0.01", "region")
+    assert a is not b
+
+
+def test_cache_not_shared_across_sessions(spark, sf_dir):
+    a = read_table(spark, sf_dir, "region")
+    other = spark.newSession()
+    b = read_table(other, sf_dir, "region")
+    assert a is not b
+    # and the cached plan still evaluates on its own session
+    assert b.count() == a.count()
+
+
+def test_cached_events_read_still_normalized(spark, sf_dir):
+    # second (cached) read keeps the ts normalization applied on first read
+    a = read_table(spark, sf_dir, "events")
+    b = read_table(spark, sf_dir, "events")
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    assert a is b
