@@ -364,3 +364,94 @@ def corpus_snapshot_diff(spark, sf_dir):
         .groupBy("status")
         .agg(F.count("*").alias("n_docs"), F.min("did").alias("min_doc_id"))
     )
+
+
+@register(
+    "sample_source_cap",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= 40
+    """,
+    doc="Per-source frequency capping: keep at most N=40 documents per "
+    "source, selected by content-addressed order (md5 of the id), the "
+    "standard guard against one crawl domain dominating a training "
+    "mixture. Deterministic under repartition — no RNG, no sort of the "
+    "full corpus: one shuffle on source, a bounded per-group rank, and "
+    "the md5 order means adding documents elsewhere never changes which "
+    "of a source's documents survive. At 100 TB the rank never "
+    "materializes more than each group's window state; a hot source "
+    "(every web crawl has one) stays a single skewed group only until "
+    "AQE splits the preceding exchange — and the output per group is "
+    "capped at N regardless.",
+)
+def sample_source_cap(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
+    "source_lang_mix",
+    """
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, SUM(n) AS n_total, COUNT(*) AS n_langs,
+               MAX(n) AS n_top
+        FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(tot.n_total AS BIGINT) AS n_docs,
+           CAST(tot.n_langs AS BIGINT) AS n_langs,
+           round(tot.n_top * 1.0 / tot.n_total, 6) AS top_lang_share,
+           round(SUM(-1.0 * (c.n * 1.0 / tot.n_total)
+                     * ln(c.n * 1.0 / tot.n_total)), 6) AS lang_entropy
+    FROM c JOIN tot ON c.source = tot.source
+    GROUP BY c.source, tot.n_total, tot.n_langs, tot.n_top
+    """,
+    doc="Language-mix audit per source: doc counts, distinct languages, "
+    "dominant-language share, and Shannon entropy of the language "
+    "distribution — the mixture diagnostic that decides whether a "
+    "source needs language-stratified sampling before joining the "
+    "training mix. Aggregates on (source, lang) first, so the entropy "
+    "sum runs over a tiny table (|sources| x |langs|), never raw "
+    "documents; entropy summands are per-language-exact and rounded "
+    "once at the end.",
+)
+def source_lang_mix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").alias("n_langs"),
+        F.max("n").alias("n_top"),
+    )
+    p = F.col("n") / F.col("n_total")
+    return (
+        c.join(tot, "source")
+        .groupBy("source", "n_total", "n_langs", "n_top")
+        .agg(F.round(F.sum(-p * F.log(p)), 6).alias("lang_entropy"))
+        .select(
+            "source",
+            F.col("n_total").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.round(F.col("n_top") / F.col("n_total"), 6).alias("top_lang_share"),
+            "lang_entropy",
+        )
+    )

