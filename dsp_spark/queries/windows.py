@@ -180,6 +180,103 @@ def asof_join_event_order(spark, sf_dir):
     )
 
 
+def _asof_click_purchase(spark, sf_dir, direction):
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        left_on="user_id",
+        right_on="p_user",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["p_event_id", "p_ts"],
+        tie_break="p_event_id",
+        direction=direction,
+    )
+    return joined.filter(F.col("p_event_id").isNotNull()).select(
+        "event_id", "user_id", "ts", "p_event_id", "p_ts"
+    )
+
+
+@register(
+    "asof_join_forward_purchase",
+    """
+    SELECT event_id, user_id, ts, p_event_id, p_ts FROM (
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS p_event_id, p.ts AS p_ts,
+               ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                  ORDER BY p.ts ASC, p.event_id DESC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ) WHERE rn = 1
+    """,
+    doc="As-of FORWARD join (kdb/merge_asof direction='forward'): the "
+    "earliest purchase at or after each click per user — forward "
+    "attribution. Same union+running-fill merge as backward over the "
+    "reversed sort: one shuffle, no row explosion; the oracle's "
+    "theta-join form is the O(n*m) shape this operator exists to "
+    "avoid. Ties on ts resolve to the max event_id in every direction.",
+)
+def asof_join_forward_purchase(spark, sf_dir):
+    return _asof_click_purchase(spark, sf_dir, "forward")
+
+
+@register(
+    "asof_join_nearest_purchase",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+        SELECT event_id, p_event_id, p_ts FROM (
+            SELECT c.event_id, p.event_id AS p_event_id, p.ts AS p_ts,
+                   ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+            FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+        ) WHERE rn = 1
+    ), f AS (
+        SELECT event_id, p_event_id, p_ts FROM (
+            SELECT c.event_id, p.event_id AS p_event_id, p.ts AS p_ts,
+                   ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                      ORDER BY p.ts ASC, p.event_id DESC) AS rn
+            FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+        ) WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN f.p_event_id IS NULL THEN b.p_event_id
+                WHEN b.p_event_id IS NULL THEN f.p_event_id
+                WHEN epoch_us(c.ts) - epoch_us(b.p_ts)
+                     <= epoch_us(f.p_ts) - epoch_us(c.ts)
+                THEN b.p_event_id ELSE f.p_event_id END AS p_event_id,
+           CASE WHEN f.p_event_id IS NULL THEN b.p_ts
+                WHEN b.p_event_id IS NULL THEN f.p_ts
+                WHEN epoch_us(c.ts) - epoch_us(b.p_ts)
+                     <= epoch_us(f.p_ts) - epoch_us(c.ts)
+                THEN b.p_ts ELSE f.p_ts END AS p_ts
+    FROM c
+    LEFT JOIN b ON b.event_id = c.event_id
+    LEFT JOIN f ON f.event_id = c.event_id
+    WHERE COALESCE(b.p_event_id, f.p_event_id) IS NOT NULL
+    """,
+    doc="As-of NEAREST join (merge_asof direction='nearest'): the "
+    "purchase closest in time to each click, ties resolving backward. "
+    "Both directional fills run over ONE union — Spark shuffles the "
+    "click+purchase rows once and sorts the partition twice "
+    "(plan-asserted single exchange in tests/test_asof_directions.py); distance "
+    "compares exact integer microseconds, never float time.",
+)
+def asof_join_nearest_purchase(spark, sf_dir):
+    return _asof_click_purchase(spark, sf_dir, "nearest")
+
+
 @register(
     "event_transitions",
     """
