@@ -121,8 +121,11 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
 
 
 def _driver_checked_rounds() -> dict[str, int]:
-    """name -> latest round with a driver correctness row, parsed from
-    the committed CORRECTNESS_r*.json artifacts next to the package.
+    """name -> latest round with a PASSING driver correctness row,
+    parsed from the committed CORRECTNESS_r*.json artifacts next to the
+    package. A failed row (error, or any explicit mismatch) does NOT
+    count as checked — the entry must rotate back into the window so
+    the fix gets re-verified, not buried at the end of the iteration.
     Empty on any problem — ordering then falls back to the static list."""
     import glob
     import json
@@ -141,7 +144,14 @@ def _driver_checked_rounds() -> dict[str, int]:
                 data = json.load(f)
             if not isinstance(data, dict):
                 continue
-            for name in data:
+            for name, rec in data.items():
+                if isinstance(rec, dict):
+                    failed = rec.get("err") is not None or any(
+                        rec.get(k) is False
+                        for k in ("rows_match", "schema_match", "hash_match")
+                    )
+                    if failed:
+                        continue
                 out[name] = max(out.get(name, 0), rnd)
     except Exception:
         return {}

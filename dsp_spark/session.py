@@ -143,6 +143,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    if name == "events":
+        # Defensive: a caller-provided session (the correctness driver
+        # builds its own) may have a non-UTC zone or lack the nanos
+        # fallback. Both confs are runtime-settable. This re-pin runs
+        # on EVERY call — including cache hits below — because the
+        # cached plan is lazy: it resolves the NTZ cast under whatever
+        # zone the session has at EXECUTION time, and a caller may have
+        # flipped the zone since the plan was first analyzed.
+        for k, v in (
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass
+
     cache = getattr(spark, "_dsp_read_cache", None)
     if cache is None:
         cache = {}
@@ -153,19 +170,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     key = (os.path.abspath(sf_dir), name)
     if cache is not None and key in cache:
         return cache[key]
-
-    if name == "events":
-        # Defensive: a caller-provided session (the correctness driver
-        # builds its own) may have a non-UTC zone or lack the nanos
-        # fallback. Both confs are runtime-settable.
-        for k, v in (
-            ("spark.sql.session.timeZone", "UTC"),
-            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ):
-            try:
-                spark.conf.set(k, v)
-            except Exception:
-                pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

@@ -38,6 +38,9 @@ _USER_TIME = 12
 _SYS_TIME = 13
 _RSS = 22
 
+# process-wide gauge singletons (prometheus registries are global)
+_PROM_GAUGES: dict | None = None
+
 
 def parse_stat_file(data: str) -> ProcessStats:
     """Parse a raw /proc/<pid>/stat line (reference: sys.hpp:126-141).
@@ -57,7 +60,13 @@ def parse_stat_file(data: str) -> ProcessStats:
 
 @dataclass
 class SystemInfo:
-    """reference: sys.hpp system_info (143-175)."""
+    """reference: sys.hpp system_info (143-175).
+
+    Unlike the reference (whose stat loop runs on a fixed 1 s tick, so
+    the raw CPU-seconds delta IS a percentage), refresh() here can be
+    called at any cadence — CPU%% is therefore normalized by the
+    monotonic wall time elapsed since the previous refresh. The first
+    refresh reports 0 (no interval to average over)."""
 
     pid: int = field(default_factory=os.getpid)
     clock_ticks: int = field(default_factory=lambda: os.sysconf("SC_CLK_TCK"))
@@ -65,18 +74,26 @@ class SystemInfo:
 
     def __post_init__(self) -> None:
         self._stats = ProcessStats()
-        self._prev = ProcessStats()
+        self._prev = None
+        self._prev_at = None
 
     def refresh(self) -> None:
+        import time
+
         with open(f"/proc/{self.pid}/stat") as f:
             raw = parse_stat_file(f.read())
+        now = time.monotonic()
         raw.user_time /= self.clock_ticks
         raw.sys_time /= self.clock_ticks
         raw.rss *= self.page_size / 1e6  # MByte, like the reference
-        cpu_prev = self._prev.user_time + self._prev.sys_time
-        cpu_now = raw.user_time + raw.sys_time
-        raw.cpu = (cpu_now - cpu_prev) * 100.0
+        if self._prev is not None and now > self._prev_at:
+            cpu_prev = self._prev.user_time + self._prev.sys_time
+            cpu_now = raw.user_time + raw.sys_time
+            raw.cpu = (cpu_now - cpu_prev) / (now - self._prev_at) * 100.0
+        else:
+            raw.cpu = 0.0
         self._prev = raw
+        self._prev_at = now
         self._stats = raw
 
     def stats(self) -> ProcessStats:
@@ -85,16 +102,22 @@ class SystemInfo:
     def export_prometheus(self) -> None:
         """Register process gauges with prometheus_client when present
         (reference exposes them on the same scrape endpoint as the
-        message counters, interfaces.hpp:205-216)."""
+        message counters, interfaces.hpp:205-216). Gauges are created
+        once per process and shared — prometheus_client's default
+        registry rejects duplicate timeseries, so a second SystemInfo
+        (or a re-export after restart) must reuse them, not re-create."""
         try:
             import prometheus_client as prom
         except ImportError:  # container has no prometheus_client: no-op
             self._prom = None
             return
-        self._prom = {
-            name: prom.Gauge(f"dsp_process_{name}", f"dsp_spark process {name}")
-            for name in ("cpu", "user_time", "sys_time", "rss_mb")
-        }
+        global _PROM_GAUGES
+        if _PROM_GAUGES is None:
+            _PROM_GAUGES = {
+                name: prom.Gauge(f"dsp_process_{name}", f"dsp_spark process {name}")
+                for name in ("cpu", "user_time", "sys_time", "rss_mb")
+            }
+        self._prom = _PROM_GAUGES
 
     def publish(self) -> None:
         """refresh + push into the registered gauges (if any)."""

@@ -30,6 +30,31 @@ def test_checked_entries_ordered_oldest_round_first(monkeypatch):
             assert not seen_r3, "round-1-checked entry after a round-3 one"
 
 
+def test_failed_rows_do_not_count_as_checked(tmp_path, monkeypatch):
+    """An entry whose driver row failed must rotate back into the
+    window (sort as never-checked), not hide at the end as 'recent'."""
+    import json
+    import os
+
+    import dsp_spark.catalog as cat
+
+    art = {
+        "good_entry": {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "err": None},
+        "hash_fail": {"rows_match": True, "schema_match": True,
+                      "hash_match": False, "err": None},
+        "errored": {"rows_match": None, "schema_match": None,
+                    "hash_match": None, "err": "AnalysisException: boom"},
+    }
+    path = tmp_path / "CORRECTNESS_r07.json"
+    path.write_text(json.dumps(art))
+    monkeypatch.setattr("glob.glob", lambda pat: [str(path)])
+    rounds = cat._driver_checked_rounds()
+    assert rounds.get("good_entry") == 7
+    assert "hash_fail" not in rounds
+    assert "errored" not in rounds
+
+
 def test_order_survives_missing_artifacts(monkeypatch):
     monkeypatch.setattr(catalog, "_driver_checked_rounds", lambda: {})
     ordered = list(catalog.entries())

@@ -37,15 +37,28 @@ def test_refresh_normalizes_units():
 def test_cpu_percent_is_delta_based():
     info = SystemInfo()
     info.refresh()
+    # FIRST refresh must report 0, not cumulative-CPU-since-start x100
+    assert info.stats().cpu == 0.0
     # burn some CPU so the second refresh sees a positive delta
     t0 = time.time()
     while time.time() - t0 < 0.15:
         _ = sum(i * i for i in range(1000))
     info.refresh()
-    assert info.stats().cpu >= 0.0
-    # a third refresh right away has (almost) no new cpu time
-    info.refresh()
-    assert info.stats().cpu < 50.0
+    # wall-time normalized: one busy thread ~100%, bounded by core count
+    import os
+
+    assert 0.0 <= info.stats().cpu <= 100.0 * (os.cpu_count() or 1) + 50
+
+
+def test_export_prometheus_idempotent():
+    """Repeat export (or a second instance) must not raise on duplicate
+    gauge registration when prometheus_client is installed."""
+    a, b = SystemInfo(), SystemInfo()
+    a.export_prometheus()
+    a.export_prometheus()
+    b.export_prometheus()
+    a.publish()
+    b.publish()
 
 
 def test_publish_without_prometheus_is_noop():

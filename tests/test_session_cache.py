@@ -27,6 +27,19 @@ def test_cache_not_shared_across_sessions(spark, sf_dir):
     assert b.count() == a.count()
 
 
+def test_cache_hit_repins_session_zone(spark, sf_dir):
+    """The cached events plan is lazy — it resolves the NTZ cast under
+    the session zone at EXECUTION time, so every read_table call must
+    re-pin UTC even when returning a cached plan."""
+    read_table(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        read_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_cached_events_read_still_normalized(spark, sf_dir):
     # second (cached) read keeps the ts normalization applied on first read
     a = read_table(spark, sf_dir, "events")

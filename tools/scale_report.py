@@ -59,6 +59,8 @@ def main() -> int:
         )
     if n_cartesian:
         print(f"ERROR: {n_cartesian} Cartesian products in plans", file=sys.stderr)
+        spark.stop()
+        return 1
     print(f"wrote {out}: {len(rows)} entries")
     spark.stop()
     return 0
