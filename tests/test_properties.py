@@ -257,3 +257,60 @@ def test_connected_components_matches_union_find(spark_mod, data):
         for r in connected_components(nodes_df, edges_df, "id").collect()
     )
     assert got == _cc_model(n, edges)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_directions_match_model(spark_mod, direction, left, right):
+    """All three directions against a brute-force python model:
+    backward = max ts' <= ts, forward = min ts' >= ts, nearest = closer
+    of the two with ties resolving backward (right deduped on (k, ts)
+    so there is a unique winner without tie_break)."""
+    from dsp_spark.operators.asof import asof_join
+
+    spark = spark_mod
+    right = list({(k, ts): (k, ts, v) for k, ts, v in right}.values())
+    by_k: dict = {}
+    for k, ts, v in right:
+        by_k.setdefault(k, []).append((ts, v))
+
+    def model(k, ts):
+        cands = by_k.get(k, [])
+        back = max(((t, v) for t, v in cands if t <= ts), default=None)
+        fwd = min(((t, v) for t, v in cands if t >= ts), default=None)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            pick = fwd
+        else:
+            if back is None or fwd is None:
+                pick = back or fwd
+            else:
+                pick = back if (ts - back[0]) <= (fwd[0] - ts) else fwd
+        return None if pick is None else pick[1]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "lid int, k int, lts int"
+    )
+    rdf = spark.createDataFrame(right, "k int, rts int, v int")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            ldf, rdf, left_on="k", right_on="k", left_ts="lts", right_ts="rts",
+            right_payload=["v"], direction=direction,
+        ).collect()
+    }
+    expected = {i: model(k, ts) for i, (k, ts) in enumerate(left)}
+    assert got == expected
