@@ -205,6 +205,7 @@ def _load_all() -> None:
         chunking,
         text,
         streaming_parity,
+        quality,
     )
 
     _LOADED = True

@@ -1,0 +1,279 @@
+"""Data-quality / constraint-audit catalog entries (Deequ-style).
+
+A 100 TB training-data pipeline runs these BEFORE training ever sees the
+data: completeness, uniqueness, referential integrity, freshness, and
+volume-shift monitors. Each is a one-or-two-scan aggregate whose output
+is a small per-group report — the shape a scheduler alerts on.
+
+The reference has no declarative DQ layer (its closest analogue is the
+per-service drop/error accounting, svc/main.cpp:179-199 + router drop
+counters); these generalize that "count what's wrong, cheaply, inline"
+idea to batch corpus audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.queries._util import t
+
+# Allowed language codes for the documents table; anything else counts
+# as a constraint violation (ISO-639-1 whitelist a curation run pins).
+_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+@register(
+    "dq_documents_audit",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+           CAST(SUM(CASE WHEN lang IN {_LANGS!r} THEN 0 ELSE 1 END)
+                AS BIGINT) AS lang_violations,
+           CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chars_mismatch,
+           CAST(SUM(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS short_docs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Deequ-style completeness/validity audit in ONE scan: empty "
+    "text, out-of-whitelist lang, n_chars/text disagreement, too-short "
+    "docs — all as conditional sums inside a single per-source "
+    "aggregate, so the 100 TB audit costs exactly one pass with "
+    "map-side partial aggregation and a 20-row shuffle.",
+)
+def dq_documents_audit(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    c = lambda pred: F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        c(F.col("text").isNull() | (F.length("text") == 0)).alias("empty_text"),
+        c(~F.col("lang").isin(*_LANGS)).alias("lang_violations"),
+        c(F.col("n_chars") != F.length("text")).alias("n_chars_mismatch"),
+        c(F.col("n_chars") < 50).alias("short_docs"),
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    doc="Foreign-key orphan audit: LEFT JOIN + conditional count per "
+    "constraint. Dimension sides (customer/part/supplier) broadcast, so "
+    "three of the four checks are shuffle-free map joins over the fact "
+    "scan; lineitem->orders is the one genuine fact-fact shuffle. "
+    "Partial aggregation collapses each branch to one row before the "
+    "final union.",
+)
+def dq_referential_integrity(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+
+    def check(fact, dim, fk, pk, name):
+        d = dim.select(pk)
+        j = fact.join(F.broadcast(d), fact[fk] == d[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_checked"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("fk", "n_checked", "n_orphans")
+
+    # lineitem->orders: orders is fact-sized; do NOT broadcast — a real
+    # shuffle join, with the count collapsing map-side after it.
+    okeys = orders.select("o_orderkey")
+    lo = lineitem.join(
+        okeys, lineitem["l_orderkey"] == okeys["o_orderkey"], "left"
+    ).agg(
+        F.lit("lineitem.l_orderkey->orders").alias("fk"),
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphans"),
+    ).select("fk", "n_checked", "n_orphans")
+
+    return (
+        check(orders, t(spark, sf_dir, "customer"), "o_custkey", "c_custkey",
+              "orders.o_custkey->customer")
+        .unionByName(lo)
+        .unionByName(check(lineitem, t(spark, sf_dir, "part"), "l_partkey",
+                           "p_partkey", "lineitem.l_partkey->part"))
+        .unionByName(check(lineitem, t(spark, sf_dir, "supplier"), "l_suppkey",
+                           "s_suppkey", "lineitem.l_suppkey->supplier"))
+    )
+
+
+@register(
+    "dq_key_uniqueness",
+    """
+    SELECT 'orders' AS table_name, CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_keys,
+           CAST(MAX(c) AS BIGINT) AS max_multiplicity
+    FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'events', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(c) AS BIGINT)
+    FROM (SELECT event_id, COUNT(*) AS c FROM events GROUP BY event_id)
+    UNION ALL
+    SELECT 'documents', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(c) AS BIGINT)
+    FROM (SELECT doc_id, COUNT(*) AS c FROM documents GROUP BY doc_id)
+    UNION ALL
+    SELECT 'lineitem', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MAX(c) AS BIGINT)
+    FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+          FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    """,
+    doc="Primary-key uniqueness audit across four tables (composite key "
+    "for lineitem): per-key count then a one-row fold per table. Each "
+    "branch is a hash aggregate on the key only — payload columns are "
+    "pruned at the scan, and the second-level fold is map-side.",
+)
+def dq_key_uniqueness(spark, sf_dir):
+    def per_key(df, keys, name):
+        g = df.groupBy(*keys).agg(F.count("*").alias("c"))
+        return g.agg(
+            F.lit(name).alias("table_name"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_keys"),
+            F.max("c").cast("bigint").alias("max_multiplicity"),
+        ).select("table_name", "n_rows", "n_keys", "n_dup_keys",
+                 "max_multiplicity")
+
+    return (
+        per_key(t(spark, sf_dir, "orders"), ["o_orderkey"], "orders")
+        .unionByName(per_key(t(spark, sf_dir, "events"), ["event_id"], "events"))
+        .unionByName(per_key(t(spark, sf_dir, "documents"), ["doc_id"],
+                             "documents"))
+        .unionByName(per_key(t(spark, sf_dir, "lineitem"),
+                             ["l_orderkey", "l_linenumber"], "lineitem"))
+    )
+
+
+@register(
+    "dq_events_freshness",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(FLOOR((EXTRACT(EPOCH FROM MAX(MAX(ts)) OVER ())
+                       - EXTRACT(EPOCH FROM MAX(ts))) / 60)
+                AS BIGINT) AS minutes_behind
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Freshness monitor: per-stream high watermark vs the global "
+    "high watermark, in whole minutes. One aggregate pass; the window "
+    "max runs on the already-aggregated handful of rows. Epoch "
+    "arithmetic keeps it timezone-independent across engines. This is "
+    "the batch twin of the streaming lateness audit "
+    "(events_lateness_audit).",
+)
+def dq_events_freshness(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("mx"),
+    )
+    # global watermark via an empty-partition window on the tiny
+    # aggregated table (a handful of rows — not a scale concern)
+    g = F.max("mx").over(W.partitionBy())
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.floor(
+            (F.unix_timestamp(g) - F.unix_timestamp("mx")) / 60
+        ).cast("bigint").alias("minutes_behind"),
+    )
+
+
+@register(
+    "dq_volume_shift_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), trail AS (
+      SELECT day, n,
+             SUM(n) OVER (ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail_sum,
+             COUNT(n) OVER (ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail_days
+      FROM daily
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n AS DOUBLE) * trail_days / trail_sum, 4)
+             AS vs_trailing,
+           CAST(n AS DOUBLE) * trail_days > 2.0 * trail_sum
+             OR 2.0 * CAST(n AS DOUBLE) * trail_days < trail_sum
+             AS shifted
+    FROM trail
+    WHERE trail_days > 0
+    """,
+    doc="Volume-shift monitor: each day's event count vs its trailing "
+    "7-day average; flags >2x swings in either direction (the pipeline-"
+    "broke / upstream-double-published alarm). The window runs on the "
+    "30-row daily aggregate, never raw events; the ratio is computed "
+    "from exact integer sums so both engines emit identical doubles.",
+)
+def dq_volume_shift_daily(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("n").over(w).alias("trail_days"),
+    )
+    nd = F.col("n").cast("double")
+    return trail.where(F.col("trail_days") > 0).select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(nd * F.col("trail_days") / F.col("trail_sum"), 4).alias(
+            "vs_trailing"
+        ),
+        (
+            (nd * F.col("trail_days") > 2.0 * F.col("trail_sum"))
+            | (2.0 * nd * F.col("trail_days") < F.col("trail_sum"))
+        ).alias("shifted"),
+    )
