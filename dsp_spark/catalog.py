@@ -206,6 +206,7 @@ def _load_all() -> None:
         text,
         streaming_parity,
         quality,
+        cdc,
     )
 
     _LOADED = True

@@ -1,0 +1,168 @@
+"""Change-data-capture / dataset-versioning catalog entries.
+
+SCD2 interval compaction and MERGE-style upsert are the batch halves of
+a CDC pipeline: the first turns an append-only change stream into
+validity intervals (the dimension-table shape), the second folds a
+delta batch into a base snapshot (what `foreachBatch` + Delta MERGE
+does on a lakehouse — here expressed as a co-partitioned full-outer
+join so the semantics are engine-checkable).
+
+The reference's closest analogue is the K2K relay's at-least-once
+delivery plus downstream compaction (kafka.hpp:557-925); these entries
+are the compaction. Related: `corpus_snapshot_diff` (two-snapshot diff)
+and `latest_event_per_user` (CDC latest-state view).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.queries._util import t
+
+
+@register(
+    "scd2_user_state_intervals",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ), intervals AS (
+      SELECT user_id, event_type AS state, run_id,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from) IS NULL
+             AS is_current,
+           n_events
+    FROM intervals
+    """,
+    doc="SCD type-2 build from an append-only change stream: collapse "
+    "consecutive identical per-user states into [valid_from, valid_to) "
+    "intervals with an is_current flag (gaps-and-islands run-length "
+    "encoding). Every window and the run aggregate share the user_id "
+    "hash key, so the whole dimension build is ONE shuffle; ties break "
+    "on event_id for determinism.",
+)
+def scd2_user_state_intervals(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = e.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return intervals.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(FLOOR((cents * 11 + 5) / 10.0) AS BIGINT) AS cents
+      FROM base WHERE o_orderkey % 7 = 0
+    ), inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             'N' AS o_orderstatus, cents
+      FROM base WHERE o_orderkey % 13 = 0
+    ), delta AS (
+      SELECT * FROM updates UNION ALL SELECT * FROM inserts
+    ), merged AS (
+      SELECT COALESCE(d.o_orderstatus, b.o_orderstatus) AS status,
+             COALESCE(d.cents, b.cents) AS cents,
+             CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                  WHEN d.o_orderkey IS NULL THEN 'keep'
+                  ELSE 'update' END AS action
+      FROM base b FULL OUTER JOIN delta d
+        ON b.o_orderkey = d.o_orderkey
+    )
+    SELECT status AS o_orderstatus, action,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS total_price
+    FROM merged GROUP BY status, action
+    """,
+    doc="MERGE INTO semantics as a co-partitioned full-outer join: a "
+    "deterministic delta batch (10%% price-bumped updates + key-shifted "
+    "inserts) folds into the base snapshot; matched rows update, "
+    "unmatched delta rows insert, the rest carry over — summarized per "
+    "(status, action). Money flows as integer cents so the 10%% bump "
+    "is half-up-rounded identically on both engines. On a lakehouse "
+    "this is exactly the foreachBatch + MERGE upsert; the join keys "
+    "co-partition, so the fold is one shuffle of each side.",
+)
+def merge_upsert_orders(spark, sf_dir):
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    updates = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.floor((F.col("cents") * 11 + 5) / 10.0).cast("bigint").alias("cents"),
+    )
+    inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "cents",
+    )
+    delta = updates.unionByName(inserts)
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.o_orderkey") == F.col("d.o_orderkey"), "full").select(
+        F.coalesce("d.o_orderstatus", "b.o_orderstatus").alias("status"),
+        F.coalesce("d.cents", "b.cents").alias("cents"),
+        F.when(F.col("b.o_orderkey").isNull(), "insert")
+        .when(F.col("d.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.groupBy("status", "action").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("cents").cast("double") / 100, 2).alias("total_price"),
+    ).select(
+        F.col("status").alias("o_orderstatus"), "action", "n_orders",
+        "total_price",
+    )
