@@ -207,6 +207,7 @@ def _load_all() -> None:
         streaming_parity,
         quality,
         cdc,
+        sketches,
     )
 
     _LOADED = True

@@ -1,0 +1,153 @@
+"""Mergeable-sketch and exact-moment statistics catalog entries.
+
+The 100 TB pattern: aggregate once at fine grain into MERGEABLE
+sketches (HLL, quantile digests), then answer coarser-grain questions
+by sketch union — never re-scanning raw data. Spark ships Apache
+DataSketches HLL (`hll_sketch_agg` / `hll_union_agg`, SPARK-16484 line)
+and rank-error-bounded `percentile_approx`.
+
+Sketch internals differ per implementation, so (like
+`approx_distinct_docs_hll`) the compared output is tolerance-banded:
+each engine runs its OWN sketch and reports whether it landed within
+tolerance of the exact answer, which itself must match bit-for-bit.
+A broken sketch path flips the boolean and fails the hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.queries._util import t
+
+
+@register(
+    "hll_user_rollup_merge",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           ABS(approx_count_distinct(user_id)
+               - COUNT(DISTINCT user_id))
+             <= 0.05 * COUNT(DISTINCT user_id) AS merged_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Hierarchical distinct-count rollup via MERGEABLE sketches: "
+    "per-(event_type, day) HLL sketches of user_id are unioned up to "
+    "event_type grain and estimated — the two-level shape that lets a "
+    "100 TB pipeline keep daily sketches and answer monthly/all-time "
+    "NDV by union instead of re-scanning raw events. The Spark side "
+    "really does sketch->union->estimate (hll_sketch_agg + "
+    "hll_union_agg); the oracle band compares each engine's own sketch "
+    "to the bit-exact distinct counts.",
+)
+def hll_user_rollup_merge(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    # event_type cardinality is tiny — broadcast the sketch rollup onto
+    # the exact aggregate
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "exact_users",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_within_tol"),
+    )
+
+
+@register(
+    "quantile_sketch_prices",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   * 100 AS BIGINT), 0.5)
+                AS DOUBLE) AS exact_p50_cents,
+           ABS(approx_quantile(o_totalprice, 0.5)
+               - quantile_cont(o_totalprice, 0.5))
+             <= 0.05 * quantile_cont(o_totalprice, 0.5) AS p50_within_tol,
+           ABS(approx_quantile(o_totalprice, 0.9)
+               - quantile_cont(o_totalprice, 0.9))
+             <= 0.05 * quantile_cont(o_totalprice, 0.9) AS p90_within_tol
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Quantile sketches per group: Spark percentile_approx (rank-"
+    "error bounded, mergeable across partitions — the shuffle-light "
+    "path for 100 TB percentile dashboards) banded at 5%% against the "
+    "exact linear-interpolated median, which is computed over INTEGER "
+    "cents — every midpoint (a+b)/2 is an exactly-representable "
+    "double, so the interpolation is bit-identical on both engines "
+    "with no rounding step to disagree on. DuckDB runs its own "
+    "t-digest approx_quantile through the same band.",
+)
+def quantile_sketch_prices(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    cents = (price.cast("decimal(12,2)") * 100).cast("bigint")
+    exact50 = F.percentile(cents, F.lit(0.5))
+    band = lambda p: (
+        F.abs(F.percentile_approx(price, F.lit(p), F.lit(10000))
+              - F.percentile(price, F.lit(p)))
+        <= 0.05 * F.percentile(price, F.lit(p))
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact50.cast("double").alias("exact_p50_cents"),
+        band(0.5).alias("p50_within_tol"),
+        band(0.9).alias("p90_within_tol"),
+    )
+
+
+@register(
+    "embedding_dim_variance",
+    """
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 8) AS mean_val,
+           ROUND((CAST(SUM(xd * xd) AS DOUBLE)
+                  - CAST(SUM(xd) AS DOUBLE) * CAST(SUM(xd) AS DOUBLE)
+                    / COUNT(*)) / COUNT(*), 8) AS var_val
+    FROM (
+      SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DECIMAL(11,10)) AS xd
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+    doc="Per-dimension feature moments over the embedding matrix "
+    "(the normalize/whiten preflight): posexplode to (dim, value), one "
+    "aggregate keyed by the 64 dims. Values accumulate as exact "
+    "DECIMAL sums (sum and sum-of-squares), so mean and variance come "
+    "out bit-identical on both engines; the corpus shuffles only the "
+    "64-key partial aggregates, never vectors. At 100 TB the same plan "
+    "holds: map-side partial agg reduces each partition to 64 rows.",
+)
+def embedding_dim_variance(spark, sf_dir):
+    em = t(spark, sf_dir, "embeddings")
+    ex = em.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("x").cast("decimal(11,10)").alias("xd"),
+    )
+    s = F.sum("xd").cast("double")
+    sq = F.sum(F.col("xd") * F.col("xd")).cast("double")
+    n = F.count("*")
+    return ex.groupBy("dim").agg(
+        n.alias("n"),
+        F.round(s / n, 8).alias("mean_val"),
+        F.round((sq - s * s / n) / n, 8).alias("var_val"),
+    )
