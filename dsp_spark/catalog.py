@@ -208,6 +208,7 @@ def _load_all() -> None:
         quality,
         cdc,
         sketches,
+        graph,
     )
 
     _LOADED = True

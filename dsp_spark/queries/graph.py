@@ -1,0 +1,71 @@
+"""Graph-analytics catalog entries over the near-duplicate pair graph.
+
+PageRank on the LSH dup graph ranks "template hubs" — documents whose
+near-duplicate neighborhoods are largest — which is how a curation run
+finds boilerplate families worth a single survivor. Builds on the same
+pair list as `dedup_clusters` / `dedup_graph_triangles`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.operators import dedup as dd
+from dsp_spark.operators.graph import pagerank
+from dsp_spark.queries._util import t
+from dsp_spark.queries.dedup import _LSH_CTES
+
+
+def _pr_iter(i: int) -> str:
+    """One unrolled PageRank round: contribs -> sums -> new ranks."""
+    return f"""c{i} AS (
+        SELECT e.v AS node,
+               CAST(round(r.pr / d.deg, 8) AS DECIMAL(18,8)) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON e.u = r.node
+        JOIN deg d ON e.u = d.u
+    ), s{i} AS (
+        SELECT node, CAST(SUM(contrib) AS DOUBLE) AS s
+        FROM c{i} GROUP BY node
+    ), r{i} AS (
+        SELECT n0.node, round(0.15 + 0.85 * COALESCE(s{i}.s, 0.0), 6) AS pr
+        FROM n0 LEFT JOIN s{i} ON n0.node = s{i}.node
+    )"""
+
+
+@register(
+    "graph_pagerank_dupgraph",
+    f"""
+    WITH {_LSH_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    n0 AS (SELECT doc_id AS node FROM documents),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n0),
+    {_pr_iter(1)},
+    {_pr_iter(2)}
+    SELECT node AS doc_id, pr AS pagerank FROM r2
+    """,
+    doc="PageRank over the MinHash-LSH near-dup graph (2 unrolled "
+    "rounds, damping 0.85): surfaces template/boilerplate hub "
+    "documents by duplicate-neighborhood mass. Each round is one "
+    "edge join + one node-keyed partial-agg shuffle; contributions "
+    "are rounded-then-DECIMAL so the iterative ranks stay bit-exact "
+    "across engines (operators/graph.py:pagerank). The pair list is "
+    "materialized once — the LSH subplan never replicates across "
+    "iterations.",
+)
+def graph_pagerank_dupgraph(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # materialize the pair list once: both unrolled iterations (edge
+    # join + degree join) would otherwise replicate the LSH subplan
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=8, bands=2, k=5
+    ).localCheckpoint(eager=True)
+    return pagerank(docs, pairs, "doc_id", iters=2).select(
+        F.col("node").alias("doc_id"), F.col("pr").alias("pagerank")
+    )
