@@ -352,3 +352,85 @@ def kmeans(
     return assign_nearest_centroid(
         corpus, cents, id_col=id_col, vec_col=vec_col, centroid_id_col=cid
     )
+
+
+def power_iteration(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+):
+    """Top principal direction of the (uncentered) Gram matrix X^T X by
+    distributed power iteration — PCA's workhorse, without EVER
+    materializing the dim x dim covariance: each round is two matvec
+    passes, ``y = X v`` (row-local dot) then ``w = X^T y`` (dim-keyed
+    partial agg), exactly how a 100 TB corpus computes it.
+
+    Returns one row per dimension: (dim, loading, sigma_est) where
+    loading is the unit top-singular-direction estimate and sigma_est
+    approximates the top eigenvalue of X^T X.
+
+    Determinism contract (mirrors the unrolled SQL oracle in
+    queries/sketches.py): every cross-row sum accumulates
+    rounded-to-fixed-scale DECIMALs, so results are independent of
+    partitioning and accumulation order; divisions/sqrt run on
+    identical doubles. Start vector is the constant unit vector
+    (1/8, ..., 1/8) for dim=64.
+
+    Plan shape per round: one broadcast of the 64-row v onto the
+    exploded matrix, one id-keyed co-partitioned join for y back onto
+    X, one 64-key partial-agg exchange for w, one single-row norm
+    broadcast. The exploded matrix is checkpointed once and reused by
+    all rounds.
+    """
+    x = (
+        emb.select(
+            F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("p", "xv")
+        )
+        .select("vid", (F.col("p") + 1).cast("int").alias("pos"),
+                F.col("xv").cast("double").alias("xv"))
+        .localCheckpoint(eager=True)
+    )
+    v = x.select("pos").distinct().select(
+        "pos", F.lit(0.125).cast("double").alias("vv")
+    )
+    w = None
+    nrm = None
+    for _ in range(iters):
+        y = (
+            x.join(F.broadcast(v), "pos")
+            .groupBy("vid")
+            .agg(
+                F.sum(
+                    F.round(F.col("xv") * F.col("vv"), 10).cast("decimal(28,10)")
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        w = (
+            x.join(y, "vid")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(F.col("y") * F.col("xv"), 8).cast("decimal(28,8)")
+                )
+                .cast("double")
+                .alias("w")
+            )
+        )
+        n1 = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        wn = w.crossJoin(F.broadcast(n1))
+        nrm = wn
+        v = wn.select("pos", F.round(F.col("w") / F.col("nrm"), 8).alias("vv"))
+    return nrm.select(
+        F.col("pos").alias("dim"),
+        F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
+        F.round(F.col("nrm"), 4).alias("sigma_est"),
+    )

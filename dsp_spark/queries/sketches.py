@@ -151,3 +151,53 @@ def embedding_dim_variance(spark, sf_dir):
         F.round(s / n, 8).alias("mean_val"),
         F.round((sq - s * s / n) / n, 8).alias("var_val"),
     )
+
+
+def _pca_iter(i: int) -> str:
+    """One unrolled power-iteration round: y = X v, w = X'y, norm."""
+    return f"""y{i} AS (
+      SELECT vid, CAST(SUM(CAST(round(xv * vv, 10) AS DECIMAL(28,10)))
+                       AS DOUBLE) AS y
+      FROM x JOIN v{i - 1} USING (pos) GROUP BY vid
+    ), w{i} AS (
+      SELECT pos, CAST(SUM(CAST(round(y * xv, 8) AS DECIMAL(28,8)))
+                       AS DOUBLE) AS w
+      FROM x JOIN y{i} USING (vid) GROUP BY pos
+    ), n{i} AS (
+      SELECT sqrt(CAST(SUM(CAST(round(w * w, 8) AS DECIMAL(28,8)))
+                       AS DOUBLE)) AS nrm FROM w{i}
+    ), v{i} AS (
+      SELECT pos, round(w / (SELECT nrm FROM n{i}), 8) AS vv FROM w{i}
+    )"""
+
+
+@register(
+    "embedding_pca_power",
+    f"""
+    WITH x AS (
+      SELECT vec_id AS vid,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS xv
+      FROM embeddings
+    ),
+    v0 AS (SELECT DISTINCT pos, CAST(0.125 AS DOUBLE) AS vv FROM x),
+    {_pca_iter(1)},
+    {_pca_iter(2)}
+    SELECT pos AS dim,
+           round(w / (SELECT nrm FROM n2), 6) AS loading,
+           round((SELECT nrm FROM n2), 4) AS sigma_est
+    FROM w2
+    """,
+    doc="Top principal direction of the embedding matrix by "
+    "distributed power iteration (2 unrolled rounds): y = Xv as a "
+    "row-local dot under a broadcast 64-row v, w = X'y as a 64-key "
+    "partial-agg exchange — the dim x dim Gram matrix is NEVER "
+    "materialized, which is what makes PCA run at 100 TB. All "
+    "cross-row sums accumulate rounded DECIMALs, so the iterative "
+    "result is bit-exact against the unrolled-CTE oracle "
+    "(operators/similarity.py:power_iteration).",
+)
+def embedding_pca_power(spark, sf_dir):
+    from dsp_spark.operators.similarity import power_iteration
+
+    return power_iteration(t(spark, sf_dir, "embeddings"), iters=2)
