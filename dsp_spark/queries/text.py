@@ -725,3 +725,69 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("source", "term", "tf", "rnk")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+             ws[CAST(i + 1 AS INTEGER)] AS w2
+      FROM tk, UNNEST(range(1, len(ws))) AS r(i)
+    ), cbg AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+    ), cw1 AS (
+      SELECT w1, SUM(c) AS c1 FROM cbg GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(cbg.c AS DOUBLE) / c1.c1), 8)
+                  AS DECIMAL(12,8)) AS lp
+      FROM bg b JOIN cbg USING (w1, w2) JOIN cw1 c1 USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet-style LM quality score: train a bigram model on the "
+    "corpus itself (two hash aggregates bounded by vocab^2), then "
+    "score every document by its mean log P(w2|w1) — the perplexity "
+    "proxy used to rank web text before training. Per-bigram log "
+    "probs are rounded then summed as DECIMAL, so the corpus-sized "
+    "score join stays engine-exact; at 100 TB the model table is the "
+    "aggregated bigram dictionary (prunable to top-K with smoothing), "
+    "never raw text.",
+)
+def text_bigram_lm_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.split("text", r"\s+").alias("ws")
+    ).where(F.size("ws") >= 2)
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    cw1 = cbg.groupBy("w1").agg(F.sum("c").alias("c1"))
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cw1, ["w1"])
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("c1")), 8)
+            .cast("decimal(12,8)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "avg_logp"
+        ),
+    )
