@@ -426,7 +426,11 @@ def power_iteration(
                 ).cast("double")
             ).alias("nrm")
         )
-        wn = w.crossJoin(F.broadcast(n1))
+        # materialize the 64-row (w, nrm) table: w is referenced by the
+        # norm, the next v, and the output — without this each reference
+        # replays the corpus-sized matvec subplan, doubling exchanges
+        # per iteration
+        wn = w.crossJoin(F.broadcast(n1)).localCheckpoint(eager=True)
         nrm = wn
         v = wn.select("pos", F.round(F.col("w") / F.col("nrm"), 8).alias("vv"))
     return nrm.select(
