@@ -912,3 +912,58 @@ def events_audience_overlap(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+_OHLC_US = 21_600_000_000  # 6-hour buckets in epoch-microseconds
+
+
+@register(
+    "events_ohlc_resample",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             make_timestamp((epoch_us(ts) // {_OHLC_US}) * {_OHLC_US})
+               AS w_start,
+             ts, event_id, value
+      FROM events
+    ), o AS (
+      SELECT event_type, w_start, value,
+             row_number() OVER (PARTITION BY event_type, w_start
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, w_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, w_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MIN(CASE WHEN rn_d = 1 THEN value END) AS close_v
+    FROM o GROUP BY event_type, w_start
+    """,
+    doc="OHLC resampling (the financial/time-series downsample shape): "
+    "per (event_type, 6 h bucket) first/last/min/max of value. "
+    "Open/close are argmin/argmax by (ts, event_id) expressed as "
+    "min/max over a (ts, event_id, value) struct — ONE hash aggregate "
+    "with map-side partials, no window pass over raw events (the "
+    "oracle's row_number formulation is the semantic spec, not the "
+    "plan). Values pass through untouched, so parity is exact.",
+)
+def events_ohlc_resample(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy("event_type", F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(s).getField("value").alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max(s).getField("value").alias("close_v"),
+        )
+        .select(
+            "event_type", F.col("w.start").alias("w_start"), "n_events",
+            "open_v", "high_v", "low_v", "close_v",
+        )
+    )
