@@ -967,3 +967,40 @@ def events_ohlc_resample(spark, sf_dir):
             "open_v", "high_v", "low_v", "close_v",
         )
     )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT first_day, COUNT(*) AS n_new FROM fs GROUP BY first_day
+    )
+    SELECT CAST(first_day AS TIMESTAMP) AS day,
+           CAST(n_new AS BIGINT) AS new_users,
+           CAST(SUM(n_new) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+    doc="Cumulative distinct users per day — the growth-curve metric. "
+    "COUNT(DISTINCT) over a growing window is quadratic; the scalable "
+    "identity is first-seen-day per user (one user_id agg) then a "
+    "running sum over the tiny daily table. Two bounded aggregates "
+    "replace an unbounded distinct window — the required rewrite at "
+    "100 TB.",
+)
+def events_cumulative_distinct_users(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    d = fs.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, 0)
+    return d.select(
+        F.col("first_day").cast("timestamp").alias("day"),
+        F.col("n_new").cast("bigint").alias("new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )
