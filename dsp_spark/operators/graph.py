@@ -25,24 +25,31 @@ def pagerank(
     ``pr' = (1-d) + d * sum(pr(u)/deg(u))``) over an ``(id_a, id_b)``
     pair list; isolated nodes settle at ``1-d``.
 
-    Determinism contract: each contribution ``pr/deg`` is a double
-    division of identical operands on any engine, rounded to 8 and
-    accumulated as DECIMAL(18,8) — so the per-node sum is independent
-    of partitioning/accumulation order, and each iteration's ranks are
-    bit-identical across engines. Scale: the corpus-sized work per
-    iteration is one edge-keyed broadcast-free join plus one node-keyed
-    partial-agg shuffle; edges/degrees are computed once by the caller
-    (pass a materialized ``pairs``). Lineage is flattened every
-    ``checkpoint_every`` iterations the same way connected_components
-    does, so long runs don't accrete plan depth.
+    Determinism contract: rank state is a FIXED-POINT integer
+    (micro-ranks, ``pr6 = pr * 1e6``); contributions quantize to 1e-8
+    via integer floor division, per-node sums are exact BIGINT adds,
+    and the damping update is exact integer half-up division — no
+    floating-point op ever feeds a rounding boundary, so iterations
+    are bit-identical on any engine/partitioning. (A double ROUND here
+    is engine-divergent: pr/deg often has a decimal expansion that
+    terminates exactly one digit past the rounding position, and Java
+    rounds the shortest string while C rounds the binary value.)
+    Scale: the corpus-sized work per iteration is one edge-keyed
+    broadcast-free join plus one node-keyed partial-agg shuffle;
+    edges/degrees are computed once by the caller (pass a materialized
+    ``pairs``). Lineage is flattened every ``checkpoint_every``
+    iterations the same way connected_components does, so long runs
+    don't accrete plan depth. ``damping`` must have at most 2 decimals
+    (it becomes the exact rational d100/100).
     """
+    d100 = int(round(damping * 100))
+    t6 = 1_000_000 * (100 - d100) // 100  # teleport in micro-ranks
     edges = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
     deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
     node_ids = nodes.select(F.col(id_col).alias("node"))
-    ranks = node_ids.select("node", F.lit(1.0).alias("pr"))
-    teleport = 1.0 - damping
+    ranks = node_ids.select("node", F.lit(1_000_000).cast("bigint").alias("pr6"))
     for i in range(iters):
         r = ranks.withColumnRenamed("node", "u")
         contribs = (
@@ -50,20 +57,22 @@ def pagerank(
             .join(deg, "u")
             .select(
                 F.col("v").alias("node"),
-                F.round(F.col("pr") / F.col("deg"), 8)
-                .cast("decimal(18,8)")
-                .alias("contrib"),
+                # contribution at 1e-8 grain: floor((pr6*100)/deg)
+                F.expr("(pr6 * 100) div deg").alias("c8"),
             )
         )
-        sums = contribs.groupBy("node").agg(
-            F.sum("contrib").cast("double").alias("s")
-        )
+        sums = contribs.groupBy("node").agg(F.sum("c8").alias("s8"))
+        # pr' = teleport + damping * s8/1e8, half-up at 1e-6 grain:
+        # pr6' = t6 + (d100*s8 + 5000) div 10000  with damping = d100/100
         ranks = node_ids.join(sums, "node", "left").select(
             "node",
-            F.round(
-                teleport + damping * F.coalesce(F.col("s"), F.lit(0.0)), 6
-            ).alias("pr"),
+            (
+                F.lit(t6)
+                + F.expr(f"({d100} * coalesce(s8, 0L) + 5000) div 10000")
+            ).cast("bigint").alias("pr6"),
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select(
+        "node", (F.col("pr6").cast("double") / 1_000_000).alias("pr")
+    )

@@ -18,18 +18,20 @@ from dsp_spark.queries.dedup import _LSH_CTES
 
 
 def _pr_iter(i: int) -> str:
-    """One unrolled PageRank round: contribs -> sums -> new ranks."""
+    """One unrolled PageRank round in fixed-point micro-ranks
+    (mirrors operators/graph.py:pagerank exactly): 1e-8-grain integer
+    contributions, exact BIGINT sums, integer half-up damping update."""
     return f"""c{i} AS (
-        SELECT e.v AS node,
-               CAST(round(r.pr / d.deg, 8) AS DECIMAL(18,8)) AS contrib
+        SELECT e.v AS node, (r.pr6 * 100) // d.deg AS c8
         FROM edges e
         JOIN r{i - 1} r ON e.u = r.node
         JOIN deg d ON e.u = d.u
     ), s{i} AS (
-        SELECT node, CAST(SUM(contrib) AS DOUBLE) AS s
+        SELECT node, CAST(SUM(c8) AS BIGINT) AS s8
         FROM c{i} GROUP BY node
     ), r{i} AS (
-        SELECT n0.node, round(0.15 + 0.85 * COALESCE(s{i}.s, 0.0), 6) AS pr
+        SELECT n0.node,
+               150000 + (85 * COALESCE(s{i}.s8, 0) + 5000) // 10000 AS pr6
         FROM n0 LEFT JOIN s{i} ON n0.node = s{i}.node
     )"""
 
@@ -45,19 +47,20 @@ def _pr_iter(i: int) -> str:
     ),
     deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
     n0 AS (SELECT doc_id AS node FROM documents),
-    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM n0),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr6 FROM n0),
     {_pr_iter(1)},
     {_pr_iter(2)}
-    SELECT node AS doc_id, pr AS pagerank FROM r2
+    SELECT node AS doc_id, CAST(pr6 AS DOUBLE) / 1000000 AS pagerank
+    FROM r2
     """,
     doc="PageRank over the MinHash-LSH near-dup graph (2 unrolled "
     "rounds, damping 0.85): surfaces template/boilerplate hub "
     "documents by duplicate-neighborhood mass. Each round is one "
-    "edge join + one node-keyed partial-agg shuffle; contributions "
-    "are rounded-then-DECIMAL so the iterative ranks stay bit-exact "
-    "across engines (operators/graph.py:pagerank). The pair list is "
-    "materialized once — the LSH subplan never replicates across "
-    "iterations.",
+    "edge join + one node-keyed partial-agg shuffle; rank state is "
+    "fixed-point integer micro-ranks, so the iterative ranks stay "
+    "bit-exact across engines with no floating-point rounding at all "
+    "(operators/graph.py:pagerank). The pair list is materialized "
+    "once — the LSH subplan never replicates across iterations.",
 )
 def graph_pagerank_dupgraph(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")

@@ -239,8 +239,7 @@ def dq_events_freshness(spark, sf_dir):
       FROM daily
     )
     SELECT CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_events,
-           ROUND(CAST(n AS DOUBLE) * trail_days / trail_sum, 4)
-             AS vs_trailing,
+           CAST(n AS DOUBLE) * trail_days / trail_sum AS vs_trailing,
            CAST(n AS DOUBLE) * trail_days > 2.0 * trail_sum
              OR 2.0 * CAST(n AS DOUBLE) * trail_days < trail_sum
              AS shifted
@@ -269,9 +268,12 @@ def dq_volume_shift_daily(spark, sf_dir):
     return trail.where(F.col("trail_days") > 0).select(
         F.col("day").cast("timestamp").alias("day"),
         F.col("n").cast("bigint").alias("n_events"),
-        F.round(nd * F.col("trail_days") / F.col("trail_sum"), 4).alias(
-            "vs_trailing"
-        ),
+        # raw double ratio of exact integers: identical operands on both
+        # engines -> identical double. A ROUND here would be engine-
+        # divergent whenever the rational terminates just past the
+        # rounding position (Java rounds the shortest string, C the
+        # binary value).
+        (nd * F.col("trail_days") / F.col("trail_sum")).alias("vs_trailing"),
         (
             (nd * F.col("trail_days") > 2.0 * F.col("trail_sum"))
             | (2.0 * nd * F.col("trail_days") < F.col("trail_sum"))

@@ -116,24 +116,34 @@ def quantile_sketch_prices(spark, sf_dir):
     """
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 8) AS mean_val,
-           ROUND((CAST(SUM(xd * xd) AS DOUBLE)
-                  - CAST(SUM(xd) AS DOUBLE) * CAST(SUM(xd) AS DOUBLE)
-                    / COUNT(*)) / COUNT(*), 8) AS var_val
+           CAST(CAST(SUM(x6) AS BIGINT) AS DOUBLE)
+             / COUNT(*) / 1000000 AS mean_val,
+           (CAST(CAST(SUM(x6 * x6) AS BIGINT) AS DOUBLE)
+            - CAST(CAST(SUM(x6) AS BIGINT) AS DOUBLE)
+              * CAST(CAST(SUM(x6) AS BIGINT) AS DOUBLE) / COUNT(*))
+             / COUNT(*) / 1e12 AS var_val
     FROM (
       SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
-             CAST(unnest(embedding) AS DECIMAL(11,10)) AS xd
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x6
       FROM embeddings
     )
     GROUP BY dim
     """,
     doc="Per-dimension feature moments over the embedding matrix "
     "(the normalize/whiten preflight): posexplode to (dim, value), one "
-    "aggregate keyed by the 64 dims. Values accumulate as exact "
-    "DECIMAL sums (sum and sum-of-squares), so mean and variance come "
-    "out bit-identical on both engines; the corpus shuffles only the "
-    "64-key partial aggregates, never vectors. At 100 TB the same plan "
-    "holds: map-side partial agg reduces each partition to 64 rows.",
+    "aggregate keyed by the 64 dims. Values are fixed-point-quantized "
+    "to 1e-6 (floor of a double both engines share bit-for-bit); the "
+    "sums and sums-of-squares are exact int64s that stay under 2^53 "
+    "up to ~9M values/dim, so every int->double conversion is "
+    "correctly rounded on both engines and the identical double "
+    "expression yields identical moments with NO rounding step. "
+    "(Bigger grains need DECIMAL sums on the Spark side — but NOT a "
+    "single >2^53 cast in the oracle: DuckDB's HUGEINT->DOUBLE is off "
+    "by 1 ulp. A double ROUND is likewise engine-divergent when the "
+    "value's expansion terminates near the rounding position.) At "
+    "100 TB the same plan holds: map-side partial agg reduces each "
+    "partition to 64 rows.",
 )
 def embedding_dim_variance(spark, sf_dir):
     em = t(spark, sf_dir, "embeddings")
@@ -141,15 +151,17 @@ def embedding_dim_variance(spark, sf_dir):
         F.posexplode("embedding").alias("pos", "x")
     ).select(
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("x").cast("decimal(11,10)").alias("xd"),
+        F.floor(F.col("x").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("x6"),
     )
-    s = F.sum("xd").cast("double")
-    sq = F.sum(F.col("xd") * F.col("xd")).cast("double")
+    s6 = F.sum("x6").cast("double")
+    ssq = F.sum(F.col("x6") * F.col("x6")).cast("double")
     n = F.count("*")
     return ex.groupBy("dim").agg(
         n.alias("n"),
-        F.round(s / n, 8).alias("mean_val"),
-        F.round((sq - s * s / n) / n, 8).alias("var_val"),
+        (s6 / n / 1000000).alias("mean_val"),
+        ((ssq - s6 * s6 / n) / n / 1e12).alias("var_val"),
     )
 
 

@@ -747,7 +747,7 @@ def text_tfidf_top_terms(spark, sf_dir):
       FROM bg b JOIN cbg USING (w1, w2) JOIN cw1 c1 USING (w1)
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logp
     FROM scored GROUP BY doc_id
     """,
     doc="CCNet-style LM quality score: train a bigram model on the "
@@ -785,11 +785,12 @@ def text_bigram_lm_score(spark, sf_dir):
             .alias("lp"),
         )
     )
+    # raw double division of the exact DECIMAL sum: identical operands
+    # on both engines -> identical double; a ROUND at a position the
+    # rational can terminate at would be engine-divergent
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
-            "avg_logp"
-        ),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_logp"),
     )
 
 

@@ -4,6 +4,8 @@
     python tools/curate.py [--sf-dir DIR] [--out DIR]
 
 Stages (each a cataloged operator, composed):
+  0. DQ pre-flight    - report-only constraint audit (empty text, lang
+                        whitelist, n_chars consistency) in the manifest
   1. quality filter   - Gopher-style keep rules (narrow map, no shuffle)
   2. exact dedup      - md5 groupBy, keep min doc_id
   3. near-dup         - MinHash-LSH candidates -> exact-Jaccard verify
@@ -35,6 +37,20 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
 
     docs = read_table(spark, sf_dir, "documents")
     n_input = docs.count()
+
+    # 0. pre-flight DQ audit (report-only): a real run refuses to curate
+    # a corpus whose constraint violations spike vs the previous drop
+    audit = (
+        catalog.entries()["dq_documents_audit"]
+        .fn(spark, sf_dir)
+        .agg(
+            F.sum("empty_text").alias("empty_text"),
+            F.sum("lang_violations").alias("lang_violations"),
+            F.sum("n_chars_mismatch").alias("n_chars_mismatch"),
+        )
+        .collect()[0]
+        .asDict()
+    )
 
     # 1. quality: reuse the cataloged rule set, keep only passing docs
     flags = catalog.entries()["text_quality_filter"].fn(spark, sf_dir)
@@ -79,6 +95,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     }
     return {
         "input_docs": n_input,
+        "audit": {k: int(v) for k, v in audit.items()},
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_neardup,
