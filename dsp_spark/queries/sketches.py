@@ -213,3 +213,85 @@ def embedding_pca_power(spark, sf_dir):
     from dsp_spark.operators.similarity import power_iteration
 
     return power_iteration(t(spark, sf_dir, "embeddings"), iters=2)
+
+
+@register(
+    "lineitem_numeric_corr",
+    """
+    WITH q AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS x_qty,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS x_disc,
+             CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS x_tax
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_qty) AS BIGINT) AS sq,
+             CAST(SUM(x_disc) AS BIGINT) AS sd,
+             CAST(SUM(x_tax) AS BIGINT) AS st,
+             CAST(SUM(x_qty * x_qty) AS BIGINT) AS sqq,
+             CAST(SUM(x_disc * x_disc) AS BIGINT) AS sdd,
+             CAST(SUM(x_tax * x_tax) AS BIGINT) AS stt,
+             CAST(SUM(x_qty * x_disc) AS BIGINT) AS sqd,
+             CAST(SUM(x_qty * x_tax) AS BIGINT) AS sqt,
+             CAST(SUM(x_disc * x_tax) AS BIGINT) AS sdt
+      FROM q
+    )
+    SELECT pair, (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)) AS corr
+    FROM (
+      SELECT 'quantity~discount' AS pair,
+             n, sqd AS sxy, sq AS sx, sd AS sy, sqq AS sxx, sdd AS syy
+      FROM s
+      UNION ALL
+      SELECT 'quantity~tax', n, sqt, sq, st, sqq, stt FROM s
+      UNION ALL
+      SELECT 'discount~tax', n, sdt, sd, st, sdd, stt FROM s
+    )
+    """,
+    doc="Pairwise Pearson correlation matrix over lineitem's numeric "
+    "columns in ONE scan: all nine sufficient statistics (sums, "
+    "squares, cross-products) accumulate as exact int64 cents in a "
+    "single aggregate, then each pair's correlation is the identical "
+    "double expression on both engines — no rounding step, sqrt is "
+    "correctly rounded IEEE. Cent-quantized columns are small enough "
+    "that every sum stays under 2^53 through sf10. The single-row "
+    "statistics table then fans out to pair rows (zero extra scans) — "
+    "the ANALYZE-style profile a feature store computes per snapshot.",
+)
+def lineitem_numeric_corr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    c = lambda col, p: (F.col(col).cast(f"decimal({p},2)") * 100).cast("bigint")
+    q = li.select(
+        c("l_quantity", 12).alias("x_qty"),
+        c("l_discount", 4).alias("x_disc"),
+        c("l_tax", 4).alias("x_tax"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x_qty").alias("sq"),
+        F.sum("x_disc").alias("sd"),
+        F.sum("x_tax").alias("st"),
+        F.sum(F.col("x_qty") * F.col("x_qty")).alias("sqq"),
+        F.sum(F.col("x_disc") * F.col("x_disc")).alias("sdd"),
+        F.sum(F.col("x_tax") * F.col("x_tax")).alias("stt"),
+        F.sum(F.col("x_qty") * F.col("x_disc")).alias("sqd"),
+        F.sum(F.col("x_qty") * F.col("x_tax")).alias("sqt"),
+        F.sum(F.col("x_disc") * F.col("x_tax")).alias("sdt"),
+    )
+
+    def pair(name, sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast("double")
+        num = n * F.col(sxy) - F.col(sx).cast("double") * F.col(sy)
+        den = F.sqrt(
+            n * F.col(sxx) - F.col(sx).cast("double") * F.col(sx)
+        ) * F.sqrt(n * F.col(syy) - F.col(sy).cast("double") * F.col(sy))
+        return s.select(F.lit(name).alias("pair"), (num / den).alias("corr"))
+
+    return (
+        pair("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd")
+        .unionByName(pair("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
+        .unionByName(pair("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
+    )
