@@ -1004,3 +1004,62 @@ def events_cumulative_distinct_users(spark, sf_dir):
         F.col("n_new").cast("bigint").alias("new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "events_twap_per_user",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v100,
+             (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts)) // 1000000 AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS covered_s,
+           CAST(CAST(SUM(v100 * dur_s) AS BIGINT) AS DOUBLE)
+             / CAST(SUM(dur_s) AS BIGINT) / 100 AS twap
+    FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user (the TWAP/duty-cycle "
+    "metric): each event's value holds until the next event, weighted "
+    "by its holding duration in whole seconds. cents x seconds "
+    "products are exact int64s well under 2^53 (so every int->double "
+    "conversion is correctly rounded on both engines), and the window "
+    "+ aggregate share the user_id hash key — ONE shuffle end to end. "
+    "The raw-double division replaces a ROUND that could land on a "
+    "terminating rational.",
+)
+def events_twap_per_user(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v100"),
+        F.floor(
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros(F.col("ts"))
+            )
+            / 1000000
+        ).cast("bigint").alias("dur_s"),
+    )
+    return (
+        seg.where(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dur_s").cast("bigint").alias("covered_s"),
+            (
+                F.sum(F.col("v100") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s").cast("bigint")
+                / 100
+            ).alias("twap"),
+        )
+    )
