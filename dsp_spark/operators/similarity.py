@@ -438,3 +438,84 @@ def power_iteration(
         F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
         F.round(F.col("nrm"), 4).alias("sigma_est"),
     )
+
+
+def pq_topk(
+    corpus,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub: int = 8,
+    ksub: int = 16,
+    nq: int = 5,
+    k: int = 10,
+):
+    """Product-quantization ANN (PQ + asymmetric distance computation):
+    the billion-vector memory trick — each vector is stored as ``m``
+    sub-codes (one byte each here), and query scoring is ``m`` table
+    lookups instead of a d-dim dot product.
+
+    Stages (all broadcast-bounded; the corpus never self-joins):
+      1. codebook: the first ``ksub`` vectors' subvectors, per subspace
+         (a trained codebook drops in identically — it's broadcast
+         either way);
+      2. encode: max-dot sub-centroid per (vector, subspace) as a
+         map-side partial-agg argmax (struct max, ties to lowest code)
+         — the only corpus-sized shuffle carries (id, m, code), never
+         vectors;
+      3. ADC: the nq x m x ksub partial-dot lookup table, broadcast;
+      4. score: codes join the broadcast table, partial-agg sum the m
+         per-subspace dots (exact DECIMAL, order-independent), rank
+         top-k per query.
+
+    Determinism: sub-dots are fixed-order array folds rounded once,
+    summed as DECIMAL(18,8); the estimate surfaces as the exact sum
+    cast to double (value far below 2^53, so the cast is exact on any
+    engine).
+    """
+    from pyspark.sql import Window as W
+
+    from dsp_spark.functions.vectors import dot
+
+    e = corpus.select(id_col, vec_col)
+    subs = e.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col(vec_col), i * sub + 1, sub) for i in range(m)]
+            )
+        ).alias("m", "sv"),
+    )
+    cb = subs.where(F.col(id_col) < ksub).select(
+        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+    )
+    d6 = F.round(dot("sv", "cv"), 6)
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .select(F.col(id_col), "m", d6.alias("d6"), "code")
+        .groupBy(id_col, "m")
+        .agg(F.max(F.struct("d6", (-F.col("code")).alias("nc"))).alias("b"))
+        .select(id_col, "m", (-F.col("b.nc")).cast("bigint").alias("code"))
+    )
+    q = subs.where(F.col(id_col) < nq).select(
+        F.col(id_col).alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    adc = q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.round(dot("qv", "cv"), 8).cast("decimal(18,8)").alias("pdot"),
+    )
+    scored = (
+        enc.join(F.broadcast(adc), ["m", "code"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pdot").cast("double").alias("est"))
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select("query_id", id_col, "est", "rnk")
+    )

@@ -592,3 +592,59 @@ def embedding_norm_audit(spark, sf_dir):
         .cast("long")
         .alias("n_bad_dim"),
     )
+
+
+@register(
+    "ann_pq_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sub AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS m,
+               emb[(CAST(i AS INTEGER) * 8 + 1):(CAST(i AS INTEGER) * 8 + 8)]
+                 AS sv
+        FROM e, UNNEST(range(8)) AS r(i)
+    ),
+    cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_dot_product(s.sv, c.cv), 6) DESC,
+                                c.code) AS rn
+            FROM sub s JOIN cb c USING (m))
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 5),
+    adc AS (
+        SELECT q.query_id, q.m, c.code,
+               CAST(round(list_dot_product(q.qv, c.cv), 8)
+                    AS DECIMAL(18,8)) AS pdot
+        FROM q JOIN cb c USING (m)
+    ),
+    scored AS (
+        SELECT a.query_id, enc.vec_id, CAST(SUM(a.pdot) AS DOUBLE) AS est
+        FROM enc JOIN adc a ON a.m = enc.m AND a.code = enc.code
+        WHERE enc.vec_id <> a.query_id
+        GROUP BY a.query_id, enc.vec_id
+    )
+    SELECT query_id, vec_id, est, rnk FROM (
+        SELECT query_id, vec_id, est,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY est DESC, vec_id)
+                    AS INTEGER) AS rnk
+        FROM scored)
+    WHERE rnk <= 10
+    """,
+    doc="Product-quantization ANN (PQ + ADC), the billion-vector "
+    "memory/bandwidth path: vectors compress to 8 one-byte sub-codes "
+    "(64x smaller than float64), and each query scores candidates with "
+    "8 broadcast table lookups instead of a 64-dim dot product. "
+    "Encoding is a map-side struct-argmax against the broadcast "
+    "codebook (the only corpus shuffle carries (id, subspace, code)); "
+    "the per-subspace partial dots sum as exact DECIMAL so the "
+    "estimated scores are bit-identical across engines. "
+    "operators/similarity.py:pq_topk.",
+)
+def ann_pq_topk(spark, sf_dir):
+    return sim.pq_topk(t(spark, sf_dir, "embeddings"))
