@@ -3,6 +3,7 @@ scoring, language-ID, fingerprinting, multimodal feature plumbing."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
@@ -857,4 +858,85 @@ def quality_classifier_score(spark, sf_dir):
         "doc_id",
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "vocab_drift_snapshots",
+    r"""
+    WITH tk AS (
+      SELECT doc_id % 2 AS half, unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM tk GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(n0) AS BIGINT) AS t0, CAST(SUM(n1) AS BIGINT) AS t1
+      FROM counts
+    ), scored AS (
+      SELECT w, n0, n1,
+             (CAST(n1 + 1 AS DOUBLE) * (t0 + 1))
+               / ((t1 + 1) * CAST(n0 + 1 AS DOUBLE)) AS drift_ratio
+      FROM counts, tot
+      WHERE n0 + n1 >= 20
+    )
+    SELECT w, n0, n1, drift_ratio FROM (
+      SELECT w, n0, n1, drift_ratio,
+             ROW_NUMBER() OVER (
+               ORDER BY GREATEST(drift_ratio, 1.0 / drift_ratio) DESC, w)
+               AS rn
+      FROM scored)
+    WHERE rn <= 20
+    """,
+    doc="Vocabulary drift between two corpus snapshots (halves by "
+    "doc_id parity standing in for release N vs N+1): add-one-smoothed "
+    "relative term-rate ratio, top-20 most-drifted terms in either "
+    "direction — the dataset-drift monitor that catches a scraped "
+    "source changing under you. Counting is one token aggregate "
+    "(vocab-bounded), totals ride a single-row broadcast, and the rank "
+    "runs on the filtered term table, never raw tokens. The ratio is "
+    "an identical double expression over exact integers on both "
+    "engines — no rounding step.",
+)
+def vocab_drift_snapshots(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", r"\s+")).alias("w"),
+    )
+    counts = tk.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    tot = counts.agg(
+        F.sum("n0").cast("bigint").alias("t0"),
+        F.sum("n1").cast("bigint").alias("t1"),
+    )
+    scored = (
+        counts.where(F.col("n0") + F.col("n1") >= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "n0",
+            "n1",
+            (
+                (F.col("n1") + 1).cast("double") * (F.col("t0") + 1)
+                / ((F.col("t1") + 1) * (F.col("n0") + 1).cast("double"))
+            ).alias("drift_ratio"),
+        )
+    )
+    w = W.orderBy(
+        F.desc(F.greatest(F.col("drift_ratio"), 1.0 / F.col("drift_ratio"))),
+        F.asc("w"),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("w", "n0", "n1", "drift_ratio")
     )
