@@ -30,7 +30,13 @@ def main() -> None:
     # Headline set: run everything registered; keep deterministic order.
     names = sorted(qs)
 
-    # Warmup at the smallest SF (codegen + Arrow init, not measured).
+    # Global warmup at the smallest SF (codegen + Arrow init, not
+    # measured). Each query additionally gets its own sf0.001 warmup
+    # right before its timed attempts (below): C2 compilation of a
+    # complex generated pipeline costs multiple seconds on first
+    # execution, which otherwise lands in attempt 1 and pollutes the
+    # recorded median (e.g. basket_brand_affinity: 8.3 s cold vs 1.8 s
+    # warm with an unchanged plan).
     for name in names[:3]:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
@@ -49,6 +55,13 @@ def main() -> None:
             # periodic full GC keeps ContextCleaner draining broadcast/shuffle
             # refuse so late queries don't run in a degraded session
             spark.sparkContext._jvm.System.gc()
+        # per-query JIT warmup on the tiny SF (not measured)
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # a query must never lose its timing slot to warmup
         attempts: list[float] = []
         # best-of-2 normally; when the best is still above the slow
         # threshold (no legitimate sf0.1 plan needs >2.5 s) the noise —
