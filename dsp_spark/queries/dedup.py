@@ -426,3 +426,40 @@ def dedup_lsh_verified(spark, sf_dir):
         docs, "doc_id", "text", n_hashes=8, bands=2, k=5
     ).localCheckpoint(eager=True)
     return dd.verify_pairs(docs, pairs, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "dedup_incremental_new_docs",
+    """
+    WITH base AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), new_docs AS (
+      SELECT doc_id, md5(text) AS h, source FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    SELECT n.doc_id, n.source,
+           b.h IS NOT NULL AS dup_of_base
+    FROM new_docs n LEFT JOIN base b ON n.h = b.h
+    """,
+    doc="Incremental dedup of a NEW snapshot against the previous "
+    "release (halves by doc_id parity standing in for release N vs "
+    "N+1): only the new docs hash and probe the base's distinct-hash "
+    "set — the O(new) ingestion path that avoids re-deduping the "
+    "whole corpus every release. The hash set join carries (hash) "
+    "only, never text; at 100 TB the base side is a bucketed hash "
+    "table reused across releases.",
+)
+def dedup_incremental_new_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    base = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_base", F.lit(1))
+    )
+    new_docs = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("h"), "source"
+    )
+    return new_docs.join(base, "h", "left").select(
+        "doc_id", "source", F.col("in_base").isNotNull().alias("dup_of_base")
+    )

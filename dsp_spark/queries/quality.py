@@ -52,7 +52,11 @@ def dq_documents_audit(spark, sf_dir):
     return d.groupBy("source").agg(
         F.count("*").alias("n_rows"),
         c(F.col("text").isNull() | (F.length("text") == 0)).alias("empty_text"),
-        c(~F.col("lang").isin(*_LANGS)).alias("lang_violations"),
+        # CASE WHEN lang IN (...) THEN 0 ELSE 1 counts NULL as a
+        # violation; ~isin() would map NULL -> 0 and diverge
+        F.sum(F.when(F.col("lang").isin(*_LANGS), 0).otherwise(1))
+        .cast("bigint")
+        .alias("lang_violations"),
         c(F.col("n_chars") != F.length("text")).alias("n_chars_mismatch"),
         c(F.col("n_chars") < 50).alias("short_docs"),
     )

@@ -117,3 +117,19 @@ class LatestStateUpsert:
             os.path.join(self.path, f"v={target}")
         )
         self.applied.append(target)
+
+    # -- lifecycle ------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshot versions
+        (the Delta/Iceberg VACUUM analogue — replay only needs the
+        version below the one being recomputed, so 2 is the safe
+        floor). Returns the removed version numbers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self._versions()
+        drop = vs[:-keep_last] if keep_last < len(vs) else []
+        for v in drop:
+            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        return drop

@@ -70,3 +70,17 @@ def test_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     sink.apply(half2, 1)
     assert _rows(sink.read()) == after_once
     assert after_once == _rows(_batch_expected(events))
+
+
+def test_vacuum_keeps_newest_versions(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events").select(*COLS).limit(300)
+    sink = LatestStateUpsert(
+        spark, str(tmp_path / "state"), KEYS, ORDER, VALUES
+    )
+    for epoch in range(4):
+        sink.apply(events.where(F.col("event_id") % 4 == epoch), epoch)
+    before = _rows(sink.read())
+    dropped = sink.vacuum(keep_last=2)
+    assert dropped == [0, 1]
+    assert sink._versions() == [2, 3]
+    assert _rows(sink.read()) == before
