@@ -828,3 +828,67 @@ def basket_brand_affinity(spark, sf_dir):
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "orders_abc_pareto",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM per_cust
+    ), d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents_sum
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(cents_sum AS DOUBLE) / 100 AS revenue,
+           CAST(SUM(cents_sum) OVER (ORDER BY decile
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / SUM(cents_sum) OVER () AS cum_share
+    FROM d
+    """,
+    doc="ABC/Pareto analysis: customers ranked into revenue deciles, "
+    "with each decile's cumulative share of total revenue — the "
+    "80/20 concentration report. Revenue aggregates as exact integer "
+    "cents; the rank and both windows run on the customer-grain "
+    "aggregate (never raw orders), and the final share is a ratio of "
+    "exact int64s so both engines emit identical doubles. NTILE ties "
+    "break on o_custkey for determinism.",
+)
+def orders_abc_pareto(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents_sum"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.partitionBy()
+    return d.select(
+        "decile",
+        "n_customers",
+        (F.col("cents_sum").cast("double") / 100).alias("revenue"),
+        (
+            F.sum("cents_sum").over(wc).cast("double")
+            / F.sum("cents_sum").over(wt)
+        ).alias("cum_share"),
+    )

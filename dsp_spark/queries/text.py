@@ -940,3 +940,30 @@ def vocab_drift_snapshots(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select("w", "n0", "n1", "drift_ratio")
     )
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang AS lang_true, {_PRED_DUCK} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, {_PRED_DUCK}
+    """,
+    doc="Language-ID confusion matrix: the classifier-eval shape — "
+    "predicted vs labeled language counts in one aggregate over the "
+    "scan-side argmax scores. This is how a curation run validates its "
+    "lang-ID stage against a labeled sample before trusting it at "
+    "100 TB; the matrix is bounded by langs^2 regardless of corpus "
+    "size.",
+)
+def lang_id_confusion(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            F.expr(_PRED_SPARK).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
