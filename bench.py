@@ -30,17 +30,13 @@ def main() -> None:
     # Headline set: run everything registered; keep deterministic order.
     names = sorted(qs)
 
-    # Global warmup at the smallest SF (codegen + Arrow init, not
-    # measured). Each query additionally gets its own sf0.001 warmup
-    # right before its timed attempts (below): C2 compilation of a
-    # complex generated pipeline costs multiple seconds on first
-    # execution, which otherwise lands in attempt 1 and pollutes the
-    # recorded median (e.g. basket_brand_affinity: 8.3 s cold vs 1.8 s
-    # warm with an unchanged plan).
-    for name in names[:3]:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
+    # Warmup happens per query (inside the timing loop): each query
+    # runs once at sf0.001 before its timed attempts, because C2
+    # compilation of a complex generated pipeline costs multiple
+    # seconds on first execution, which otherwise lands in attempt 1
+    # and pollutes the recorded median (e.g. basket_brand_affinity:
+    # 8.3 s cold vs 1.8 s warm with an unchanged plan). The first
+    # query's warmup doubles as session init (codegen + Arrow).
 
     # Best of 2 runs per query: single-machine timings are noisy (GC,
     # page cache, concurrent processes); min-of-N is the steady-state

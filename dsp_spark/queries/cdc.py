@@ -46,9 +46,10 @@ from dsp_spark.queries._util import t
     )
     SELECT user_id, state, valid_from,
            LEAD(valid_from) OVER
-             (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+             (PARTITION BY user_id ORDER BY valid_from, run_id)
+             AS valid_to,
            LEAD(valid_from) OVER
-             (PARTITION BY user_id ORDER BY valid_from) IS NULL
+             (PARTITION BY user_id ORDER BY valid_from, run_id) IS NULL
              AS is_current,
            n_events
     FROM intervals
@@ -77,7 +78,11 @@ def scd2_user_state_intervals(spark, sf_dir):
         F.min("ts").alias("valid_from"),
         F.count("*").alias("n_events"),
     )
-    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    # run_id tie-break: two runs of one user can share a valid_from
+    # when consecutive state changes carry an identical ts — ordering
+    # by valid_from alone would make valid_to assignment partitioning-
+    # dependent
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "run_id")
     nxt = F.lead("valid_from").over(w2)
     return intervals.select(
         "user_id",

@@ -195,34 +195,35 @@ def dq_key_uniqueness(spark, sf_dir):
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(FLOOR((EXTRACT(EPOCH FROM MAX(MAX(ts)) OVER ())
-                       - EXTRACT(EPOCH FROM MAX(ts))) / 60)
-                AS BIGINT) AS minutes_behind
+           CAST((MAX(epoch_us(MAX(ts))) OVER () - epoch_us(MAX(ts)))
+                // 60000000 AS BIGINT) AS minutes_behind
     FROM events
     GROUP BY event_type
     """,
     doc="Freshness monitor: per-stream high watermark vs the global "
     "high watermark, in whole minutes. One aggregate pass; the window "
-    "max runs on the already-aggregated handful of rows. Epoch "
-    "arithmetic keeps it timezone-independent across engines. This is "
-    "the batch twin of the streaming lateness audit "
-    "(events_lateness_audit).",
+    "max runs on the already-aggregated handful of rows. The lag is "
+    "integer epoch-MICROsecond arithmetic with one floor division — "
+    "second-granularity extraction would truncate on one engine and "
+    "keep fractional seconds on the other, flipping the minute bucket "
+    "when a watermark straddles a boundary. This is the batch twin of "
+    "the streaming lateness audit (events_lateness_audit).",
 )
 def dq_events_freshness(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.max("ts").alias("mx"),
+        F.unix_micros(F.max("ts")).alias("mx_us"),
     )
     # global watermark via an empty-partition window on the tiny
     # aggregated table (a handful of rows — not a scale concern)
-    g = F.max("mx").over(W.partitionBy())
+    g = F.max("mx_us").over(W.partitionBy())
     return agg.select(
         "event_type",
         "n_events",
-        F.floor(
-            (F.unix_timestamp(g) - F.unix_timestamp("mx")) / 60
-        ).cast("bigint").alias("minutes_behind"),
+        F.floor((g - F.col("mx_us")) / 60000000)
+        .cast("bigint")
+        .alias("minutes_behind"),
     )
 
 

@@ -763,7 +763,7 @@ def text_tfidf_top_terms(spark, sf_dir):
 def text_bigram_lm_score(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tk = d.select(
-        "doc_id", F.split("text", r"\s+").alias("ws")
+        "doc_id", textops.tokens("text").alias("ws")
     ).where(F.size("ws") >= 2)
     bg = tk.select(
         "doc_id",
@@ -904,7 +904,7 @@ def vocab_drift_snapshots(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tk = d.select(
         (F.col("doc_id") % 2).alias("half"),
-        F.explode(F.split("text", r"\s+")).alias("w"),
+        F.explode(textops.tokens("text")).alias("w"),
     )
     counts = tk.groupBy("w").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0))

@@ -90,29 +90,22 @@ class LatestStateUpsert:
     def apply(self, batch: DataFrame, epoch_id: int) -> None:
         cols = [*self.key_cols, *self.order_cols, *self.value_cols]
         delta = self._collapse(batch.select(*cols))
-        vs = self._versions()
-        if vs:
+        target = int(epoch_id)
+        # replay safety: epoch N is a pure function of the newest
+        # version STRICTLY BELOW N and batch N — recomputing a crashed
+        # or duplicated epoch must not fold the snapshot it itself
+        # wrote (or any newer one) back in
+        prev = [v for v in self._versions() if v < target]
+        if prev:
             merged = self._collapse(
-                self.read().select(*cols).unionByName(delta)
+                self.spark.read.parquet(
+                    os.path.join(self.path, f"v={prev[-1]}")
+                )
+                .select(*cols)
+                .unionByName(delta)
             )
         else:
             merged = delta
-        target = int(epoch_id)
-        # replay safety: recomputing an epoch that already exists must
-        # not merge the current snapshot with itself through a NEWER
-        # version — only versions strictly below the target feed it
-        if vs and vs[-1] >= target:
-            prev = [v for v in vs if v < target]
-            if prev:
-                merged = self._collapse(
-                    self.spark.read.parquet(
-                        os.path.join(self.path, f"v={prev[-1]}")
-                    )
-                    .select(*cols)
-                    .unionByName(delta)
-                )
-            else:
-                merged = delta
         merged.write.mode("overwrite").parquet(
             os.path.join(self.path, f"v={target}")
         )
