@@ -27,6 +27,13 @@ def main() -> None:
     spark = get_session("dsp_spark_bench")
     qs = catalog.queries()
 
+    # Throughput first, on the fresh session: the reference's perf
+    # stages also measure a fresh server process (doc/perf.adoc:3-5).
+    # Run after the 148-query catalog sweep, the same suite reads
+    # 2-3x lower from accumulated session garbage the drain doesn't
+    # fully reclaim — that measures session history, not the operator.
+    throughput = _throughput_suite(spark)
+
     # Headline set: run everything registered; keep deterministic order.
     names = sorted(qs)
 
@@ -81,8 +88,6 @@ def main() -> None:
         _drain_session(spark)
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
-
-    throughput = _throughput_suite(spark)
 
     # Full per-query detail goes to a file; the stdout line must stay SHORT
     # (the driver keeps only a tail of stdout — a multi-KB JSON line gets
