@@ -699,3 +699,82 @@ def test_near_dup_state_survives_restart(spark, sf_dir, tmp_path):
     assert any(w <= mid and d > mid for (_, d, w) in second), (
         "no cross-restart flag against a pre-restart witness"
     )
+
+
+def test_stream_stream_left_outer_join_with_watermarks(spark, sf_dir, tmp_path):
+    """Stream-stream LEFT OUTER: clicks with no purchase within the
+    hour must still emit (with NULL purchase) once the watermark
+    passes — the abandoned-cart shape. Outer results require
+    watermarks on both sides plus the time-interval condition; an
+    unmatched click flushes exactly when the final watermark
+    (max event time - delay) passes its join-window upper bound, and
+    later clicks correctly remain in state."""
+    batch = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sso_in")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    def sides(df, rename):
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return c, p
+
+    c_s, p_s = sides(stream, True)
+    c_s = c_s.withWatermark("c_ts", "10 minutes")
+    p_s = p_s.withWatermark("p_ts", "10 minutes")
+    cond = (
+        (c_s.c_user == p_s.p_user)
+        & (p_s.p_ts > c_s.c_ts)
+        & (p_s.p_ts <= c_s.c_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = c_s.join(p_s, cond, "left_outer").select(
+        "c_user", "c_id", "p_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sso_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sso"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(p_id) AS matched FROM sso_out"
+    ).collect()[0]
+
+    c_b, p_b = sides(batch, False)
+    cond_b = (
+        (c_b.c_user == p_b.p_user)
+        & (p_b.p_ts > c_b.c_ts)
+        & (p_b.p_ts <= c_b.c_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    # matched rows always flush; an unmatched click flushes only once
+    # the final watermark (max event ts - 10 min) has passed its
+    # 1-hour join window — clicks in the trailing 70 minutes stay in
+    # state, exactly the streaming contract
+    # the global watermark is the MIN across both sides' watermark
+    # nodes (each side tracks its own filtered stream's max event time)
+    final_wm = batch.where(
+        F.col("event_type").isin("click", "purchase")
+    ).groupBy("event_type").agg(F.max("ts").alias("mx")).agg(
+        (F.min("mx") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).collect()[0]["wm"]
+    outer = c_b.join(p_b, cond_b, "left_outer")
+    exp = outer.where(
+        F.col("p_id").isNotNull()
+        | (F.col("c_ts") + F.expr("INTERVAL 1 HOUR") < F.lit(final_wm))
+    ).select(
+        F.count("*").alias("n"), F.count("p_id").alias("matched")
+    ).collect()[0]
+
+    assert (got["n"], got["matched"]) == (exp["n"], exp["matched"])
+    assert got["n"] > got["matched"] > 0
