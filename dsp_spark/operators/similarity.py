@@ -519,3 +519,85 @@ def pq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", id_col, "est", "rnk")
     )
+
+
+def ivfpq_topk(
+    corpus,
+    queries,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub: int = 8,
+    ksub: int = 16,
+    nq: int = 5,
+    nprobe: int = 2,
+    k: int = 10,
+):
+    """IVF-PQ: coarse cells bound the candidate set, PQ codes score it
+    — the composition (FAISS's IVFPQ) that serves billion-vector ANN:
+    the inverted index prunes >99% of the corpus per query AND each
+    candidate costs m table lookups instead of a full-dim dot.
+
+    Reuses :func:`ivf_assign` for cells/probes and the same
+    encode/ADC shapes as :func:`pq_topk` (broadcast codebook,
+    map-side struct-argmax encode, DECIMAL-exact ADC sums). The only
+    corpus-sized shuffles carry (id, cell) and (id, subspace, code) —
+    never vectors.
+    """
+    from pyspark.sql import Window as W
+
+    from dsp_spark.functions.vectors import dot
+
+    cells = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(id_col, "cell")
+    probes = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "cell")
+
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col(vec_col), i * sub + 1, sub) for i in range(m)]
+            )
+        ).alias("m", "sv"),
+    )
+    cb = subs.where(F.col(id_col) < ksub).select(
+        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+    )
+    d6 = F.round(dot("sv", "cv"), 6)
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .select(F.col(id_col), "m", d6.alias("d6"), "code")
+        .groupBy(id_col, "m")
+        .agg(F.max(F.struct("d6", (-F.col("code")).alias("nc"))).alias("b"))
+        .select(id_col, "m", (-F.col("b.nc")).cast("bigint").alias("code"))
+    )
+    q = subs.where(F.col(id_col) < nq).select(
+        F.col(id_col).alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    adc = q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.round(dot("qv", "cv"), 8).cast("decimal(18,8)").alias("pdot"),
+    )
+    candidates = (
+        enc.join(cells, id_col)
+        .join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+    )
+    scored = candidates.join(
+        F.broadcast(adc), ["query_id", "m", "code"]
+    ).groupBy("query_id", id_col).agg(
+        F.sum("pdot").cast("double").alias("est")
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= k)
+        .select("query_id", id_col, "est", "rnk")
+    )

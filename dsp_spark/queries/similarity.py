@@ -648,3 +648,81 @@ def embedding_norm_audit(spark, sf_dir):
 )
 def ann_pq_topk(spark, sf_dir):
     return sim.pq_topk(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cv FROM e WHERE vec_id % 100 = 0),
+    asg AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+            FROM e v, cent c) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cell FROM (
+            SELECT v.vec_id AS query_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+            FROM e v, cent c WHERE v.vec_id < 5) WHERE rn <= 2
+    ), sub AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS m,
+               emb[(CAST(i AS INTEGER) * 8 + 1):(CAST(i AS INTEGER) * 8 + 8)]
+                 AS sv
+        FROM e, UNNEST(range(8)) AS r(i)
+    ),
+    cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_dot_product(s.sv, c.cv), 6) DESC,
+                                c.code) AS rn
+            FROM sub s JOIN cb c USING (m))
+        WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 5),
+    adc AS (
+        SELECT q.query_id, q.m, c.code,
+               CAST(round(list_dot_product(q.qv, c.cv), 8)
+                    AS DECIMAL(18,8)) AS pdot
+        FROM q JOIN cb c USING (m)
+    ),
+    scored AS (
+        SELECT p.query_id, s.vec_id, CAST(SUM(ad.pdot) AS DOUBLE) AS est
+        FROM enc s
+        JOIN asg a USING (vec_id)
+        JOIN probes p ON p.cell = a.cell
+        JOIN adc ad ON ad.query_id = p.query_id
+                   AND ad.m = s.m AND ad.code = s.code
+        WHERE s.vec_id <> p.query_id
+        GROUP BY p.query_id, s.vec_id
+    )
+    SELECT query_id, vec_id, est, rnk FROM (
+        SELECT query_id, vec_id, est,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY est DESC, vec_id)
+                    AS INTEGER) AS rnk
+        FROM scored)
+    WHERE rnk <= 10
+    """,
+    doc="IVF-PQ (the FAISS IVFPQ composition): coarse cells prune the "
+    "candidate set per query, PQ codes + a broadcast ADC table score "
+    "what's left — at a billion vectors the index reads a few cells' "
+    "code lists (one byte per subspace per vector) instead of any "
+    "float data. Same deterministic codebooks and DECIMAL-exact ADC "
+    "sums as ann_pq_topk; candidate pruning shuffles only (id, cell). "
+    "operators/similarity.py:ivfpq_topk.",
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        e.filter(F.col("vec_id") % 100 == 0),
+        nprobe=2,
+        k=10,
+    )
