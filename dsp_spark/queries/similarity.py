@@ -726,3 +726,88 @@ def ann_ivfpq_topk(spark, sf_dir):
         nprobe=2,
         k=10,
     )
+
+
+@register(
+    "ann_pq_recall",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+    bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_COS_QC} DESC, e.vec_id) AS rnk
+            FROM e, q WHERE e.vec_id <> q.query_id
+        ) WHERE rnk <= 10
+    ),
+    sub AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS m,
+               emb[(CAST(i AS INTEGER) * 8 + 1):(CAST(i AS INTEGER) * 8 + 8)]
+                 AS sv
+        FROM e, UNNEST(range(8)) AS r(i)
+    ),
+    cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_dot_product(s.sv, c.cv), 6) DESC,
+                                c.code) AS rn
+            FROM sub s JOIN cb c USING (m))
+        WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 5),
+    adc AS (
+        SELECT qs.query_id, qs.m, c.code,
+               CAST(round(list_dot_product(qs.qv, c.cv), 8)
+                    AS DECIMAL(18,8)) AS pdot
+        FROM qs JOIN cb c USING (m)
+    ),
+    pqs AS (
+        SELECT a.query_id, enc.vec_id, CAST(SUM(a.pdot) AS DOUBLE) AS est
+        FROM enc JOIN adc a ON a.m = enc.m AND a.code = enc.code
+        WHERE enc.vec_id <> a.query_id
+        GROUP BY a.query_id, enc.vec_id
+    ),
+    pq AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY est DESC, vec_id) AS rnk
+            FROM pqs)
+        WHERE rnk <= 10
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(pq.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(pq.vec_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM bf LEFT JOIN pq
+      ON pq.query_id = bf.query_id AND pq.vec_id = bf.vec_id
+    GROUP BY bf.query_id
+    """,
+    doc="PQ recall audit: per query, how many of the exact cosine "
+    "top-10 the PQ/ADC top-10 recovers — the compression-vs-recall "
+    "dial every billion-vector deployment tunes (more subspaces / "
+    "bigger codebooks buy recall). Brute force runs once over the "
+    "small query set as ground truth; both rankings come from the "
+    "same deterministic codebooks, and recall is a ratio of exact "
+    "integers.",
+)
+def ann_pq_recall(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    bf = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "vec_id"
+    )
+    pq = sim.pq_topk(e).select(
+        "query_id", F.col("vec_id").alias("pq_vec")
+    )
+    j = bf.join(
+        pq,
+        (bf.query_id == pq.query_id) & (bf.vec_id == pq.pq_vec),
+        "left",
+    ).select(bf.query_id, "pq_vec")
+    return j.groupBy("query_id").agg(
+        F.count("pq_vec").alias("n_hits"),
+        (F.count("pq_vec").cast("double") / 10).alias("recall_at_10"),
+    )
