@@ -383,6 +383,8 @@ def power_iteration(
     broadcast. The exploded matrix is checkpointed once and reused by
     all rounds.
     """
+    if iters < 1:
+        raise ValueError(f"power_iteration needs iters >= 1, got {iters}")
     x = (
         emb.select(
             F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("p", "xv")
@@ -440,6 +442,65 @@ def power_iteration(
     )
 
 
+def pq_parts(
+    corpus,
+    queries,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub: int = 8,
+    ksub: int = 16,
+):
+    """Shared PQ building blocks for :func:`pq_topk` / :func:`ivfpq_topk`
+    (ONE implementation of codebook/encode/ADC so tie-breaks, rounding
+    grains and defaults can never diverge between the PQ variants):
+
+    * ``cb``  — the broadcastable codebook: the first ``ksub`` vectors'
+      subvectors per subspace (a trained codebook drops in identically);
+    * ``enc`` — per-(vector, subspace) max-dot code via map-side
+      struct-argmax (ties to the lowest code id); the only corpus-sized
+      shuffle carries (id, m, code), never vectors;
+    * ``adc`` — the queries x m x ksub partial-dot lookup table,
+      DECIMAL(18,8)-rounded so downstream sums are order-independent.
+    """
+    from dsp_spark.functions.vectors import dot
+
+    def explode_subs(df, out):
+        return df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col(vec_col), i * sub + 1, sub)
+                        for i in range(m)
+                    ]
+                )
+            ).alias("m", out),
+        )
+
+    subs = explode_subs(corpus, "sv")
+    cb = subs.where(F.col(id_col) < ksub).select(
+        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+    )
+    d6 = F.round(dot("sv", "cv"), 6)
+    enc = (
+        subs.join(F.broadcast(cb), "m")
+        .select(F.col(id_col), "m", d6.alias("d6"), "code")
+        .groupBy(id_col, "m")
+        .agg(F.max(F.struct("d6", (-F.col("code")).alias("nc"))).alias("b"))
+        .select(id_col, "m", (-F.col("b.nc")).cast("bigint").alias("code"))
+    )
+    q = explode_subs(queries, "qv").withColumnRenamed(id_col, "query_id")
+    adc = q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.round(dot("qv", "cv"), 8).cast("decimal(18,8)").alias("pdot"),
+    )
+    return cb, enc, adc
+
+
 def pq_topk(
     corpus,
     *,
@@ -476,36 +537,15 @@ def pq_topk(
     """
     from pyspark.sql import Window as W
 
-    from dsp_spark.functions.vectors import dot
-
     e = corpus.select(id_col, vec_col)
-    subs = e.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[F.slice(F.col(vec_col), i * sub + 1, sub) for i in range(m)]
-            )
-        ).alias("m", "sv"),
-    )
-    cb = subs.where(F.col(id_col) < ksub).select(
-        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
-    )
-    d6 = F.round(dot("sv", "cv"), 6)
-    enc = (
-        subs.join(F.broadcast(cb), "m")
-        .select(F.col(id_col), "m", d6.alias("d6"), "code")
-        .groupBy(id_col, "m")
-        .agg(F.max(F.struct("d6", (-F.col("code")).alias("nc"))).alias("b"))
-        .select(id_col, "m", (-F.col("b.nc")).cast("bigint").alias("code"))
-    )
-    q = subs.where(F.col(id_col) < nq).select(
-        F.col(id_col).alias("query_id"), "m", F.col("sv").alias("qv")
-    )
-    adc = q.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        "code",
-        F.round(dot("qv", "cv"), 8).cast("decimal(18,8)").alias("pdot"),
+    _, enc, adc = pq_parts(
+        e,
+        e.where(F.col(id_col) < nq),
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        sub=sub,
+        ksub=ksub,
     )
     scored = (
         enc.join(F.broadcast(adc), ["m", "code"])
@@ -531,7 +571,6 @@ def ivfpq_topk(
     m: int = 8,
     sub: int = 8,
     ksub: int = 16,
-    nq: int = 5,
     nprobe: int = 2,
     k: int = 10,
 ):
@@ -548,8 +587,6 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window as W
 
-    from dsp_spark.functions.vectors import dot
-
     cells = ivf_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
     ).select(id_col, "cell")
@@ -557,33 +594,17 @@ def ivfpq_topk(
         queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("query_id"), "cell")
 
-    subs = corpus.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[F.slice(F.col(vec_col), i * sub + 1, sub) for i in range(m)]
-            )
-        ).alias("m", "sv"),
-    )
-    cb = subs.where(F.col(id_col) < ksub).select(
-        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
-    )
-    d6 = F.round(dot("sv", "cv"), 6)
-    enc = (
-        subs.join(F.broadcast(cb), "m")
-        .select(F.col(id_col), "m", d6.alias("d6"), "code")
-        .groupBy(id_col, "m")
-        .agg(F.max(F.struct("d6", (-F.col("code")).alias("nc"))).alias("b"))
-        .select(id_col, "m", (-F.col("b.nc")).cast("bigint").alias("code"))
-    )
-    q = subs.where(F.col(id_col) < nq).select(
-        F.col(id_col).alias("query_id"), "m", F.col("sv").alias("qv")
-    )
-    adc = q.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        "code",
-        F.round(dot("qv", "cv"), 8).cast("decimal(18,8)").alias("pdot"),
+    # ADC subvectors come from the QUERIES argument — not from corpus
+    # rows that happen to share ids — so probes and lookup tables always
+    # describe the same query set
+    _, enc, adc = pq_parts(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        sub=sub,
+        ksub=ksub,
     )
     candidates = (
         enc.join(cells, id_col)

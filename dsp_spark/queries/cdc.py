@@ -108,7 +108,7 @@ def scd2_user_state_intervals(spark, sf_dir):
              CAST(FLOOR((cents * 11 + 5) / 10.0) AS BIGINT) AS cents
       FROM base WHERE o_orderkey % 7 = 0
     ), inserts AS (
-      SELECT o_orderkey + 10000000 AS o_orderkey,
+      SELECT -o_orderkey - 1 AS o_orderkey,
              'N' AS o_orderstatus, cents
       FROM base WHERE o_orderkey % 13 = 0
     ), delta AS (
@@ -149,8 +149,11 @@ def merge_upsert_orders(spark, sf_dir):
         F.lit("U").alias("o_orderstatus"),
         F.floor((F.col("cents") * 11 + 5) / 10.0).cast("bigint").alias("cents"),
     )
+    # negated keys are disjoint from every real (positive) orderkey at
+    # ANY scale factor — a fixed additive offset would collide once
+    # base keys outgrow it
     inserts = base.where(F.col("o_orderkey") % 13 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         "cents",
     )

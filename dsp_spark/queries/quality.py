@@ -230,9 +230,16 @@ def dq_events_freshness(spark, sf_dir):
 @register(
     "dq_volume_shift_daily",
     """
-    WITH daily AS (
+    WITH observed AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
       FROM events GROUP BY CAST(ts AS DATE)
+    ), spine AS (
+      SELECT CAST(UNNEST(generate_series(MIN(day), MAX(day),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM observed
+    ), daily AS (
+      SELECT s.day, COALESCE(o.n, 0) AS n
+      FROM spine s LEFT JOIN observed o ON s.day = o.day
     ), trail AS (
       SELECT day, n,
              SUM(n) OVER (ORDER BY day
@@ -249,18 +256,29 @@ def dq_events_freshness(spark, sf_dir):
              OR 2.0 * CAST(n AS DOUBLE) * trail_days < trail_sum
              AS shifted
     FROM trail
-    WHERE trail_days > 0
+    WHERE trail_days > 0 AND trail_sum > 0
     """,
     doc="Volume-shift monitor: each day's event count vs its trailing "
     "7-day average; flags >2x swings in either direction (the pipeline-"
-    "broke / upstream-double-published alarm). The window runs on the "
-    "30-row daily aggregate, never raw events; the ratio is computed "
-    "from exact integer sums so both engines emit identical doubles.",
+    "broke / upstream-double-published alarm). The daily counts are "
+    "densified onto a calendar spine first, so a silent day shows up "
+    "as an explicit zero (and flags as shifted) instead of vanishing — "
+    "and the 7-ROW trailing window really means 7 calendar days even "
+    "across gaps. Windows run on the ~30-row spine, never raw events; "
+    "the ratio is computed from exact integer sums so both engines "
+    "emit identical doubles.",
 )
 def dq_volume_shift_daily(spark, sf_dir):
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    observed = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").alias("n")
+    )
+    bounds = observed.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = spine.join(observed, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
     )
     w = W.orderBy("day").rowsBetween(-7, -1)
     trail = daily.select(
@@ -270,7 +288,9 @@ def dq_volume_shift_daily(spark, sf_dir):
         F.count("n").over(w).alias("trail_days"),
     )
     nd = F.col("n").cast("double")
-    return trail.where(F.col("trail_days") > 0).select(
+    return trail.where(
+        (F.col("trail_days") > 0) & (F.col("trail_sum") > 0)
+    ).select(
         F.col("day").cast("timestamp").alias("day"),
         F.col("n").cast("bigint").alias("n_events"),
         # raw double ratio of exact integers: identical operands on both

@@ -594,11 +594,10 @@ def embedding_norm_audit(spark, sf_dir):
     )
 
 
-@register(
-    "ann_pq_topk",
-    """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    sub AS (
+# Shared PQ oracle building blocks (mirrors operators/similarity.py:
+# pq_parts — ONE text for codebook/encode/ADC so the three PQ entries
+# can't drift apart): requires a preceding CTE `e(vec_id, emb DOUBLE[])`.
+_PQ_CTES = """sub AS (
         SELECT vec_id, CAST(i AS INTEGER) AS m,
                emb[(CAST(i AS INTEGER) * 8 + 1):(CAST(i AS INTEGER) * 8 + 8)]
                  AS sv
@@ -615,13 +614,21 @@ def embedding_norm_audit(spark, sf_dir):
             FROM sub s JOIN cb c USING (m))
         WHERE rn = 1
     ),
-    q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 5),
+    qsub AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub
+             WHERE vec_id < 5),
     adc AS (
-        SELECT q.query_id, q.m, c.code,
-               CAST(round(list_dot_product(q.qv, c.cv), 8)
+        SELECT qsub.query_id, qsub.m, c.code,
+               CAST(round(list_dot_product(qsub.qv, c.cv), 8)
                     AS DECIMAL(18,8)) AS pdot
-        FROM q JOIN cb c USING (m)
-    ),
+        FROM qsub JOIN cb c USING (m)
+    )"""
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_PQ_CTES},
     scored AS (
         SELECT a.query_id, enc.vec_id, CAST(SUM(a.pdot) AS DOUBLE) AS est
         FROM enc JOIN adc a ON a.m = enc.m AND a.code = enc.code
@@ -667,30 +674,8 @@ def ann_pq_topk(spark, sf_dir):
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
             FROM e v, cent c WHERE v.vec_id < 5) WHERE rn <= 2
-    ), sub AS (
-        SELECT vec_id, CAST(i AS INTEGER) AS m,
-               emb[(CAST(i AS INTEGER) * 8 + 1):(CAST(i AS INTEGER) * 8 + 8)]
-                 AS sv
-        FROM e, UNNEST(range(8)) AS r(i)
     ),
-    cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
-    enc AS (
-        SELECT vec_id, m, code FROM (
-            SELECT s.vec_id, s.m, c.code,
-                   row_number() OVER (
-                       PARTITION BY s.vec_id, s.m
-                       ORDER BY round(list_dot_product(s.sv, c.cv), 6) DESC,
-                                c.code) AS rn
-            FROM sub s JOIN cb c USING (m))
-        WHERE rn = 1
-    ),
-    q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 5),
-    adc AS (
-        SELECT q.query_id, q.m, c.code,
-               CAST(round(list_dot_product(q.qv, c.cv), 8)
-                    AS DECIMAL(18,8)) AS pdot
-        FROM q JOIN cb c USING (m)
-    ),
+    {_PQ_CTES},
     scored AS (
         SELECT p.query_id, s.vec_id, CAST(SUM(ad.pdot) AS DOUBLE) AS est
         FROM enc s
@@ -741,30 +726,7 @@ def ann_ivfpq_topk(spark, sf_dir):
             FROM e, q WHERE e.vec_id <> q.query_id
         ) WHERE rnk <= 10
     ),
-    sub AS (
-        SELECT vec_id, CAST(i AS INTEGER) AS m,
-               emb[(CAST(i AS INTEGER) * 8 + 1):(CAST(i AS INTEGER) * 8 + 8)]
-                 AS sv
-        FROM e, UNNEST(range(8)) AS r(i)
-    ),
-    cb AS (SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
-    enc AS (
-        SELECT vec_id, m, code FROM (
-            SELECT s.vec_id, s.m, c.code,
-                   row_number() OVER (
-                       PARTITION BY s.vec_id, s.m
-                       ORDER BY round(list_dot_product(s.sv, c.cv), 6) DESC,
-                                c.code) AS rn
-            FROM sub s JOIN cb c USING (m))
-        WHERE rn = 1
-    ),
-    qs AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < 5),
-    adc AS (
-        SELECT qs.query_id, qs.m, c.code,
-               CAST(round(list_dot_product(qs.qv, c.cv), 8)
-                    AS DECIMAL(18,8)) AS pdot
-        FROM qs JOIN cb c USING (m)
-    ),
+    {_PQ_CTES},
     pqs AS (
         SELECT a.query_id, enc.vec_id, CAST(SUM(a.pdot) AS DOUBLE) AS est
         FROM enc JOIN adc a ON a.m = enc.m AND a.code = enc.code

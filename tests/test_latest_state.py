@@ -55,7 +55,11 @@ def test_streaming_latest_state_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
-    events = read_table(spark, sf_dir, "events").select(*COLS).limit(500)
+    # deterministic subset: LIMIT without ORDER BY may pick different
+    # rows on each of the three actions below
+    events = read_table(spark, sf_dir, "events").select(*COLS).where(
+        F.col("event_id") < 500
+    )
     half1 = events.where(F.col("event_id") % 2 == 0)
     half2 = events.where(F.col("event_id") % 2 == 1)
 
@@ -73,7 +77,9 @@ def test_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
 
 
 def test_vacuum_keeps_newest_versions(spark, sf_dir, tmp_path):
-    events = read_table(spark, sf_dir, "events").select(*COLS).limit(300)
+    events = read_table(spark, sf_dir, "events").select(*COLS).where(
+        F.col("event_id") < 300
+    )
     sink = LatestStateUpsert(
         spark, str(tmp_path / "state"), KEYS, ORDER, VALUES
     )

@@ -51,6 +51,8 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         .collect()[0]
         .asDict()
     )
+    # an empty corpus aggregates to NULL sums — report zeros, don't die
+    audit = {k: int(v or 0) for k, v in audit.items()}
 
     # 1. quality: reuse the cataloged rule set, keep only passing docs
     flags = catalog.entries()["text_quality_filter"].fn(spark, sf_dir)
@@ -95,7 +97,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     }
     return {
         "input_docs": n_input,
-        "audit": {k: int(v) for k, v in audit.items()},
+        "audit": audit,
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_neardup,
