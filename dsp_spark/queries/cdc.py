@@ -174,3 +174,94 @@ def merge_upsert_orders(spark, sf_dir):
         F.col("status").alias("o_orderstatus"), "action", "n_orders",
         "total_price",
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ), ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM src
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ), intervals AS (
+      SELECT user_id, event_type AS state, run_id,
+             MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, event_type, run_id
+    ), dim AS (
+      SELECT user_id, state, valid_from,
+             LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY valid_from, run_id)
+               AS valid_to
+      FROM intervals
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           d.state AS state_at_purchase,
+           d.valid_from AS state_since
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+         AND p.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+    doc="Point-in-time (bitemporal) lookup — the SCD2 CONSUMER side: "
+    "each purchase joins the state interval that was current when it "
+    "happened (user equi-key + validity-range predicate, so this is a "
+    "keyed join with a range filter, never a cross product). "
+    "Purchases before any observed state keep NULLs via the left "
+    "join. Dimension build is the scd2_user_state_intervals plan (one "
+    "user_id shuffle); the probe co-partitions on the same key.",
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    src = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    runs = src.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    ).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "run_id")
+    dim = intervals.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    d = dim.alias("d")
+    pp = p.alias("p")
+    return pp.join(
+        d,
+        (F.col("p.user_id") == F.col("d.user_id"))
+        & (F.col("p.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("p.ts") < F.col("d.valid_to"))),
+        "left",
+    ).select(
+        "p.event_id",
+        "p.user_id",
+        "p.ts",
+        F.col("d.state").alias("state_at_purchase"),
+        F.col("d.valid_from").alias("state_since"),
+    )

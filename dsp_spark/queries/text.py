@@ -967,3 +967,69 @@ def lang_id_confusion(spark, sf_dir):
         .groupBy("lang_true", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "corpus_token_budget_select",
+    f"""
+    WITH x AS (
+        SELECT doc_id, text,
+               string_split_regex(text, '\\s+') AS tk,
+               length(text) AS n_char
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               round((10 * (len(list_filter(tk, w -> w IN ({_STOPS})))
+                            / len(tk))
+                      + least(list_sum(list_transform(tk, w -> length(w)))
+                              / len(tk), 10.0)) / 20, 6) AS quality
+        FROM x
+    ), ranked AS (
+        SELECT doc_id, n_tokens, quality,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens - n_tokens < 10000
+    """,
+    doc="Token-budget curriculum selection: rank documents by quality "
+    "and keep the best until a 10k-token training budget is exhausted "
+    "(a doc is admitted if it STARTS within budget) — how a curation "
+    "run fills a fixed compute budget with the best data first. The "
+    "sort and cumulative sum run on the doc-grain (id, tokens, "
+    "quality) triple — never text — and the cumsum is exact integer "
+    "tokens, so the cut line is engine-deterministic; ties break on "
+    "doc_id. At 100 TB the global ORDER BY is one range exchange on "
+    "the tiny triple table.",
+)
+def corpus_token_budget_select(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = textops.tokens("text")
+    stop_raw = (
+        F.size(F.expr(f"filter(split(text, '\\\\s+'), w -> w IN ({_STOPS}))"))
+        / F.size(toks)
+    )
+    mean_raw = (
+        F.expr("aggregate(split(text, '\\\\s+'), 0, (acc, w) -> acc + length(w))")
+        / F.size(toks)
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            (10 * stop_raw + F.least(mean_raw, F.lit(10.0))) / 20, 6
+        ).alias("quality"),
+    )
+    w = W.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return ranked.where(
+        F.col("cum_tokens") - F.col("n_tokens") < 10000
+    ).select(
+        "doc_id", "n_tokens", "quality",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
