@@ -295,3 +295,70 @@ def lineitem_numeric_corr(spark, sf_dir):
         .unionByName(pair("quantity~tax", "sqt", "sq", "st", "sqq", "stt"))
         .unionByName(pair("discount~tax", "sdt", "sd", "st", "sdd", "stt"))
     )
+
+
+@register(
+    "embedding_outlier_scores",
+    """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x6
+      FROM embeddings
+    ), mom AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x6) AS BIGINT) AS DOUBLE) AS s6,
+             CAST(CAST(SUM(x6 * x6) AS BIGINT) AS DOUBLE) AS ssq
+      FROM x GROUP BY dim
+    ), z AS (
+      SELECT x.vec_id,
+             CAST(round(
+               (x.x6 - mom.s6 / mom.n) * (x.x6 - mom.s6 / mom.n)
+               / ((mom.ssq - mom.s6 * mom.s6 / mom.n) / mom.n), 6)
+               AS DECIMAL(20,6)) AS zsq
+      FROM x JOIN mom USING (dim)
+    )
+    SELECT vec_id,
+           CAST(SUM(zsq) AS DOUBLE) AS mahal_sq,
+           CAST(SUM(zsq) AS DOUBLE) > 110.0 AS outlier
+    FROM z GROUP BY vec_id
+    """,
+    doc="Embedding outlier audit: diagonal-Mahalanobis distance of "
+    "every vector from the corpus moments (sum over dims of z^2) with "
+    "a chi-square-ish flag at 110 for 64 dims — the drop-corrupt-"
+    "vectors gate before ANN indexing or training. Moments come from "
+    "the same 1e-6 fixed-point sums as embedding_dim_variance (every "
+    "cast exact under 2^53); per-cell z^2 is an identical double "
+    "expression on both engines, rounded once and summed as DECIMAL "
+    "so the per-vector total is accumulation-order-independent. Two "
+    "shuffles total: the 64-key moment aggregate (broadcast back) and "
+    "the per-vector sum.",
+)
+def embedding_outlier_scores(spark, sf_dir):
+    em = t(spark, sf_dir, "embeddings")
+    x = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xv")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("xv").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("x6"),
+    )
+    mom = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x6").cast("bigint").cast("double").alias("s6"),
+        F.sum(F.col("x6") * F.col("x6")).cast("bigint").cast("double").alias("ssq"),
+    )
+    mean = F.col("s6") / F.col("n")
+    var = (F.col("ssq") - F.col("s6") * F.col("s6") / F.col("n")) / F.col("n")
+    zsq = F.round(
+        (F.col("x6") - mean) * (F.col("x6") - mean) / var, 6
+    ).cast("decimal(20,6)")
+    z = x.join(F.broadcast(mom), "dim").select("vec_id", zsq.alias("zsq"))
+    s = F.sum("zsq").cast("double")
+    return z.groupBy("vec_id").agg(
+        s.alias("mahal_sq"), (s > 110.0).alias("outlier")
+    )
