@@ -18,6 +18,24 @@ from tests._compare import assert_results_equal
 # discovered by running every oracle through spark.sql at sf0.01 and
 # keeping exact matches; includes all 22 TPC-H shapes
 PORTABLE = [
+    "approx_distinct_docs_hll",
+    "asof_join_forward_purchase",
+    "basket_brand_affinity",
+    "dedup_incremental_new_docs",
+    "dq_documents_audit",
+    "dq_key_uniqueness",
+    "dq_referential_integrity",
+    "events_audience_overlap",
+    "events_cumulative_distinct_users",
+    "events_journey_paths",
+    "hll_user_rollup_merge",
+    "lineitem_numeric_corr",
+    "merge_upsert_orders",
+    "orders_abc_pareto",
+    "scd2_point_in_time_join",
+    "scd2_user_state_intervals",
+    "source_lang_mix",
+    "table_stats_documents",
     "asof_join_event_order",
     "big_spender_segments",
     "conditional_bucketing",
