@@ -117,6 +117,37 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "table_stats_documents",
     "corpus_snapshot_diff",
     "corpus_dataset_card",
+    # round-3 additions, ranked for the round-4 window: core new
+    # families first (DQ, CDC, sketches, graph/linalg, PQ ANN), then
+    # the long tail
+    "dq_documents_audit",
+    "dq_referential_integrity",
+    "dq_key_uniqueness",
+    "dq_events_freshness",
+    "dq_volume_shift_daily",
+    "scd2_user_state_intervals",
+    "scd2_point_in_time_join",
+    "merge_upsert_orders",
+    "hll_user_rollup_merge",
+    "quantile_sketch_prices",
+    "embedding_dim_variance",
+    "embedding_outlier_scores",
+    "lineitem_numeric_corr",
+    "graph_pagerank_dupgraph",
+    "embedding_pca_power",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_recall",
+    "text_bigram_lm_score",
+    "quality_classifier_score",
+    "vocab_drift_snapshots",
+    "lang_id_confusion",
+    "corpus_token_budget_select",
+    "dedup_incremental_new_docs",
+    "events_ohlc_resample",
+    "events_twap_per_user",
+    "events_cumulative_distinct_users",
+    "orders_abc_pareto",
 )
 
 
