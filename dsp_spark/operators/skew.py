@@ -61,7 +61,24 @@ def write_bucketed(
     Joins/aggregations on `bucket_col` between tables written with the
     same layout need no exchange — Spark trusts the bucket spec the way
     it would a shuffle's hash partitioning.
+
+    Idempotent even after an interrupted prior run: `overwrite` alone
+    fails with LOCATION_ALREADY_EXISTS when the warehouse directory has
+    residue but the table never made it into the catalog, so the table
+    AND its default location are dropped first.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse:
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(warehouse)
+        if loc.scheme in ("", "file"):
+            shutil.rmtree(
+                f"{loc.path}/{table.lower()}", ignore_errors=True
+            )
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

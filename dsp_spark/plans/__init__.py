@@ -5,5 +5,6 @@ from dsp_spark.plans.inspect import (  # noqa: F401
     has_reused_exchange,
     pushed_filters,
     read_schema_columns,
+    unpartitioned_windows,
     whole_stage_codegen_ids,
 )

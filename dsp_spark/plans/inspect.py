@@ -58,6 +58,49 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) (?:Exchange|BroadcastExchange)\b", plan))
 
 
+def unpartitioned_windows(plan_or_df: DataFrame | str) -> list[str]:
+    """Argument strings of Window nodes with an EMPTY partition spec.
+
+    An unpartitioned window executes as `Exchange SinglePartition` +
+    one task holding every row — the classic silent scale-killer
+    (Spark logs `WindowExec: No Partition Defined`). A formatted-plan
+    Window node prints `Arguments: [exprs], [partitionSpec],
+    [orderSpec]` with empty specs omitted, so two top-level bracket
+    groups mean either "partitioned, no order" (fine — e.g.
+    min-over-partition) or "ordered, no partition" (the scale bug);
+    they're told apart by the `ASC NULLS`/`DESC NULLS` sort markers
+    only an order spec carries. One group means no partition and no
+    order — also single-partition. Bracket-depth scanning keeps
+    brackets nested inside expressions from miscounting. Bounded
+    cases (year-grain aggregates, bucket-count offset tables) must be
+    explicitly allowlisted in tests."""
+    text = (
+        plan_or_df if isinstance(plan_or_df, str) else formatted(plan_or_df)
+    )
+    out = []
+    for m in re.finditer(r"\(\d+\) Window\s*\n[^\n]*\nArguments: ([^\n]*)", text):
+        args = m.group(1)
+        groups: list[str] = []
+        depth = start = 0
+        for i, ch in enumerate(args):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(args[start + 1 : i])
+        if len(groups) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC) NULLS", groups[1]
+        ):
+            continue  # [exprs], [partition] — partitioned, unordered
+        out.append(args)
+    return out
+
+
 def whole_stage_codegen_ids(df: DataFrame) -> set[str]:
     """Codegen stage ids present — wider spans mean more of the plan is
     compiled into one JVM loop. Executes the plan (AQE only annotates

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
+from dsp_spark.operators import prefix
 from dsp_spark.queries._util import MONEY, PCT, dec, dsum, t
 
 # ---------------------------------------------------------------------------
@@ -756,10 +757,12 @@ def orders_yoy_growth(spark, sf_dir):
     """,
     doc="RFM segmentation: per-customer recency/frequency/monetary from "
     "one orders agg, then quartile NTILEs with custkey tie-breaks so "
-    "bucket edges are deterministic. The ntile windows are global but "
-    "run on the customer-cardinality aggregate, not on orders; at "
-    "extreme scale swap ntile for approx-percentile cutpoints joined "
-    "back (same output contract).",
+    "bucket edges are deterministic. Each quartile is the two-phase "
+    "bucketed NTILE (operators/prefix.py) — quantile buckets, local "
+    "row_number, broadcast offsets + exact SQL tile rule — joined "
+    "back on custkey; no single-partition window anywhere, and the "
+    "customer-grain agg is materialized once (localCheckpoint) so the "
+    "orders scan+shuffle never reruns per rank branch.",
 )
 def customer_rfm_segments(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
@@ -768,14 +771,30 @@ def customer_rfm_segments(spark, sf_dir):
         F.count("*").alias("frequency"),
         dsum(dec("o_totalprice")).alias("monetary"),
     )
-    return rfm.select(
+    rfm = rfm.localCheckpoint()  # one orders scan+shuffle, period
+    # last_order melts to epoch seconds: the session runs in UTC so the
+    # NTZ->double mapping is monotone and injective (µs resolution sits
+    # well inside double's 2^53 integer range), preserving the
+    # ORDER BY last_order tie-broken-by-custkey contract exactly
+    tiles = prefix.global_ntile_multi(
+        rfm,
+        "custkey",
+        {
+            "r_quartile": F.col("last_order").cast("timestamp").cast("double"),
+            "f_quartile": F.col("frequency"),
+            "m_quartile": F.col("monetary"),
+        },
+        4,
+        checkpoint=False,  # rfm is already materialized above
+    )
+    return rfm.join(tiles, "custkey").select(
         "custkey",
         "last_order",
         "frequency",
         "monetary",
-        F.ntile(4).over(W.orderBy("last_order", "custkey")).cast("int").alias("r_quartile"),
-        F.ntile(4).over(W.orderBy("frequency", "custkey")).cast("int").alias("f_quartile"),
-        F.ntile(4).over(W.orderBy("monetary", "custkey")).cast("int").alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -857,10 +876,12 @@ def basket_brand_affinity(spark, sf_dir):
     doc="ABC/Pareto analysis: customers ranked into revenue deciles, "
     "with each decile's cumulative share of total revenue — the "
     "80/20 concentration report. Revenue aggregates as exact integer "
-    "cents; the rank and both windows run on the customer-grain "
-    "aggregate (never raw orders), and the final share is a ratio of "
-    "exact int64s so both engines emit identical doubles. NTILE ties "
-    "break on o_custkey for determinism.",
+    "cents; the decile is the two-phase bucketed NTILE "
+    "(operators/prefix.py) on the customer-grain aggregate (never raw "
+    "orders, never a single-partition window), and the final share is "
+    "a ratio of exact int64s so both engines emit identical doubles. "
+    "NTILE ties break on o_custkey for determinism; the two windows "
+    "over the decile rollup cover 10 rows.",
 )
 def orders_abc_pareto(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
@@ -871,12 +892,17 @@ def orders_abc_pareto(spark, sf_dir):
         .cast("bigint")
         .alias("cents")
     )
-    ranked = per_cust.select(
-        "cents",
-        F.ntile(10)
-        .over(W.orderBy(F.desc("cents"), F.asc("o_custkey")))
-        .alias("decile"),
-    )
+    ranked = prefix.global_ntile(
+        per_cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        10,
+        "decile",
+        proxy=F.col("cents"),
+        proxy_desc=True,
+        # materialize the customer-grain agg once instead of re-running
+        # the orders scan+shuffle per prefix branch
+        checkpoint=True,
+    ).select("cents", "decile")
     d = ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("cents_sum"),

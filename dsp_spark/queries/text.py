@@ -7,7 +7,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
-from dsp_spark.operators import textops
+from dsp_spark.operators import prefix, textops
 from dsp_spark.operators.multimodal import N_FAKE_FEATURES, extract_features
 from dsp_spark.queries._util import t
 
@@ -895,8 +895,10 @@ def quality_classifier_score(spark, sf_dir):
     "relative term-rate ratio, top-20 most-drifted terms in either "
     "direction — the dataset-drift monitor that catches a scraped "
     "source changing under you. Counting is one token aggregate "
-    "(vocab-bounded), totals ride a single-row broadcast, and the rank "
-    "runs on the filtered term table, never raw tokens. The ratio is "
+    "(vocab-bounded), totals ride a single-row broadcast, and the "
+    "top-20 is a TakeOrderedAndProject (per-partition heaps, no "
+    "global sort or window) on the filtered term table, never raw "
+    "tokens. The ratio is "
     "an identical double expression over exact integers on both "
     "engines — no rounding step.",
 )
@@ -931,13 +933,17 @@ def vocab_drift_snapshots(spark, sf_dir):
             ).alias("drift_ratio"),
         )
     )
-    w = W.orderBy(
-        F.desc(F.greatest(F.col("drift_ratio"), 1.0 / F.col("drift_ratio"))),
-        F.asc("w"),
-    )
+    # global top-20 as orderBy().limit() — compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    # rows), never a single-partition row_number window
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        scored.orderBy(
+            F.desc(
+                F.greatest(F.col("drift_ratio"), 1.0 / F.col("drift_ratio"))
+            ),
+            F.asc("w"),
+        )
+        .limit(20)
         .select("w", "n0", "n1", "drift_ratio")
     )
 
@@ -1002,8 +1008,10 @@ def lang_id_confusion(spark, sf_dir):
     "sort and cumulative sum run on the doc-grain (id, tokens, "
     "quality) triple — never text — and the cumsum is exact integer "
     "tokens, so the cut line is engine-deterministic; ties break on "
-    "doc_id. At 100 TB the global ORDER BY is one range exchange on "
-    "the tiny triple table.",
+    "doc_id. The running sum is the two-phase bucketed prefix sum "
+    "(operators/prefix.py) — quantile-bucketed local cumsums plus "
+    "broadcast bucket offsets — NOT a global window, so no row ever "
+    "funnels through a single task at 100 TB.",
 )
 def corpus_token_budget_select(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -1023,10 +1031,17 @@ def corpus_token_budget_select(spark, sf_dir):
             (10 * stop_raw + F.least(mean_raw, F.lit(10.0))) / 20, 6
         ).alias("quality"),
     )
-    w = W.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
-        W.unboundedPreceding, 0
+    ranked = prefix.global_cumsum(
+        scored,
+        [F.desc("quality"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+        proxy=F.col("quality"),
+        proxy_desc=True,
+        # materialize the doc-grain triple once: tokenization is the
+        # expensive part and must not rerun per prefix branch
+        checkpoint=True,
     )
-    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return ranked.where(
         F.col("cum_tokens") - F.col("n_tokens") < 10000
     ).select(

@@ -20,12 +20,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from dsp_spark import catalog, plans
     from dsp_spark.session import get_session
+    from tests.test_plans import ALLOWED_GLOBAL_WINDOWS
 
     spark = get_session("scale-report")
     rows = []
     for name, e in sorted(catalog.entries().items()):
         df = e.fn(spark, sf_dir)
         plan = plans.formatted(df)
+        n_global = len(plans.unpartitioned_windows(plan))
+        if n_global == 0:
+            gw = ""
+        elif n_global <= ALLOWED_GLOBAL_WINDOWS.get(name, 0):
+            gw = f"{n_global} (bounded)"
+        else:
+            gw = f"{n_global} UNBOUNDED"
         rows.append(
             (
                 name,
@@ -33,6 +41,7 @@ def main() -> int:
                 "y" if "BroadcastHashJoin" in plan else "",
                 "y" if "ReusedExchange" in plan else "",
                 "CARTESIAN" if "CartesianProduct" in plan else "",
+                gw,
                 len(plans.whole_stage_codegen_ids(df)),
             )
         )
@@ -44,21 +53,35 @@ def main() -> int:
             "every Exchange node (shuffle or broadcast) in the final plan;\n"
             "`reuse` marks self-join sides sharing one exchange; a Cartesian\n"
             "product would be listed by name (none may appear — also asserted\n"
-            "in tests/test_plans.py). Shuffle counts are the invariant that\n"
-            "survives a 1000x scale-up; row counts are not.\n\n"
-            "| entry | exchanges | bcast join | reuse | cartesian | codegen stages |\n"
-            "|---|---|---|---|---|---|\n"
+            "in tests/test_plans.py). `global window` lists unpartitioned\n"
+            "(single-partition) Window nodes: `(bounded)` means every one is\n"
+            "on the audited bounded-cardinality allowlist\n"
+            "(tests/test_plans.py ALLOWED_GLOBAL_WINDOWS — year/day/dictionary\n"
+            "grain or the ≤64-row bucket-offset table of the two-phase prefix\n"
+            "ops); `UNBOUNDED` would be a data-grain single-task window, a\n"
+            "scale bug the same test fails on. Shuffle counts are the\n"
+            "invariant that survives a 1000x scale-up; row counts are not.\n\n"
+            "| entry | exchanges | bcast join | reuse | cartesian | global window | codegen stages |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
-            f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} |\n")
+            f.write(
+                f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} | {r[6]} |\n"
+            )
         total = sum(r[1] for r in rows)
         n_cartesian = sum(1 for r in rows if r[4])
+        n_unbounded = sum(1 for r in rows if "UNBOUNDED" in r[5])
         f.write(
             f"\n{len(rows)} entries, {total} exchanges total; "
-            f"{n_cartesian} Cartesian products.\n"
+            f"{n_cartesian} Cartesian products; "
+            f"{n_unbounded} unbounded global windows.\n"
         )
-    if n_cartesian:
-        print(f"ERROR: {n_cartesian} Cartesian products in plans", file=sys.stderr)
+    if n_cartesian or n_unbounded:
+        print(
+            f"ERROR: {n_cartesian} Cartesian products, "
+            f"{n_unbounded} unbounded global windows in plans",
+            file=sys.stderr,
+        )
         spark.stop()
         return 1
     print(f"wrote {out}: {len(rows)} entries")
