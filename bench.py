@@ -34,6 +34,19 @@ def main() -> None:
     # reclaim — that measures session history, not the operator.
     throughput = _throughput_suite(spark)
 
+    # Hard drain between phases: the throughput suite leaves ~2 GB of
+    # generated-message blocks plus shuffle files behind, and the
+    # catalog sweep starts (alphabetically) with the compute-dense
+    # ann_*/dedup_* family — round 3 recorded them 34-48% slower than
+    # round 2 purely from this session residue (isolated reruns beat
+    # the round-2 numbers with unchanged plans). GC twice with a pause
+    # so the ContextCleaner actually processes the weak-ref queue
+    # before timing resumes.
+    _drain_session(spark)
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+
     # Headline set: run everything registered; keep deterministic order.
     names = sorted(qs)
 
