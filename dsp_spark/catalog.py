@@ -148,6 +148,16 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "events_twap_per_user",
     "events_cumulative_distinct_users",
     "orders_abc_pareto",
+    # round-5 window head: the two multimodal entries that spilled past
+    # round 4's 50-slot window (2 rounds waiting), then round-4 additions
+    "multimodal_frame_sample",
+    "multimodal_resize_audit",
+    "dedup_containment_pairs",
+    "dedup_winnowing_fingerprints",
+    "dedup_rate_by_source",
+    "basket_brand_lift",
+    "orders_cohort_revenue",
+    "events_dau_wau_mau",
 )
 
 

@@ -204,6 +204,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric token-set containment |A∩B| / |A| over blocked pairs.
+
+    Jaccard misses subsumption: a paragraph fully embedded in a 100x
+    longer page scores near zero, yet it is exactly the
+    quote/boilerplate/scrape-of-a-scrape duplication a corpus cleaner
+    must catch (the reason dedup papers track containment separately
+    from resemblance). Same inverted-index shape as
+    :func:`jaccard_pairs` — postings equi-join on (block, token),
+    partial-agg counts, never per-pair set allocation — but DIRECTED:
+    both (a,b) and (b,a) emit, each normalized by its own left size.
+    The score is a single division of exact int64s, so both engines
+    emit the identical double (no rounding step).
+    """
+    toks = spread(df, block_col).select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.array_distinct(textops.tokens(text_col)).alias("toks"),
+    )
+    tk = toks.select(id_col, "block", F.explode("toks").alias("tok"))
+    sizes = toks.select(F.col(id_col), F.size("toks").alias("sz"))
+    a, b = tk.alias("a"), tk.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    return (
+        co.join(sa, "id_a")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("size_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a", "id_b", "n_common", F.col("size_a").cast("bigint").alias("size_a"), "containment"
+        )
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

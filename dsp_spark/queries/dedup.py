@@ -463,3 +463,122 @@ def dedup_incremental_new_docs(spark, sf_dir):
     return new_docs.join(base, "h", "left").select(
         "doc_id", "source", F.col("in_base").isNotNull().alias("dup_of_base")
     )
+
+
+# --- containment / winnowing / rate rollup (round 4) ---------------------
+
+_CONT_INTER = (
+    "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
+)
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+    )
+    SELECT id_a, id_b, n_common, size_a, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST({_CONT_INTER} AS BIGINT) AS n_common,
+               CAST(len(a.tk) AS BIGINT) AS size_a,
+               CAST({_CONT_INTER} AS DOUBLE) / len(a.tk) AS containment
+        FROM toks a JOIN toks b
+          ON a.source = b.source AND a.doc_id <> b.doc_id
+    ) WHERE containment >= 0.8
+    """,
+    doc="Directed token-set containment |A∩B|/|A| >= 0.8 over "
+    "source-blocked pairs — catches a document subsumed by a longer "
+    "one, which Jaccard scores near zero (the quote/boilerplate/"
+    "scrape-of-a-scrape case corpus dedup must handle separately from "
+    "resemblance). Inverted-index postings join, partial-agg counts, "
+    "no per-pair set allocation; the score is one division of exact "
+    "int64s so both engines emit the identical double.",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    return dd.containment_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_col="source",
+        threshold=0.8,
+    )
+
+
+_WINNOW_K = 5  # char-gram length
+_WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a fingerprint)
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(text) - {_WINNOW_K - 1}, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 7))::BIGINT
+               ) AS h
+        FROM documents
+    )
+    SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(h) - {_WINNOW_W - 1}, 1) + 1),
+                   j -> list_min(h[j:j+{_WINNOW_W - 1}]))) AS fp
+        FROM hs
+    )
+    """,
+    doc="Winnowing document fingerprints (the MOSS scheme): md5 hash "
+    "per POSITIONAL char-5-gram (no distinct — winnowing needs "
+    "sequence order), then the minimum hash of every sliding "
+    "4-window, deduplicated per doc. Guarantees any shared substring "
+    "of >= k+w-1 = 8 chars contributes at least one common "
+    "fingerprint, with ~2/(w+1) selectivity — the local-fingerprint "
+    "alternative to MinHash when partial overlap (not whole-doc "
+    "resemblance) is the target. Pure scan-side array math, zero "
+    "shuffle before the final distinct.",
+)
+def dedup_winnowing_fingerprints(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {_WINNOW_K - 1}, 1)), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_WINNOW_K})), 1, 7), 16, 10) AS BIGINT))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(h) - {_WINNOW_W - 1}, 1)), "
+        f"j -> array_min(slice(h, j, {_WINNOW_W}))))"
+    )
+    return (
+        d.select("doc_id", h.alias("h"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+    doc="Duplication-rate rollup per source — the curation dashboard "
+    "number deciding which scrape gets re-crawled vs dropped. One "
+    "aggregate over (source, hash); the rate is 1 - exact/total from "
+    "exact int64s (single division then subtraction, identical "
+    "doubles on both engines).",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double") / F.count("*")
+        ).alias("dup_rate"),
+    )

@@ -918,3 +918,132 @@ def orders_abc_pareto(spark, sf_dir):
             / F.sum("cents_sum").over(wt)
         ).alias("cum_share"),
     )
+
+
+@register(
+    "basket_brand_lift",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), tot AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+    ), brand AS (
+        SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY p_brand
+    ), pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_ab, lift, confidence FROM (
+        SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(n_ab * n_orders AS DOUBLE)
+                 / CAST(ba.n * bb.n AS DOUBLE) AS lift,
+               CAST(n_ab AS DOUBLE) / ba.n AS confidence
+        FROM pair
+        JOIN brand ba ON pair.brand_a = ba.p_brand
+        JOIN brand bb ON pair.brand_b = bb.p_brand
+        CROSS JOIN tot
+    )
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+    doc="Association-rule mining over baskets: top-20 brand pairs by "
+    "lift = P(a,b)/(P(a)P(b)), with support count and confidence — "
+    "the recommender/affinity staple one step past raw co-occurrence "
+    "(basket_brand_affinity). The (order, brand) relation "
+    "distinct-reduces before the self-join, per-brand counts are a "
+    "dictionary-bounded broadcast, the basket total rides a 1-row "
+    "broadcast, and both ratios are single divisions of exact int64 "
+    "products (n*n_orders < 2^63 up to ~3e9 baskets x dictionary "
+    "brands) so the doubles match bit-for-bit. Top-20 is a "
+    "TakeOrderedAndProject with full tie-break.",
+)
+def basket_brand_lift(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = ob.alias("a").hint("shuffle_hash")
+    b = ob.alias("b").hint("shuffle_hash")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ba = brand.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
+    bb = brand.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("nb"))
+    return (
+        pair.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+            (F.col("n_ab").cast("double") / F.col("na")).alias("confidence"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@register(
+    "orders_cohort_revenue",
+    """
+    WITH first_order AS (
+        SELECT o_custkey,
+               date_trunc('month', MIN(o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY cohort_month, date_trunc('month', o_orderdate)
+    """,
+    doc="Revenue retention matrix: customers grouped by first-order "
+    "cohort month, revenue and active count per (cohort, order "
+    "month) — the subscription-health triangle, orders-side twin of "
+    "events_retention_cohorts. Cohort assignment is one custkey agg "
+    "joined back on the already-custkey-shuffled relation; the "
+    "matrix grain is months^2 (bounded by calendar, not data) and "
+    "revenue sums exactly as DECIMAL before one cast to double.",
+)
+def orders_cohort_revenue(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("cohort_month").cast("timestamp").alias("cohort_month"),
+            F.date_trunc("month", "o_orderdate")
+            .cast("timestamp")
+            .alias("order_month"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            dsum(dec("o_totalprice")).alias("revenue"),
+        )
+    )

@@ -1063,3 +1063,62 @@ def events_twap_per_user(spark, sf_dir):
             ).alias("twap"),
         )
     )
+
+
+@register(
+    "events_dau_wau_mau",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), exp AS (
+        SELECT user_id, day + CAST(r.range AS INTEGER) AS report_day,
+               CAST(r.range AS INTEGER) AS k
+        FROM pairs CROSS JOIN range(0, 30) r
+    ), days AS (
+        SELECT DISTINCT day FROM pairs
+    )
+    SELECT CAST(report_day AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT)
+             AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN k <= 6 THEN user_id END) AS BIGINT)
+             AS wau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+    FROM exp JOIN days ON exp.report_day = days.day
+    GROUP BY report_day
+    """,
+    doc="Rolling active users (DAU / trailing-7-day WAU / trailing-"
+    "30-day MAU) per observed day — the growth dashboard triple. "
+    "COUNT(DISTINCT) over a sliding window is the textbook "
+    "non-scalable form; the scalable identity is: distinct "
+    "(user, day) pairs once (one shuffle, <= users x days rows), "
+    "fan each pair out to the <= 30 report days it supports "
+    "(bounded 30x multiplier on the TINY pair table, never raw "
+    "events), and one distinct-agg per report day. The day spine "
+    "semi-join keeps only observed days, matching the SQL twin.",
+)
+def events_dau_wau_mau(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    pairs = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    exp = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("k"),
+        "day",
+    ).select(
+        "user_id", "k", F.expr("date_add(day, k)").alias("report_day")
+    )
+    return (
+        exp.join(days.withColumnRenamed("day", "report_day"), "report_day")
+        .groupBy(F.col("report_day").cast("timestamp").alias("day"))
+        .agg(
+            F.countDistinct(F.when(F.col("k") == 0, F.col("user_id")))
+            .cast("bigint")
+            .alias("dau"),
+            F.countDistinct(F.when(F.col("k") <= 6, F.col("user_id")))
+            .cast("bigint")
+            .alias("wau"),
+            F.countDistinct("user_id").cast("bigint").alias("mau"),
+        )
+    )
