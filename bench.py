@@ -85,10 +85,21 @@ def main() -> None:
         # up to two more GC-prefixed attempts. Driver-observed 3x
         # "regressions" in round 2 were exactly this: the slow query
         # moved between runs while every plan was unchanged.
+        # A third attempt also fires when the first two DISAGREE by
+        # >1.5x: some generated pipelines (q22's anti-join) reach
+        # steady state only after several executions — C2 compiles the
+        # sf0.1 code path lazily because AQE gives the sf0.001 warmup a
+        # different final plan — and best-of-2 then records the ramp,
+        # not the query (q22 ranged 0.20-0.80 s across rounds with an
+        # unchanged plan).
         slow = 2.5
         for attempt in range(4):
+            if attempt == 2 and min(attempts) <= slow and (
+                max(attempts) <= 1.5 * min(attempts)
+            ):
+                break
             if attempt >= 2:
-                if min(attempts) <= slow:
+                if attempt == 3 and min(attempts) <= slow:
                     break
                 spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()

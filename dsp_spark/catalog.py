@@ -158,6 +158,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "basket_brand_lift",
     "orders_cohort_revenue",
     "events_dau_wau_mau",
+    "dedup_minhash_est_vs_exact",
+    "dedup_cluster_savings",
+    "embedding_centroid_drift",
 )
 
 

@@ -582,3 +582,129 @@ def dedup_rate_by_source(spark, sf_dir):
             - F.countDistinct(F.md5("text")).cast("double") / F.count("*")
         ).alias("dup_rate"),
     )
+
+
+_SIG_EQ = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+_VS_INTER = "len(list_filter(ta.tk, x -> list_contains(tb.tk, x)))"
+
+
+@register(
+    "dedup_minhash_est_vs_exact",
+    f"""
+    WITH {_LSH_CTES},
+    toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({_SIG_EQ} AS BIGINT) AS est_matches,
+           CAST({_SIG_EQ} AS DOUBLE) / 8 AS est_jaccard,
+           CAST({_VS_INTER} AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - {_VS_INTER}) AS jaccard
+    FROM pairs p
+    JOIN sig sa ON p.id_a = sa.doc_id
+    JOIN sig sb ON p.id_b = sb.doc_id
+    JOIN toks ta ON p.id_a = ta.doc_id
+    JOIN toks tb ON p.id_b = tb.doc_id
+    """,
+    doc="MinHash calibration: for every LSH candidate pair, the "
+    "sketch's Jaccard estimate (matching signature positions / 8) "
+    "next to the exact token-set Jaccard — the audit that tunes "
+    "hash/band counts before trusting the sketch at corpus scale. "
+    "Signatures and token arrays join only on the candidate fringe "
+    "(semi-pruned by the pair list); both ratios are divisions of "
+    "exact ints (/8 is exact binary) so the doubles match "
+    "bit-for-bit.",
+)
+def dedup_minhash_est_vs_exact(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    from dsp_spark.operators import textops as _to
+
+    sig = dd.minhash_signatures(d, "doc_id", "text", n_hashes=8, k=5)
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=2, k=5
+    )
+    toks = d.select(
+        "doc_id", F.array_distinct(_to.tokens("text")).alias("tk")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("tk").alias("tka"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("tk").alias("tkb"))
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    inter = F.size(F.array_intersect("tka", "tkb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.cast("bigint").alias("est_matches"),
+            (matches.cast("double") / 8).alias("est_jaccard"),
+            (
+                inter.cast("double")
+                / (F.size("tka") + F.size("tkb") - inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "dedup_cluster_savings",
+    """
+    WITH keep AS (
+        SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN keep_id IS NOT NULL THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_surviving,
+           1.0 - CAST(SUM(CASE WHEN keep_id IS NOT NULL THEN n_chars
+                              ELSE 0 END) AS DOUBLE) / SUM(n_chars)
+             AS savings
+    FROM documents d LEFT JOIN keep ON d.doc_id = keep.keep_id
+    GROUP BY source
+    """,
+    doc="Dedup storage-savings report per source: bytes before vs "
+    "after exact dedup and the fraction reclaimed — the number that "
+    "justifies (or kills) a dedup stage in the ingest budget. "
+    "Survivor ids come from the (hash -> min id) agg; lengths ride "
+    "the stored n_chars column so text never re-scans. The savings "
+    "ratio is one division of exact int64 sums.",
+)
+def dedup_cluster_savings(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    keep = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    j = d.join(keep, d.doc_id == keep.keep_id, "left")
+    surv = F.when(F.col("keep_id").isNotNull(), 1).otherwise(0)
+    surv_chars = F.when(F.col("keep_id").isNotNull(), F.col("n_chars")).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(surv).cast("bigint").alias("n_survivors"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.sum(surv_chars).cast("bigint").alias("chars_surviving"),
+        (
+            F.lit(1.0)
+            - F.sum(surv_chars).cast("double") / F.sum("n_chars")
+        ).alias("savings"),
+    )

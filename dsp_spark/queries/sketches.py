@@ -362,3 +362,82 @@ def embedding_outlier_scores(spark, sf_dir):
     return z.groupBy("vec_id").agg(
         s.alias("mahal_sq"), (s > 110.0).alias("outlier")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    SELECT label, dim,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(CAST(SUM(CASE WHEN half = 0 THEN x6 ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+             / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) / 1000000
+             AS mean_a,
+           CAST(CAST(SUM(CASE WHEN half = 1 THEN x6 ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+             / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) / 1000000
+             AS mean_b,
+           CAST(CAST(SUM(CASE WHEN half = 0 THEN x6 ELSE 0 END) AS BIGINT)
+                AS DOUBLE)
+             / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) / 1000000
+           - CAST(CAST(SUM(CASE WHEN half = 1 THEN x6 ELSE 0 END) AS BIGINT)
+                  AS DOUBLE)
+             / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) / 1000000
+             AS drift
+    FROM (
+      SELECT vec_id % 2 AS half, label,
+             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x6
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0
+    """,
+    doc="Embedding drift monitor: per (label, dimension), the centroid "
+    "of snapshot half A vs half B (vec_id parity standing in for "
+    "release N vs N+1) and their difference — the signal that an "
+    "embedding model or upstream corpus changed under a deployed ANN "
+    "index. One posexplode + one aggregate keyed by (label, dim) — "
+    "bounded by labels x dims regardless of corpus size. Same 1e-6 "
+    "fixed-point discipline as embedding_dim_variance: exact int64 "
+    "sums, every int->double cast under 2^53, identical double "
+    "expressions on both engines, no rounding step.",
+)
+def embedding_centroid_drift(spark, sf_dir):
+    em = t(spark, sf_dir, "embeddings")
+    ex = em.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "half",
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("x6"),
+    )
+    n_a = F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+    n_b = F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+    s_a = F.sum(F.when(F.col("half") == 0, F.col("x6")).otherwise(0)).cast(
+        "double"
+    )
+    s_b = F.sum(F.when(F.col("half") == 1, F.col("x6")).otherwise(0)).cast(
+        "double"
+    )
+    mean_a = s_a / n_a / 1000000
+    mean_b = s_b / n_b / 1000000
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            n_a.cast("bigint").alias("n_a"),
+            n_b.cast("bigint").alias("n_b"),
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            (mean_a - mean_b).alias("drift"),
+        )
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
