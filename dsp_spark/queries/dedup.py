@@ -507,8 +507,8 @@ def dedup_containment_pairs(spark, sf_dir):
     )
 
 
-_WINNOW_K = 5  # char-gram length
-_WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a fingerprint)
+_WINNOW_K = 3  # token-gram length
+_WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 tokens shares a fingerprint)
 
 
 @register(
@@ -517,10 +517,13 @@ _WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a 
     WITH hs AS (
         SELECT doc_id,
                list_transform(
-                   range(1, greatest(length(text) - {_WINNOW_K - 1}, 1) + 1),
-                   i -> ('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 7))::BIGINT
+                   range(1, greatest(len(tk) - {_WINNOW_K - 1}, 1) + 1),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            tk[i:i+{_WINNOW_K - 1}], ' ')), 1, 7))::BIGINT
                ) AS h
-        FROM documents
+        FROM (SELECT doc_id,
+                     string_split_regex(text, '\\s+') AS tk
+              FROM documents)
     )
     SELECT DISTINCT doc_id, fp FROM (
         SELECT doc_id,
@@ -531,27 +534,30 @@ _WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars shares a 
     )
     """,
     doc="Winnowing document fingerprints (the MOSS scheme): md5 hash "
-    "per POSITIONAL char-5-gram (no distinct — winnowing needs "
+    "per POSITIONAL token-3-gram (no distinct — winnowing needs "
     "sequence order), then the minimum hash of every sliding "
-    "4-window, deduplicated per doc. Guarantees any shared substring "
-    "of >= k+w-1 = 8 chars contributes at least one common "
+    "4-window, deduplicated per doc. Guarantees any shared run of "
+    ">= k+w-1 = 6 tokens contributes at least one common "
     "fingerprint, with ~2/(w+1) selectivity — the local-fingerprint "
     "alternative to MinHash when partial overlap (not whole-doc "
-    "resemblance) is the target. Pure scan-side array math, zero "
-    "shuffle before the final distinct.",
+    "resemblance) is the target. Token grams keep the digest count "
+    "at ~n_tokens (char grams cost one md5 per character, ~6x more "
+    "for the same guarantee expressed in characters). Pure scan-side "
+    "array math, zero shuffle before the final distinct.",
 )
 def dedup_winnowing_fingerprints(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     h = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {_WINNOW_K - 1}, 1)), "
-        f"i -> CAST(conv(substring(md5(substring(text, i, {_WINNOW_K})), 1, 7), 16, 10) AS BIGINT))"
+        f"transform(sequence(1, greatest(size(tk) - {_WINNOW_K - 1}, 1)), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, {_WINNOW_K}))), 1, 7), 16, 10) AS BIGINT))"
     )
     fps = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(h) - {_WINNOW_W - 1}, 1)), "
         f"j -> array_min(slice(h, j, {_WINNOW_W}))))"
     )
     return (
-        d.select("doc_id", h.alias("h"))
+        d.select("doc_id", F.expr("split(text, '\\\\s+')").alias("tk"))
+        .select("doc_id", h.alias("h"))
         .select("doc_id", F.explode(fps).alias("fp"))
     )
 

@@ -1,0 +1,118 @@
+"""Model checks for the round-4 dedup operators: containment and
+winnowing must match brute-force Python references on adversarial
+small inputs (tiny alphabet → forced collisions, texts shorter than
+the gram/window sizes, exact duplicates)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dsp_spark.operators import dedup as dd
+from dsp_spark.queries.dedup import _WINNOW_K, _WINNOW_W
+
+TEXT = st.text(alphabet="ab ", min_size=0, max_size=24)
+
+
+def _model_winnow(text: str, k: int = _WINNOW_K, w: int = _WINNOW_W) -> set[int]:
+    """Pure-Python winnowing twin of the catalog entry's expressions.
+
+    Mirrors Spark's clamping semantics exactly: token `slice` returns a
+    short gram near the end of the list, `sequence(1, greatest(n,1))`
+    always yields at least one position, and the window slice truncates
+    at the array end. Tokenization is the same regex split Spark uses
+    (leading whitespace produces an empty first token; empty text is a
+    single empty token).
+    """
+    import re
+
+    tk = re.split(r"\s+", text)
+    n_pos = max(len(tk) - (k - 1), 1)
+    hs = [
+        int(
+            hashlib.md5(" ".join(tk[i : i + k]).encode()).hexdigest()[:7], 16
+        )
+        for i in range(n_pos)
+    ]
+    n_win = max(len(hs) - (w - 1), 1)
+    return {min(hs[j : j + w]) for j in range(n_win)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_winnowing_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t_) for i, t_ in enumerate(texts)], "doc_id bigint, text string"
+    )
+    # drive the catalog entry's expressions directly on the tiny frame
+    from pyspark.sql import functions as F
+
+    h = F.expr(
+        f"transform(sequence(1, greatest(size(tk) - {_WINNOW_K - 1}, 1)), "
+        f"i -> CAST(conv(substring(md5(concat_ws(' ', slice(tk, i, {_WINNOW_K}))), 1, 7), 16, 10) AS BIGINT))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(h) - {_WINNOW_W - 1}, 1)), "
+        f"j -> array_min(slice(h, j, {_WINNOW_W}))))"
+    )
+    got = {}
+    for r in (
+        df.select("doc_id", F.expr("split(text, '\\\\s+')").alias("tk"))
+        .select("doc_id", h.alias("h"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .collect()
+    ):
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    exp = {i: _model_winnow(t_) for i, t_ in enumerate(texts)}
+    assert got == exp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.text(alphabet="ab ", min_size=1, max_size=16)),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_containment_matches_python_model(spark, rows):
+    data = [(i, blk, txt) for i, (blk, txt) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id bigint, src string, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.size_a)
+        for r in dd.containment_pairs(
+            df, "doc_id", "text", block_col="src", threshold=0.8
+        ).collect()
+    }
+    # the operator tokenizes via the shared regex split; empty-string
+    # tokens from leading whitespace are part of its contract, so the
+    # model mirrors Spark's split here
+    from pyspark.sql import functions as F
+    from dsp_spark.operators import textops
+
+    toks = {
+        r.doc_id: set(r.tk)
+        for r in df.select(
+            "doc_id", F.array_distinct(textops.tokens("text")).alias("tk")
+        ).collect()
+    }
+    blocks = {d[0]: d[1] for d in data}
+    exp = {}
+    for ida, sa in toks.items():
+        for idb, sb in toks.items():
+            if ida == idb or blocks[ida] != blocks[idb] or not sa:
+                continue
+            inter = len(sa & sb)
+            if inter / len(sa) >= 0.8:
+                exp[(ida, idb)] = (inter, len(sa))
+    assert got == exp
