@@ -161,6 +161,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "dedup_minhash_est_vs_exact",
     "dedup_cluster_savings",
     "embedding_centroid_drift",
+    "sample_balanced_classes",
+    "doc_length_percentiles_by_source",
+    "customer_order_gap_stats",
 )
 
 

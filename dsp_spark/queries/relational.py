@@ -1047,3 +1047,51 @@ def orders_cohort_revenue(spark, sf_dir):
             dsum(dec("o_totalprice")).alias("revenue"),
         )
     )
+
+
+@register(
+    "customer_order_gap_stats",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           CAST(CAST(SUM(gap_days) AS BIGINT) AS DOUBLE) / COUNT(gap_days)
+             AS avg_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    doc="Inter-order gap statistics per customer (days between "
+    "consecutive orders via a lag window, then min/max/mean) — the "
+    "churn-risk feature: a customer whose current silence dwarfs "
+    "their historical max gap is gone. One custkey shuffle serves "
+    "both the lag window and the aggregate; gaps are exact integer "
+    "day diffs and the mean is one int64-sum division, so both "
+    "engines emit identical doubles.",
+)
+def customer_order_gap_stats(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+        (
+            F.sum("gap_days").cast("double") / F.count("gap_days")
+        ).alias("avg_gap_days"),
+    )

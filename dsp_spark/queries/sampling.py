@@ -8,6 +8,7 @@ the final small aggregate, if any).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
@@ -454,4 +455,81 @@ def source_lang_mix(spark, sf_dir):
             F.round(F.col("n_top") / F.col("n_total"), 6).alias("top_lang_share"),
             "lang_entropy",
         )
+    )
+
+
+@register(
+    "sample_balanced_classes",
+    """
+    WITH ranked AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+    ), floor_n AS (
+        SELECT MIN(cnt) AS n_per_class
+        FROM (SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label)
+    )
+    SELECT vec_id, label, CAST(rn AS BIGINT) AS rn
+    FROM ranked CROSS JOIN floor_n
+    WHERE rn <= n_per_class
+    """,
+    doc="Class-balanced downsample: every label keeps exactly "
+    "min-class-count rows, chosen by md5-hash rank within the label — "
+    "deterministic (no RNG, stable under repartition and retry), the "
+    "classifier-training prep that stops a 100:1 label skew from "
+    "dominating the loss. The rank window is PARTITIONED by label "
+    "(never global), the class-count floor rides a 1-row broadcast, "
+    "and the shuffle carries (id, label) only.",
+)
+def sample_balanced_classes(spark, sf_dir):
+    em = t(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = em.select(
+        "vec_id", "label", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    floor_n = (
+        em.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("n_per_class"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .where(F.col("rn") <= F.col("n_per_class"))
+        .select("vec_id", "label", "rn")
+    )
+
+
+@register(
+    "doc_length_percentiles_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.50) AS p50,
+           quantile_cont(n_chars, 0.90) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+    doc="Document-length percentiles per source — what sets the "
+    "context-length / packing-bin / maxPartitionBytes knobs before a "
+    "training run. Exact interpolated percentiles over the stored "
+    "int64 length column (midpoints of integers are exactly "
+    "representable, so Spark percentile == DuckDB quantile_cont "
+    "bit-for-bit); text is never scanned. At 100 TB swap to "
+    "approx_percentile with a documented error bound — the group "
+    "sort is per-source, not global, so even the exact form "
+    "parallelizes by source.",
+)
+def doc_length_percentiles_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.percentile("n_chars", 0.50).alias("p50"),
+        F.percentile("n_chars", 0.90).alias("p90"),
+        F.percentile("n_chars", 0.99).alias("p99"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
     )

@@ -437,3 +437,99 @@ def near_dup_candidates_batch(
         .filter(F.col("doc_id") != F.col("witness_id"))
         .select("band_key", "doc_id", "witness_id")
     )
+
+
+# --- heavy hitters (Misra-Gries, bounded state) --------------------------
+
+HH_SCHEMA = "shard int, item string, est_count bigint, decrements bigint"
+_HH_STATE_SCHEMA = "items array<string>, counts array<bigint>, dec bigint"
+HH_CAPACITY = 16
+
+
+def _hh_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Misra-Gries summary for one shard.
+
+    Classic bounded-state frequency sketch: at most `HH_CAPACITY`
+    counters ever exist; an arrival with no counter and no free slot
+    decrements EVERY counter (evicting zeros). Guarantees: any item
+    with true shard frequency > N_shard / (capacity + 1) is present,
+    and est_count undercounts the true frequency by at most the
+    shard's total decrement count (emitted alongside so consumers can
+    bound the error). State is O(capacity) per shard — independent of
+    stream length, key cardinality, and batch count.
+    """
+    (shard,) = key
+    if state.exists:
+        items, counts, dec = state.get
+        counters = dict(zip(list(items), [int(c) for c in counts]))
+        dec = int(dec)
+    else:
+        counters, dec = {}, 0
+    for pdf in batches:
+        for item in pdf["item"]:
+            item = str(item)
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < HH_CAPACITY:
+                counters[item] = 1
+            else:
+                dec += 1
+                counters = {k: c - 1 for k, c in counters.items() if c > 1}
+    state.update((list(counters.keys()), list(counters.values()), dec))
+    yield pd.DataFrame(
+        {
+            "shard": shard,
+            "item": list(counters.keys()),
+            "est_count": list(counters.values()),
+            "decrements": dec,
+        }
+    )
+
+
+def heavy_hitters_stream(
+    df: DataFrame, *, item_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters with O(shards x capacity) total state.
+
+    Items hash-partition into `n_shards` Misra-Gries summaries (the MG
+    merge is associative, so shard summaries simply union: an item hot
+    overall is hot in its own shard — same-key items always land in
+    ONE shard, so no cross-shard count splitting). Each micro-batch
+    emits every shard's full current summary (update semantics); the
+    consumer takes the latest batch per shard. This is the
+    hot-token / hot-URL / hot-key detector that runs forever on
+    unbounded cardinality where an exact groupBy would hold one
+    counter per distinct key.
+    """
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _hh_fn,
+        outputStructType=HH_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def heavy_hitters_batch(
+    df: DataFrame, *, item_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Exact batch twin: true per-item counts with the same shard ids —
+    the oracle the streaming sketch's guarantees are tested against."""
+    return (
+        df.select(
+            F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards))
+            .cast("int")
+            .alias("shard"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("shard", "item")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+    )

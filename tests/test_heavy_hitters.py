@@ -1,0 +1,120 @@
+"""Streaming Misra-Gries heavy hitters: bounded state, MG guarantees,
+and micro-batch-boundary correctness against the exact batch twin."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from dsp_spark.streaming.stateful import (
+    HH_CAPACITY,
+    heavy_hitters_batch,
+    heavy_hitters_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def zipf_items():
+    """A skewed stream: a few hot items over a long unbounded-ish tail."""
+    rng = random.Random(11)
+    items = []
+    for i in range(4000):
+        r = rng.random()
+        if r < 0.25:
+            items.append("hot_a")
+        elif r < 0.40:
+            items.append("hot_b")
+        elif r < 0.50:
+            items.append("hot_c")
+        else:
+            items.append(f"tail_{rng.randrange(800)}")
+    return items
+
+
+def _run_stream(spark, tmp_path, items, n_files):
+    pdf = pd.DataFrame({"event_id": range(len(items)), "item": items})
+    src = tmp_path / "src"
+    src.mkdir(parents=True)
+    step = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            src / f"f{i}.parquet"
+        )
+    batch_df = spark.createDataFrame(pdf)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ck = tmp_path / "ck"
+    name = f"hh_{abs(hash(str(tmp_path))) % 10**9}"
+    q = (
+        heavy_hitters_stream(stream, item_col="item")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table(name).toPandas()
+    # update-mode: every micro-batch re-emits each touched shard's full
+    # summary; only the final state matters. Reconstruct it per shard:
+    # for each (shard, item), the LAST emission has the highest
+    # (est_count + decrements) watermark — but simplest and exact is to
+    # keep the rows from the emission with the shard's max decrements
+    # and, within those, the final counts (est_count is per-emission
+    # consistent). We tag emissions implicitly by (shard, decrements,
+    # set of items) — the final emission per shard is the one whose
+    # (decrements, total count) pair is lexicographically largest.
+    final = {}
+    for shard, grp in res.groupby("shard"):
+        # group rows by emission: same shard+decrements can repeat only
+        # if a later batch had no decrement; then counts only grew, so
+        # taking max est_count per item of the max-decrement group is
+        # the final summary.
+        top_dec = grp["decrements"].max()
+        g = grp[grp["decrements"] == top_dec]
+        final[shard] = (
+            g.groupby("item")["est_count"].max().to_dict(),
+            int(top_dec),
+        )
+    return final, batch_df
+
+
+def test_mg_guarantees_across_microbatches(spark, tmp_path, zipf_items):
+    final, batch_df = _run_stream(spark, tmp_path, zipf_items, n_files=3)
+    truth = {
+        (r.shard, r.item): r.true_count
+        for r in heavy_hitters_batch(batch_df, item_col="item").collect()
+    }
+    shard_totals = {}
+    for (shard, _), c in truth.items():
+        shard_totals[shard] = shard_totals.get(shard, 0) + c
+
+    for shard, total in shard_totals.items():
+        counters, dec = final.get(shard, ({}, 0))
+        assert len(counters) <= HH_CAPACITY
+        for item, est in counters.items():
+            true = truth.get((shard, item), 0)
+            # MG: never overcount; undercount bounded by the shard's
+            # decrement total
+            assert est <= true
+            assert true - est <= dec
+        # completeness: anything with true frequency > N/(capacity+1)
+        # must be present
+        thresh = total / (HH_CAPACITY + 1)
+        for (s, item), true in truth.items():
+            if s == shard and true > thresh:
+                assert item in counters, (shard, item, true, thresh)
+
+
+def test_mg_stream_equals_single_batch_run(spark, tmp_path, zipf_items):
+    """Feeding the same stream as 1 file vs 3 files must end in the
+    identical summary — state carries exactly across micro-batches."""
+    one, _ = _run_stream(spark, tmp_path / "one", zipf_items, n_files=1)
+    three, _ = _run_stream(spark, tmp_path / "three", zipf_items, n_files=3)
+    assert one == three
