@@ -164,6 +164,9 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "sample_balanced_classes",
     "doc_length_percentiles_by_source",
     "customer_order_gap_stats",
+    "events_funnel_time_to_convert",
+    "events_hourly_seasonality",
+    "text_ngram_topk_per_lang",
 )
 
 

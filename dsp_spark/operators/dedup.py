@@ -211,24 +211,41 @@ def containment_pairs(
     *,
     block_col: str,
     threshold: float = 0.8,
+    gram: int = 1,
 ) -> DataFrame:
-    """Asymmetric token-set containment |A∩B| / |A| over blocked pairs.
+    """Asymmetric containment |A∩B| / |A| over blocked pairs.
 
     Jaccard misses subsumption: a paragraph fully embedded in a 100x
     longer page scores near zero, yet it is exactly the
     quote/boilerplate/scrape-of-a-scrape duplication a corpus cleaner
     must catch (the reason dedup papers track containment separately
     from resemblance). Same inverted-index shape as
-    :func:`jaccard_pairs` — postings equi-join on (block, token),
+    :func:`jaccard_pairs` — postings equi-join on (block, element),
     partial-agg counts, never per-pair set allocation — but DIRECTED:
     both (a,b) and (b,a) emit, each normalized by its own left size.
     The score is a single division of exact int64s, so both engines
     emit the identical double (no rounding step).
+
+    ``gram=1`` compares distinct-TOKEN sets — cheap, but trivially
+    high on template/boilerplate-heavy corpora where documents share
+    vocabulary without sharing content. ``gram=n`` compares distinct
+    token n-GRAM sets: containment then requires shared token RUNS,
+    the sequence-aware signal real subsumption detection needs (use
+    3 for curation passes).
     """
+    if gram > 1:
+        elems = F.expr(
+            f"CASE WHEN size(split({text_col}, '\\\\s+')) < {gram} "
+            f"THEN array(concat_ws(' ', split({text_col}, '\\\\s+'))) "
+            f"ELSE transform(sequence(1, size(split({text_col}, '\\\\s+')) - {gram - 1}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {gram}))) END"
+        )
+    else:
+        elems = textops.tokens(text_col)
     toks = spread(df, block_col).select(
         F.col(id_col),
         F.col(block_col).alias("block"),
-        F.array_distinct(textops.tokens(text_col)).alias("toks"),
+        F.array_distinct(elems).alias("toks"),
     )
     tk = toks.select(id_col, "block", F.explode("toks").alias("tok"))
     sizes = toks.select(F.col(id_col), F.size("toks").alias("sz"))

@@ -1048,3 +1048,54 @@ def corpus_token_budget_select(spark, sf_dir):
         "doc_id", "n_tokens", "quality",
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
     )
+
+
+@register(
+    "text_ngram_topk_per_lang",
+    """
+    WITH tk AS (
+        SELECT lang, string_split_regex(text, '\\s+') AS tk FROM documents
+    ), bg AS (
+        SELECT lang,
+               unnest(list_transform(
+                   range(1, greatest(len(tk) - 1, 0) + 1),
+                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        FROM tk
+    ), counts AS (
+        SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    )
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+        SELECT lang, bigram, n,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, bigram) AS rnk
+        FROM counts
+    ) WHERE rnk <= 10
+    """,
+    doc="Top-10 token bigrams per language — the per-language "
+    "tokenizer/vocab audit next to the global text_vocab_topk "
+    "(a multilingual corpus hides each language's hot collocations "
+    "under the dominant language's). Bigrams fan out map-side, the "
+    "count is one (lang, bigram) partial-agg shuffle, and the rank "
+    "window is PARTITIONED by lang over the aggregated term table — "
+    "never raw tokens, never a global sort.",
+)
+def text_ngram_topk_per_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, '\\\\s+')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, '\\\\s+')) - 1), "
+        "i -> concat(element_at(split(text, '\\\\s+'), i), ' ', "
+        "element_at(split(text, '\\\\s+'), i + 1))) END"
+    )
+    counts = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 10)
+        .select("lang", "bigram", F.col("n").cast("bigint").alias("n"), "rnk")
+    )

@@ -1122,3 +1122,135 @@ def events_dau_wau_mau(spark, sf_dir):
             F.countDistinct("user_id").cast("bigint").alias("mau"),
         )
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    """
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS vt
+        FROM events
+    ), s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > vt THEN ts END)
+                      OVER (PARTITION BY user_id) AS ct
+        FROM s1
+    ), s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > ct THEN ts END)
+                      OVER (PARTITION BY user_id) AS pt
+        FROM s2
+    ), per_user AS (
+        SELECT user_id,
+               CAST((epoch_us(MAX(ct)) - epoch_us(MAX(vt))) // 1000000
+                    AS BIGINT) AS s_view_click,
+               CAST((epoch_us(MAX(pt)) - epoch_us(MAX(ct))) // 1000000
+                    AS BIGINT) AS s_click_purchase
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(s_view_click) AS BIGINT) AS n_clicked,
+           quantile_cont(s_view_click, 0.50) AS p50_view_click_s,
+           quantile_cont(s_view_click, 0.90) AS p90_view_click_s,
+           CAST(COUNT(s_click_purchase) AS BIGINT) AS n_purchased,
+           quantile_cont(s_click_purchase, 0.50) AS p50_click_purchase_s,
+           quantile_cont(s_click_purchase, 0.90) AS p90_click_purchase_s
+    FROM per_user
+    """,
+    doc="Funnel latency: median/p90 seconds between the funnel's "
+    "ordered first-hits (view->click, click->purchase) — the "
+    "conversion-speed report next to events_funnel_conversion's "
+    "reach counts. Same ONE-shuffle funnel shape (chained user_id "
+    "window mins + per-user agg); stage gaps are exact integer "
+    "second diffs of epoch-µs, and the exact interpolated "
+    "percentiles run on the per-user (not per-event) table. The "
+    "final 1-row percentile is a single-group agg (partial-agg "
+    "reduced), not a window.",
+)
+def events_funnel_time_to_convert(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "vt", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "ct",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("vt")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "pt",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        (
+            (F.unix_micros(F.max("ct")) - F.unix_micros(F.max("vt")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("s_view_click"),
+        (
+            (F.unix_micros(F.max("pt")) - F.unix_micros(F.max("ct")))
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("s_click_purchase"),
+    )
+    return per_user.agg(
+        F.count("s_view_click").cast("bigint").alias("n_clicked"),
+        F.percentile("s_view_click", 0.50).alias("p50_view_click_s"),
+        F.percentile("s_view_click", 0.90).alias("p90_view_click_s"),
+        F.count("s_click_purchase").cast("bigint").alias("n_purchased"),
+        F.percentile("s_click_purchase", 0.50).alias("p50_click_purchase_s"),
+        F.percentile("s_click_purchase", 0.90).alias("p90_click_purchase_s"),
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(dayofweek(ts) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT dow, hod,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS avg_per_day
+    FROM daily GROUP BY dow, hod
+    """,
+    doc="Traffic seasonality profile: average events per "
+    "(day-of-week, hour-of-day) cell — what capacity planning and "
+    "anomaly baselines key on. Two bounded aggregates (daily cells, "
+    "then the 7x24 profile); the average is one int64 division so "
+    "both engines emit identical doubles. DuckDB dayofweek is "
+    "0=Sunday; Spark dayofweek is 1=Sunday — bridged by emitting "
+    "Spark's value minus 1.",
+)
+def events_hourly_seasonality(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return daily.groupBy("dow", "hod").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_days"),
+        (F.sum("n").cast("double") / F.count("*")).alias("avg_per_day"),
+    )

@@ -21,11 +21,12 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
         >= m["after_quality"]
         >= m["after_exact_dedup"]
         >= m["after_near_dedup"]
+        >= m["after_containment"]
         > 0
     )
     back = spark.read.parquet(out)
-    assert back.count() == m["after_near_dedup"]
-    assert sum(m["splits"].values()) == m["after_near_dedup"]
+    assert back.count() == m["after_containment"]
+    assert sum(m["splits"].values()) == m["after_containment"]
     assert set(back.columns) >= {"doc_id", "text", "shard"}
     # the survivor set must be near-dup free: re-running LSH + verify on
     # the output yields no verified pair
@@ -34,4 +35,18 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
     assert verified.count() == 0
     # exact dups gone too
     n_hashes = back.select(F.md5("text")).distinct().count()
-    assert n_hashes == m["after_near_dedup"]
+    assert n_hashes == m["after_containment"]
+    # and no surviving doc is >=80% token-contained in a LONGER survivor
+    cont = dd.containment_pairs(
+        back, "doc_id", "text", block_col="source", threshold=0.8, gram=3
+    )
+    sz = back.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
+    sza = back.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    leftover = (
+        cont.where(F.col("size_a") >= 10)
+        .join(sza, "id_a")
+        .join(sz, "id_b")
+        .where(F.col("ca") < F.col("cb"))
+        .count()
+    )
+    assert leftover == 0

@@ -9,7 +9,11 @@ Stages (each a cataloged operator, composed):
   1. quality filter   - Gopher-style keep rules (narrow map, no shuffle)
   2. exact dedup      - md5 groupBy, keep min doc_id
   3. near-dup         - MinHash-LSH candidates -> exact-Jaccard verify
-                        -> connected components -> keep min id per family
+                        -> connected components -> keep min id per family,
+                        then drop docs whose token 3-grams are >=80%
+                        contained in a longer survivor (subsumption
+                        Jaccard can't see; grams, not unigrams, so
+                        shared vocabulary alone never fires it)
   4. split + shard    - stable hash-bucket train/val/test + 32 shards
   5. write            - parquet partitioned by split, rows range-
                         clustered by n_chars inside each partition
@@ -78,6 +82,41 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     kept_n = kept_e.join(keepers, "doc_id", "left_semi")
     n_neardup = kept_n.count()
 
+    # 3b. containment: a doc whose token 3-GRAMS are >=80% contained
+    # in a LONGER surviving doc is boilerplate/quoting the Jaccard-0.5
+    # verify can't see (the asymmetric score is near zero for it).
+    # 3-grams, not unigrams: template corpora share VOCABULARY without
+    # sharing content, so set-containment over-fires (it would drop
+    # ~3/4 of this corpus); requiring shared token RUNS is the real
+    # subsumption signal. Drop the shorter side only — ties keep the
+    # smaller id — so mutually-contained pairs never annihilate.
+    cont = dd.containment_pairs(
+        kept_n, "doc_id", "text", block_col="source", threshold=0.8,
+        gram=3,
+    ).where(F.col("size_a") >= 10)
+    sizes = kept_n.select(
+        F.col("doc_id").alias("id_b"), F.col("n_chars").alias("chars_b")
+    )
+    sizes_a = kept_n.select(
+        F.col("doc_id").alias("id_a"), F.col("n_chars").alias("chars_a")
+    )
+    drops = (
+        cont.join(sizes_a, "id_a")
+        .join(sizes, "id_b")
+        .where(
+            (F.col("chars_a") < F.col("chars_b"))
+            | (
+                (F.col("chars_a") == F.col("chars_b"))
+                & (F.col("id_a") > F.col("id_b"))
+            )
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    kept_c = kept_n.join(drops, "doc_id", "left_anti")
+    n_contain = kept_c.count()
+    kept_n = kept_c
+
     # 4. stable split + shard assignment
     b = smp.hash_bucket("doc_id")
     final = kept_n.withColumn(
@@ -101,6 +140,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         "after_quality": n_quality,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_neardup,
+        "after_containment": n_contain,
         "splits": by_split,
         "out": out_dir,
     }
