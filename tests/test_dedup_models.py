@@ -73,6 +73,43 @@ def test_winnowing_matches_python_model(spark, texts):
     assert got == exp
 
 
+def test_containment_gram3_matches_python_model(spark):
+    """3-gram mode: containment must key on shared token RUNS. A doc
+    sharing all its vocabulary but no 3-token run must NOT pair."""
+    rows = [
+        (0, "s", "a b c d e f g h"),       # base
+        (1, "s", "a b c d e x y z"),        # shares the run "a b c d e"
+        (2, "s", "h g f e d c b a"),        # same vocab, reversed: no run
+        (3, "s", "a b c d e f g h i j"),    # superset run
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.size_a)
+        for r in dd.containment_pairs(
+            df, "doc_id", "text", block_col="src", threshold=0.5, gram=3
+        ).collect()
+    }
+
+    def grams(s, k=3):
+        tk = s.split()
+        if len(tk) < k:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+
+    exp = {}
+    gs = {i: grams(txt) for i, _, txt in rows}
+    for ida, sa in gs.items():
+        for idb, sb in gs.items():
+            if ida == idb:
+                continue
+            inter = len(sa & sb)
+            if inter / len(sa) >= 0.5:
+                exp[(ida, idb)] = (inter, len(sa))
+    assert got == exp
+    # the reversed-vocab doc pairs with nobody in either direction
+    assert not any(2 in pair for pair in got)
+
+
 @settings(
     max_examples=8,
     deadline=None,
