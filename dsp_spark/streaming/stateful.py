@@ -533,3 +533,84 @@ def heavy_hitters_batch(
         .groupBy("shard", "item")
         .agg(F.count("*").cast("bigint").alias("true_count"))
     )
+
+
+# --- streaming approximate distinct (HLL, bounded state) -----------------
+
+HLL_B = 8  # 256 registers/key -> rsd ~ 1.04/sqrt(256) = 6.5%
+_HLL_M = 1 << HLL_B
+HLLD_SCHEMA = "key string, estimate double, n_zero_regs int"
+_HLLD_STATE_SCHEMA = "regs array<int>"
+
+
+def _hll_estimate(regs: list[int]) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        import math
+
+        return m * math.log(m / zeros)  # linear counting, small range
+    return raw
+
+
+def _hlld_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """One HyperLogLog sketch per key: 2^HLL_B max-rank registers.
+
+    md5-derived hashing keeps the registers deterministic across
+    retries and replays (a rand-seeded hash would double-count on task
+    retry). State is a fixed 2^HLL_B ints per key — independent of
+    stream length and value cardinality — and register max() is
+    idempotent, so replayed rows can never inflate the estimate.
+    """
+    import hashlib
+
+    (k,) = key
+    regs = (
+        [int(r) for r in state.get[0]] if state.exists else [0] * _HLL_M
+    )
+    for pdf in batches:
+        for v in pdf["item"]:
+            h = int(
+                hashlib.md5(str(v).encode()).hexdigest()[:16], 16
+            )
+            bucket = h & (_HLL_M - 1)
+            w = h >> HLL_B
+            rank = (64 - HLL_B) - w.bit_length() + 1
+            if rank > regs[bucket]:
+                regs[bucket] = rank
+    state.update((regs,))
+    yield pd.DataFrame(
+        {
+            "key": [k],
+            "estimate": [_hll_estimate(regs)],
+            "n_zero_regs": [regs.count(0)],
+        }
+    )
+
+
+def approx_distinct_stream(
+    df: DataFrame, *, key_col: str, item_col: str
+) -> DataFrame:
+    """Streaming distinct-count per key with O(keys x 2^HLL_B) state.
+
+    The live-dashboard twin of the batch HLL rollup entries
+    (queries/sketches.py): exact streaming COUNT(DISTINCT) needs
+    unbounded per-key sets; this holds 256 ints per key forever.
+    Each micro-batch re-emits every touched key's current estimate
+    (update semantics — take the latest row per key downstream).
+    """
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _hlld_fn,
+        outputStructType=HLLD_SCHEMA,
+        stateStructType=_HLLD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
