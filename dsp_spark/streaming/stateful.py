@@ -614,3 +614,94 @@ def approx_distinct_stream(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming quantiles (log-histogram, bounded state) ------------------
+
+QH_SCHEMA = (
+    "key string, n bigint, p50 double, p90 double, p99 double, max_v double"
+)
+_QH_STATE_SCHEMA = "bins array<bigint>, n bigint, max_v double"
+QH_BINS = 64  # half-decade-ish log2 bins on cents: covers 1c .. ~9e16c
+
+
+def _qh_bin(cents: int) -> int:
+    return min(cents.bit_length(), QH_BINS - 1) if cents > 0 else 0
+
+
+def _qh_quantile(bins: list[int], n: int, q: float) -> float:
+    """Quantile from the log2 histogram: find the target bin, then
+    interpolate linearly inside its [2^(b-1), 2^b) cent range. Error
+    is bounded by the bin width (a factor of 2 in value), the standard
+    log-histogram trade: O(1) state, relative-error quantiles."""
+    target = q * n
+    acc = 0
+    for b, c in enumerate(bins):
+        if c == 0:
+            continue
+        if acc + c >= target:
+            lo = 0.0 if b == 0 else float(1 << (b - 1))
+            hi = float(1 << b)
+            frac = (target - acc) / c
+            return (lo + frac * (hi - lo)) / 100.0
+        acc += c
+    return 0.0
+
+
+def _qh_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    if state.exists:
+        bins, n, max_v = state.get
+        bins = [int(b) for b in bins]
+        n, max_v = int(n), float(max_v)
+    else:
+        bins, n, max_v = [0] * QH_BINS, 0, 0.0
+    for pdf in batches:
+        for v in pdf["v_cents"]:
+            c = int(v)
+            bins[_qh_bin(c)] += 1
+            n += 1
+            if c / 100.0 > max_v:
+                max_v = c / 100.0
+    state.update((bins, n, max_v))
+    yield pd.DataFrame(
+        {
+            "key": [k],
+            "n": [n],
+            "p50": [_qh_quantile(bins, n, 0.50)],
+            "p90": [_qh_quantile(bins, n, 0.90)],
+            "p99": [_qh_quantile(bins, n, 0.99)],
+            "max_v": [max_v],
+        }
+    )
+
+
+def quantile_histogram_stream(
+    df: DataFrame, *, key_col: str, value_col: str
+) -> DataFrame:
+    """Streaming per-key quantiles with O(keys x QH_BINS) state.
+
+    Completes the bounded-state sketch trio (Misra-Gries frequency,
+    HLL cardinality, log-histogram quantiles): values quantize to
+    integer cents map-side, each key holds 64 log2-bin counters
+    forever, and p50/p90/p99 interpolate inside the hit bin — a
+    factor-of-2 relative error bound, which is what latency/price
+    dashboards actually need at unbounded stream length. Counting
+    state means replays DO double-count (unlike the HLL's max
+    registers) — feed it exactly-once input or accept the bias.
+    """
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _qh_fn,
+        outputStructType=QH_SCHEMA,
+        stateStructType=_QH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
