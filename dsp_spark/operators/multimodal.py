@@ -4,11 +4,15 @@ Pattern: media travels as a `binary` column with a `media_type` tag;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each task processes a columnar batch of blobs
 without JVM round-trips per row. Real codec libraries (PIL, torchaudio,
-ffmpeg) are not in this container — decoders for those media types are
-STUBS raising NotImplementedError; the Spark-side plumbing (schema,
-batch iteration, partitioning) is real and tested via the
-deterministic ``fake`` decoder (md5-derived features), which the
-DuckDB oracle can mirror exactly.
+ffmpeg) are not in this container — decoders for COMPRESSED media
+(jpeg/mp3/h264) are STUBS raising NotImplementedError. Uncompressed
+formats decode for REAL (`operators/codecs.py`, pure stdlib+numpy):
+``media_type="wav"`` parses RIFF/PCM16 and emits duration/RMS/peak/
+zero-cross features; ``"ppm"`` parses P6 RGB and emits dimension/
+channel/luma stats, with an exact nearest-neighbor resize path. The
+Spark-side plumbing (schema, batch iteration, partitioning) is also
+exercised via the deterministic ``fake`` decoder (md5-derived
+features), which the DuckDB oracle can mirror exactly.
 
 100 TB notes: blobs stay in executor memory one Arrow batch at a time
 (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak usage);
@@ -61,11 +65,43 @@ def video_frame_sample(blob: bytes) -> dict:  # pragma: no cover - stub
     raise NotImplementedError("video frame sampling requires ffmpeg")
 
 
+def wav_decode(blob: bytes) -> dict:
+    """REAL audio decode (RIFF/PCM16, operators/codecs.py) mapped onto
+    the generic feature slots: duration, RMS, zero-cross rate, peak."""
+    from dsp_spark.operators import codecs
+
+    m = codecs.decode_wav(blob)
+    return {
+        "n_bytes": len(blob),
+        "f0": m["duration_s"],
+        "f1": m["rms"],
+        "f2": m["zero_cross_rate"],
+        "f3": m["peak"],
+    }
+
+
+def ppm_decode(blob: bytes) -> dict:
+    """REAL image decode (P6 PPM, operators/codecs.py): dimensions and
+    unit-scaled luminance stats in the generic feature slots."""
+    from dsp_spark.operators import codecs
+
+    m = codecs.decode_ppm(blob)
+    return {
+        "n_bytes": len(blob),
+        "f0": float(m["width"]),
+        "f1": float(m["height"]),
+        "f2": m["mean_luma"] / 255.0,
+        "f3": m["std_luma"] / 255.0,
+    }
+
+
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "fake": fake_decode,
     "image": image_decode,
     "audio": audio_decode,
     "video": video_frame_sample,
+    "wav": wav_decode,
+    "ppm": ppm_decode,
 }
 
 
@@ -154,18 +190,22 @@ def resize_media(
     Arrow batch at a time, narrow map with no shuffle. Output replaces
     the media column with the resized bytes plus (out_w, out_h).
     """
-    if media_type not in ("fake", "image"):
-        raise ValueError(f"resize needs fake|image, got {media_type!r}")
+    if media_type not in ("fake", "image", "ppm"):
+        raise ValueError(f"resize needs fake|image|ppm, got {media_type!r}")
     id_field = df.schema[id_col]
     id_ddl = f"{id_col} {id_field.dataType.simpleString()}"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dsp_spark.operators import codecs
+
         for pdf in batches:
             ids, blobs = [], []
             for rid, blob in zip(pdf[id_col], pdf[media_col]):
                 data = bytes(blob)
                 if media_type == "image":  # pragma: no cover - stub
                     out = image_resize(data, width, height)
+                elif media_type == "ppm":  # REAL nearest-neighbor resize
+                    out = codecs.resize_ppm(data, width, height)
                 else:
                     out = fake_resize(data, width, height)
                 ids.append(rid)
