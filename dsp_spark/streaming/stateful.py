@@ -705,3 +705,82 @@ def quantile_histogram_stream(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- Bloom first-seen admission (bounded-state dedup) --------------------
+
+BLOOM_SCHEMA = "shard int, item string, probably_seen boolean"
+_BLOOM_STATE_SCHEMA = "words array<bigint>, n bigint"
+BLOOM_BITS_LOG2 = 16  # 64 Kbit = 8 KB per shard
+_BLOOM_M = 1 << BLOOM_BITS_LOG2
+_BLOOM_K = 4
+
+
+def _bloom_probes(item: str) -> list[int]:
+    import hashlib
+
+    h = int(hashlib.md5(item.encode()).hexdigest(), 16)
+    return [
+        (h >> (i * BLOOM_BITS_LOG2)) & (_BLOOM_M - 1) for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Bloom-filter membership per shard: NEVER a false negative (a
+    true repeat is always flagged), false positives at the classic
+    (1 - e^(-kn/m))^k rate. State is a fixed 8 KB bitset per shard —
+    the admission filter that runs forever where an exact first-seen
+    set grows with every distinct key. md5 probes keep replays from
+    flipping new bits, so re-delivery cannot change earlier verdicts."""
+    (shard,) = key
+    if state.exists:
+        words, n = list(state.get[0]), int(state.get[1])
+        words = [int(w) for w in words]
+    else:
+        # 63 bits per word: bit 63 of a set word would overflow the
+        # SIGNED bigint state column and round-trip as NULL
+        words, n = [0] * (_BLOOM_M // 63 + 1), 0
+    out_items, out_seen = [], []
+    for pdf in batches:
+        for item in pdf["item"]:
+            item = str(item)
+            probes = _bloom_probes(item)
+            seen = all(words[p // 63] >> (p % 63) & 1 for p in probes)
+            if not seen:
+                for p in probes:
+                    words[p // 63] |= 1 << (p % 63)
+                n += 1
+            out_items.append(item)
+            out_seen.append(bool(seen))
+    state.update((words, n))
+    yield pd.DataFrame(
+        {"shard": shard, "item": out_items, "probably_seen": out_seen}
+    )
+
+
+def bloom_first_seen_stream(
+    df: DataFrame, *, item_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Streaming approximate first-seen flag with O(shards x 8 KB) state.
+
+    The bounded-state twin of exact streaming dedup: every arriving
+    item is tagged probably_seen (false => certainly new; true =>
+    seen before, or a false positive at the Bloom rate). Items hash
+    to one shard, so the same item always consults the same bitset.
+    Append semantics — one output row per input row, in order.
+    """
+    keyed = df.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _bloom_fn,
+        outputStructType=BLOOM_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
