@@ -81,16 +81,23 @@ def query_ivf_index(
         m = json.load(f)
     id_col, vec_col = m["id_col"], m["vec_col"]
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
-    probes = ivf_assign(
-        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
-        "cell",
+    probes = (
+        ivf_assign(
+            queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+        # materialize the (tiny) query-side assignment once: it feeds
+        # both the cell-id collect below and the candidate join —
+        # without this the centroid crossJoin + rank window runs twice
+        .localCheckpoint()
     )
-    # the ONLY driver-side materialization is the probed cell-id list:
-    # |queries| x nprobe small ints, independent of corpus size
+    # the ONLY driver-side materialization of VALUES is the probed
+    # cell-id list: |queries| x nprobe small ints, corpus-independent
     cell_ids = [r.cell for r in probes.select("cell").distinct().collect()]
     cells = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(cell_ids)

@@ -58,6 +58,8 @@ def decode_wav(blob: bytes) -> dict:
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk truncated ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -67,6 +69,10 @@ def decode_wav(blob: bytes) -> dict:
     audio_fmt, n_ch, rate, _, _, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    if n_ch < 1 or rate < 1:
+        # a zero here would surface as ZeroDivisionError deep in the
+        # stats — the quarantine contract is ValueError, always
+        raise ValueError(f"invalid fmt chunk (channels={n_ch}, rate={rate})")
     pcm = np.frombuffer(data, dtype="<i2")
     n_frames = len(pcm) // n_ch
     mono = (

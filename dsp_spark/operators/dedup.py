@@ -234,19 +234,32 @@ def containment_pairs(
     3 for curation passes).
     """
     if gram > 1:
-        elems = F.expr(
-            f"CASE WHEN size(split({text_col}, '\\\\s+')) < {gram} "
-            f"THEN array(concat_ws(' ', split({text_col}, '\\\\s+'))) "
-            f"ELSE transform(sequence(1, size(split({text_col}, '\\\\s+')) - {gram - 1}), "
-            f"i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {gram}))) END"
+        # tokenize ONCE into a column first: Catalyst does not CSE
+        # inside higher-order-function lambdas, so an inline
+        # split(text) would re-run the regex split per gram position
+        grams = F.expr(
+            f"CASE WHEN size(__tk) < {gram} "
+            f"THEN array(concat_ws(' ', __tk)) "
+            f"ELSE transform(sequence(1, size(__tk) - {gram - 1}), "
+            f"i -> concat_ws(' ', slice(__tk, i, {gram}))) END"
+        )
+        toks = (
+            spread(df, block_col)
+            .select(
+                F.col(id_col),
+                F.col(block_col).alias("block"),
+                textops.tokens(text_col).alias("__tk"),
+            )
+            .select(
+                id_col, "block", F.array_distinct(grams).alias("toks")
+            )
         )
     else:
-        elems = textops.tokens(text_col)
-    toks = spread(df, block_col).select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        F.array_distinct(elems).alias("toks"),
-    )
+        toks = spread(df, block_col).select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.array_distinct(textops.tokens(text_col)).alias("toks"),
+        )
     tk = toks.select(id_col, "block", F.explode("toks").alias("tok"))
     sizes = toks.select(F.col(id_col), F.size("toks").alias("sz"))
     a, b = tk.alias("a"), tk.alias("b")

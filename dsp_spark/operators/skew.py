@@ -64,11 +64,29 @@ def write_bucketed(
 
     Idempotent even after an interrupted prior run: `overwrite` alone
     fails with LOCATION_ALREADY_EXISTS when the warehouse directory has
-    residue but the table never made it into the catalog, so the table
-    AND its default location are dropped first.
+    residue but the table never made it into the catalog. The write is
+    attempted FIRST; only when Spark itself refuses on a blocked
+    location is the stale directory reclaimed and the write retried —
+    so a healthy external directory is never deleted preemptively.
+    Handles db-qualified names (``db.tbl`` → ``<warehouse>/db.db/tbl``).
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+    def write() -> None:
+        w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+        if sort_col:
+            w = w.sortBy(sort_col)
+        w.saveAsTable(table)
+
+    try:
+        write()
+        return
+    except Exception as e:  # reclaim only what Spark refused to reuse
+        if "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+    parts = table.split(".")
+    quoted = ".".join(f"`{p}`" for p in parts)
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse:
         import shutil
@@ -76,10 +94,10 @@ def write_bucketed(
 
         loc = urlparse(warehouse)
         if loc.scheme in ("", "file"):
-            shutil.rmtree(
-                f"{loc.path}/{table.lower()}", ignore_errors=True
+            rel = (
+                f"{parts[0].lower()}.db/{parts[1].lower()}"
+                if len(parts) == 2
+                else parts[0].lower()
             )
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
-    if sort_col:
-        writer = writer.sortBy(sort_col)
-    writer.saveAsTable(table)
+            shutil.rmtree(f"{loc.path}/{rel}", ignore_errors=True)
+    write()

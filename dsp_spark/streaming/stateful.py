@@ -626,6 +626,14 @@ QH_BINS = 64  # half-decade-ish log2 bins on cents: covers 1c .. ~9e16c
 
 
 def _qh_bin(cents: int) -> int:
+    # log histograms need a positive domain: a negative value would
+    # silently land in the [0, 1c) bin with the wrong sign AND
+    # magnitude, far outside the documented error bound — reject it
+    # loudly instead (latencies/prices are non-negative by contract)
+    if cents < 0:
+        raise ValueError(
+            f"quantile_histogram_stream requires non-negative values, got {cents / 100.0}"
+        )
     return min(cents.bit_length(), QH_BINS - 1) if cents > 0 else 0
 
 
@@ -691,6 +699,8 @@ def quantile_histogram_stream(
     dashboards actually need at unbounded stream length. Counting
     state means replays DO double-count (unlike the HLL's max
     registers) — feed it exactly-once input or accept the bias.
+    Values must be non-negative (the log-scale domain); a negative
+    input raises ValueError rather than silently mis-binning.
     """
     keyed = df.select(
         F.col(key_col).cast("string").alias("key"),

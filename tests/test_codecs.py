@@ -56,6 +56,29 @@ def test_wav_rejects_non_pcm():
         codecs.decode_wav(bytes(bad))
 
 
+def test_wav_malformed_headers_raise_valueerror_not_crashes():
+    """The quarantine contract is ValueError for EVERY malformed blob —
+    never ZeroDivisionError or struct.error escaping into the task."""
+    blob, _ = _sine_wav()
+    zero_ch = bytearray(blob)
+    zero_ch[22] = zero_ch[23] = 0  # n_channels = 0
+    with pytest.raises(ValueError, match="invalid fmt"):
+        codecs.decode_wav(bytes(zero_ch))
+    zero_rate = bytearray(blob)
+    zero_rate[24:28] = b"\x00\x00\x00\x00"  # sample_rate = 0
+    with pytest.raises(ValueError, match="invalid fmt"):
+        codecs.decode_wav(bytes(zero_rate))
+    # fmt chunk truncated to 8 bytes
+    short = (
+        blob[:16]
+        + (8).to_bytes(4, "little")
+        + blob[20:28]
+        + blob[36:]
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_wav(short)
+
+
 def test_ppm_stats_match_image():
     blob, img = _gradient_ppm()
     m = codecs.decode_ppm(blob)

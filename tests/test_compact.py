@@ -67,6 +67,41 @@ def test_compaction_preserves_data_and_pruning(spark, sf_dir, tmp_path):
     assert all(p.get("skipped") for p in rep2["partitions"])
 
 
+def test_recovery_from_mid_swap_crash(spark, sf_dir, tmp_path):
+    """Kill between trash-move and new-move: originals sit in
+    _compact_trash, a half set of c9- files is in the partition dir.
+    The next run must restore the originals, drop the partial news,
+    and re-compact without losing or duplicating a single row."""
+    import shutil
+
+    sys.path.insert(0, "/root/repo")
+    from tools.compact import _data_files, compact
+
+    out = tmp_path / "ev"
+    _fragmented(spark, sf_dir, out)
+    before_rows = spark.read.parquet(str(out)).count()
+    part = next(
+        os.path.join(out, d)
+        for d in os.listdir(out)
+        if d.startswith("event_date=")
+    )
+    part_rows = spark.read.parquet(part).count()
+    # simulate the torn state by hand: ALL originals moved to trash,
+    # one fake half-moved new file, a leftover tmp dir
+    trash = os.path.join(part, "_compact_trash")
+    os.makedirs(trash)
+    for f in _data_files(part):
+        shutil.move(f, os.path.join(trash, os.path.basename(f)))
+    with open(os.path.join(part, "c9-part-half.parquet"), "wb") as f:
+        f.write(b"torn")
+    os.makedirs(os.path.join(part, "_compact_tmp"))
+
+    compact(spark, str(out), target_mb=128)
+    assert not os.path.exists(trash)
+    assert spark.read.parquet(str(out)).count() == before_rows
+    assert spark.read.parquet(part).count() == part_rows
+
+
 def test_compaction_clears_crash_residue(spark, sf_dir, tmp_path):
     sys.path.insert(0, "/root/repo")
     from tools.compact import compact

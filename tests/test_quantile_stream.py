@@ -87,3 +87,11 @@ def test_state_identical_across_microbatch_splits(spark, tmp_path, priced_rows):
     one, _ = _run(spark, tmp_path / "one", priced_rows, n_files=1)
     three, _ = _run(spark, tmp_path / "three", priced_rows, n_files=3)
     assert one == three
+
+
+def test_negative_values_rejected_loudly():
+    from dsp_spark.streaming.stateful import _qh_bin
+
+    with pytest.raises(ValueError, match="non-negative"):
+        _qh_bin(-500)
+    assert _qh_bin(0) == 0
