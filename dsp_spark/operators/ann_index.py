@@ -31,9 +31,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
-from dsp_spark.operators.similarity import dot, ivf_assign
+from dsp_spark.operators.similarity import ivf_assign, score_probed_cells
 
 
 def build_ivf_index(
@@ -102,15 +101,8 @@ def query_ivf_index(
     cells = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(cell_ids)
     )
-    sim = F.round(
-        dot("q_vec", vec_col) / (F.col("q_nrm") * F.col("nrm")), 6
-    )
-    scored = (
-        cells.join(F.broadcast(probes), "cell")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", id_col, sim.alias("sim"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    # scoring is the shared definition in operators/similarity.py —
+    # index results can't drift from the in-memory operator
+    return score_probed_cells(
+        cells, probes, id_col=id_col, vec_col=vec_col, k=k
     )

@@ -57,6 +57,13 @@ def decode_wav(blob: bytes) -> dict:
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a header declaring more bytes than exist is a truncated
+            # transfer — computing features from the partial PCM would
+            # silently pass corrupt media through the quality gate
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size}, have {len(body)}"
+            )
         if cid == b"fmt ":
             if len(body) < 16:
                 raise ValueError(f"fmt chunk truncated ({len(body)} bytes)")

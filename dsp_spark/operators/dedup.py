@@ -69,8 +69,23 @@ def minhash_lsh_pairs(
     that slice of the signature is identical, so P(candidate) rises
     sharply with Jaccard similarity (the standard banding S-curve).
     """
-    rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes, k=k)
+    return lsh_pairs_from_signatures(
+        sig, id_col, n_hashes=n_hashes, bands=bands
+    )
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame, id_col: str, *, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band self-join over an EXISTING signature frame (mh0..mhN-1).
+
+    The single source of truth for the banding scheme — callers that
+    already hold (and perhaps checkpointed) signatures reuse it here
+    instead of re-deriving bands, so the layout can never diverge
+    between the pair generator and signature-sharing entries.
+    """
+    rows = n_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(

@@ -157,6 +157,21 @@ def ivf_topk(
         F.col("nrm").alias("q_nrm"),
         "cell",
     )
+    return score_probed_cells(cells, probes, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def score_probed_cells(
+    cells: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine top-k of probed cells — the ONE definition of IVF
+    scoring (rounding, self-filter, tie-break), shared by the scan
+    composition above and the persisted index (`operators/ann_index`)
+    so their results can never drift apart."""
     sim = F.round(dot("q_vec", vec_col) / (F.col("q_nrm") * F.col("nrm")), 6)
     scored = (
         cells.join(F.broadcast(probes), "cell")

@@ -85,6 +85,11 @@ def write_bucketed(
         if "LOCATION_ALREADY_EXISTS" not in str(e):
             raise
     parts = table.split(".")
+    if len(parts) > 2:
+        # catalog-qualified (catalog.db.tbl): the default-location
+        # guess below would be wrong and could delete an unrelated
+        # directory — surface the original error instead
+        raise
     quoted = ".".join(f"`{p}`" for p in parts)
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
@@ -94,10 +99,12 @@ def write_bucketed(
 
         loc = urlparse(warehouse)
         if loc.scheme in ("", "file"):
-            rel = (
-                f"{parts[0].lower()}.db/{parts[1].lower()}"
-                if len(parts) == 2
-                else parts[0].lower()
-            )
+            db = (
+                parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+            ).lower()
+            tbl = parts[-1].lower()
+            # managed-table default layout: default db tables sit at
+            # the warehouse root, others under <db>.db/
+            rel = tbl if db == "default" else f"{db}.db/{tbl}"
             shutil.rmtree(f"{loc.path}/{rel}", ignore_errors=True)
     write()

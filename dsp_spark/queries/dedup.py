@@ -636,32 +636,9 @@ def dedup_minhash_est_vs_exact(spark, sf_dir):
     sig = dd.minhash_signatures(
         d, "doc_id", "text", n_hashes=8, k=5
     ).localCheckpoint()
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * 4 + r}").cast("string") for r in range(4)]
-            )
-        )
-        for b in range(2)
-    ]
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
-    )
-    ba = bands.alias("a").hint("shuffle_hash")
-    bb = bands.alias("b").hint("shuffle_hash")
-    pairs = (
-        ba.join(
-            bb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
+    # shared banding scheme — the pair generator and this entry can
+    # never diverge on band layout
+    pairs = dd.lsh_pairs_from_signatures(sig, "doc_id", n_hashes=8, bands=2)
     # tokenize ONLY the candidate fringe: the exact-Jaccard side must
     # not re-tokenize the whole corpus per join branch (same pruning
     # dedup_lsh_verified uses) — this, not signature reuse, is where

@@ -668,6 +668,14 @@ def _qh_fn(
         bins, n, max_v = [0] * QH_BINS, 0, 0.0
     for pdf in batches:
         for v in pdf["v_cents"]:
+            if pd.isna(v):
+                # null input, or a value that overflowed the
+                # decimal(18,2) cast — name the contract instead of
+                # dying on "cannot convert float NaN to integer"
+                raise ValueError(
+                    f"quantile_histogram_stream key {k!r}: null or "
+                    "decimal-overflow value in the stream"
+                )
             c = int(v)
             bins[_qh_bin(c)] += 1
             n += 1

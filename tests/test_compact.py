@@ -69,9 +69,11 @@ def test_compaction_preserves_data_and_pruning(spark, sf_dir, tmp_path):
 
 def test_recovery_from_mid_swap_crash(spark, sf_dir, tmp_path):
     """Kill between trash-move and new-move: originals sit in
-    _compact_trash, a half set of c9- files is in the partition dir.
-    The next run must restore the originals, drop the partial news,
-    and re-compact without losing or duplicating a single row."""
+    _compact_trash with their manifest, a half-moved new file is in
+    the partition dir. The next run must restore the originals, drop
+    the partial news, and re-compact without losing or duplicating a
+    single row."""
+    import json as _json
     import shutil
 
     sys.path.insert(0, "/root/repo")
@@ -86,13 +88,16 @@ def test_recovery_from_mid_swap_crash(spark, sf_dir, tmp_path):
         if d.startswith("event_date=")
     )
     part_rows = spark.read.parquet(part).count()
-    # simulate the torn state by hand: ALL originals moved to trash,
-    # one fake half-moved new file, a leftover tmp dir
+    # simulate the torn state: manifest written, ALL originals moved
+    # to trash, one half-moved new file (NOT in the manifest), tmp left
     trash = os.path.join(part, "_compact_trash")
     os.makedirs(trash)
+    names = [os.path.basename(f) for f in _data_files(part)]
+    with open(os.path.join(trash, "_originals.json"), "w") as f:
+        _json.dump(names, f)
     for f in _data_files(part):
         shutil.move(f, os.path.join(trash, os.path.basename(f)))
-    with open(os.path.join(part, "c9-part-half.parquet"), "wb") as f:
+    with open(os.path.join(part, "part-newhalf.parquet"), "wb") as f:
         f.write(b"torn")
     os.makedirs(os.path.join(part, "_compact_tmp"))
 
@@ -100,6 +105,79 @@ def test_recovery_from_mid_swap_crash(spark, sf_dir, tmp_path):
     assert not os.path.exists(trash)
     assert spark.read.parquet(str(out)).count() == before_rows
     assert spark.read.parquet(part).count() == part_rows
+
+
+def test_recrash_after_prior_successful_compaction(spark, sf_dir, tmp_path):
+    """The data-loss case the first design had: a partition compacted
+    by a SUCCESSFUL earlier run (files renamed by that run), then a
+    later run crashes mid-swap. Recovery must key on the manifest,
+    never on file-name conventions, so those prior-run files survive."""
+    import json as _json
+    import shutil
+
+    sys.path.insert(0, "/root/repo")
+    from tools.compact import _data_files, compact
+
+    out = tmp_path / "ev"
+    _fragmented(spark, sf_dir, out)
+    compact(spark, str(out), target_mb=128)  # successful run 1
+    before_rows = spark.read.parquet(str(out)).count()
+    part = next(
+        os.path.join(out, d)
+        for d in os.listdir(out)
+        if d.startswith("event_date=")
+    )
+    part_rows = spark.read.parquet(part).count()
+    # run 2 crashes after moving SOME of run 1's outputs to trash
+    trash = os.path.join(part, "_compact_trash")
+    os.makedirs(trash)
+    files = _data_files(part)
+    with open(os.path.join(trash, "_originals.json"), "w") as f:
+        _json.dump([os.path.basename(p) for p in files], f)
+    shutil.move(files[0], os.path.join(trash, os.path.basename(files[0])))
+
+    compact(spark, str(out), target_mb=128)
+    assert not os.path.exists(trash)
+    assert spark.read.parquet(part).count() == part_rows
+    assert spark.read.parquet(str(out)).count() == before_rows
+
+
+def test_cleanup_after_committed_swap_crash(spark, sf_dir, tmp_path):
+    """Crash DURING post-commit cleanup: commit marker present, trash
+    partially deleted. Recovery must keep the (complete) new copy and
+    just finish the cleanup — restoring from trash here would lose
+    rows the interrupted rmtree already removed."""
+    import json as _json
+
+    sys.path.insert(0, "/root/repo")
+    from tools.compact import compact
+
+    out = tmp_path / "ev"
+    _fragmented(spark, sf_dir, out)
+    compact(spark, str(out), target_mb=128)
+    before_rows = spark.read.parquet(str(out)).count()
+    part = next(
+        os.path.join(out, d)
+        for d in os.listdir(out)
+        if d.startswith("event_date=")
+    )
+    part_rows = spark.read.parquet(part).count()
+    # committed swap, half-deleted trash: one stale (already swapped
+    # out) file remains in trash alongside its manifest
+    trash = os.path.join(part, "_compact_trash")
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_originals.json"), "w") as f:
+        _json.dump(["part-gone.parquet"], f)
+    with open(os.path.join(trash, "part-gone.parquet"), "wb") as f:
+        f.write(b"already swapped out")
+    with open(os.path.join(part, "_compact_commit"), "w"):
+        pass
+
+    compact(spark, str(out), target_mb=128)
+    assert not os.path.exists(trash)
+    assert not os.path.exists(os.path.join(part, "_compact_commit"))
+    assert spark.read.parquet(part).count() == part_rows
+    assert spark.read.parquet(str(out)).count() == before_rows
 
 
 def test_compaction_clears_crash_residue(spark, sf_dir, tmp_path):

@@ -16,17 +16,29 @@ Partition directories are processed one driver loop at a time, but
 each rewrite is a distributed job; the loop is the coordinator, not
 the worker.
 
-Crash safety: the swap never deletes the only copy. New files are
-built in ``_compact_tmp``; the old files are then MOVED (renamed)
-into ``_compact_trash`` — still on disk, just invisible to readers —
-before the new files move in under a ``c9-`` name prefix; only then
-are trash and tmp removed. Recovery on the next run is driven by the
-trash marker: if ``_compact_trash`` exists, the previous swap did not
-finish — any half-moved ``c9-`` files are discarded, the originals
-are restored from trash, and compaction restarts from scratch. Every
-crash point therefore resumes to a correct state (worst case: readers
-briefly saw a subset of rows between two crashed runs, never
-duplicates, never loss).
+Crash safety: the swap never deletes the only copy, and recovery
+never guesses. Before any original moves, its file NAME is recorded
+in ``_compact_trash/_originals.json`` — so "which data files in the
+partition dir are half-moved new files vs not-yet-moved originals"
+is always answerable exactly, regardless of naming conventions or
+how many compactions ran before. The sequence per partition:
+
+1. write new files into ``_compact_tmp``;
+2. mkdir ``_compact_trash``, record the originals manifest, move the
+   originals in (reader-invisible, still on disk);
+3. move new files from tmp into the partition dir;
+4. touch the ``_compact_commit`` marker, then delete trash and tmp,
+   then the marker.
+
+Recovery on the next run: a commit marker means the swap COMPLETED
+— trash/tmp are deletable garbage. Trash without a marker means the
+swap did not finish — every data file NOT in the originals manifest
+is a partial new file (discard), every manifest entry is restored
+from trash (or was never moved and is still in place), and the
+rewrite restarts. Tmp alone means the swap never began — originals
+untouched. Every crash point resumes to exactly-once data: never
+duplicates, never loss (worst case, readers briefly saw a subset
+between two crashed runs).
 """
 
 from __future__ import annotations
@@ -70,14 +82,32 @@ def compact(spark, path: str, *, target_mb: int = 128) -> dict:
     for part_dir in sorted(_partition_dirs(path)):
         tmp = os.path.join(part_dir, "_compact_tmp")
         trash = os.path.join(part_dir, "_compact_trash")
-        if os.path.exists(trash):
-            # crashed mid-swap: discard half-moved new files, restore
-            # the originals (still intact in trash), start over
-            for f in _data_files(part_dir):
-                if os.path.basename(f).startswith("c9-"):
-                    os.remove(f)
-            for f in _data_files(trash):
-                shutil.move(f, os.path.join(part_dir, os.path.basename(f)))
+        commit = os.path.join(part_dir, "_compact_commit")
+        manifest = os.path.join(trash, "_originals.json")
+        if os.path.exists(commit):
+            # swap completed; cleanup was interrupted — finish it
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.remove(commit)
+        elif os.path.exists(trash):
+            # swap did not finish. The manifest says exactly which
+            # names are originals; everything else in the partition
+            # dir is a partial new copy — discard it, restore the
+            # originals (from trash, or still in place if the crash
+            # hit before their move), and start over. No manifest ⇒
+            # the crash landed between mkdir and the manifest write,
+            # so nothing was ever moved: the trash is empty garbage
+            # and every file in the dir is an untouched original.
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    originals = set(json.load(f))
+                for f_ in _data_files(part_dir):
+                    if os.path.basename(f_) not in originals:
+                        os.remove(f_)
+                for f_ in _data_files(trash):
+                    shutil.move(
+                        f_, os.path.join(part_dir, os.path.basename(f_))
+                    )
             shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         files = _data_files(part_dir)
@@ -95,19 +125,20 @@ def compact(spark, path: str, *, target_mb: int = 128) -> dict:
         df = spark.read.parquet(*files)
         df.repartition(int(n_out)).write.parquet(tmp)
         new_files = _data_files(tmp)
-        # swap, never deleting the only copy: originals rename into the
-        # (reader-invisible) trash dir, new files move in under the
-        # c9- marker, and only a COMPLETE swap removes the trash
+        # swap: manifest first (recovery's ground truth), originals
+        # into reader-invisible trash, news in, THEN the commit marker
         os.makedirs(trash, exist_ok=True)
-        for f in files:
-            shutil.move(f, os.path.join(trash, os.path.basename(f)))
-        for f in new_files:
-            base = os.path.basename(f)
-            if not base.startswith("c9-"):
-                base = f"c9-{base}"
-            shutil.move(f, os.path.join(part_dir, base))
+        with open(manifest, "w") as f:
+            json.dump([os.path.basename(p) for p in files], f)
+        for f_ in files:
+            shutil.move(f_, os.path.join(trash, os.path.basename(f_)))
+        for f_ in new_files:
+            shutil.move(f_, os.path.join(part_dir, os.path.basename(f_)))
+        with open(commit, "w"):
+            pass
         shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
+        os.remove(commit)
         report["partitions"].append(
             {
                 "dir": part_dir,

@@ -36,9 +36,19 @@ PACK_SHARDS = 32
 
 
 def export_packed(spark, docs, out_dir: str) -> dict:
-    """docs: DataFrame with (doc_id, text). Returns the manifest."""
+    """docs: DataFrame with (doc_id, text). Returns the manifest.
+
+    NULL-text docs cannot be chunked (the transform would silently emit
+    nothing while n_docs still counted them); they are excluded up
+    front and REPORTED in the manifest so a consumer reconciling docs
+    against chunks sees the drop instead of a mystery. Empty-string
+    docs keep the engine-wide token convention (split('') is one empty
+    token) — one chunk, one token, consistent with text_token_stats.
+    """
     from dsp_spark.operators import sampling as smp
 
+    n_null = docs.where(F.col("text").isNull()).count()
+    docs = docs.where(F.col("text").isNotNull())
     n_docs = docs.count()
     chunks = docs.select(
         "doc_id",
@@ -95,6 +105,7 @@ def export_packed(spark, docs, out_dir: str) -> dict:
     total_toks = sum(s["tokens"] for s in shards.values())
     manifest = {
         "n_docs": n_docs,
+        "n_docs_null_text": n_null,
         "n_chunks": sum(s["n_chunks"] for s in shards.values()),
         "n_sequences": total_seqs,
         "tokens": total_toks,
