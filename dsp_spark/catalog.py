@@ -212,13 +212,26 @@ def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
     checked = _driver_checked_rounds()
     prio = {name: i for i, name in enumerate(_DRIVER_WINDOW_FIRST)}
-    reg = {name: i for i, name in enumerate(_REGISTRY)}
+    # Canonical registration order: (module rank in _MODULE_ORDER,
+    # position within the module). Raw _REGISTRY insertion order is
+    # IMPORT order, which a test importing one query module directly
+    # (before queries()/entries() triggers _load_all) would reshuffle —
+    # and with it the driver's 50-entry window. Per-module positions
+    # are stable no matter how imports interleave.
+    mod_rank = {m: i for i, m in enumerate(_MODULE_ORDER)}
+    per_mod_count: dict[str, int] = {}
+    reg: dict[str, tuple[int, int]] = {}
+    for n, e in _REGISTRY.items():
+        mod = e.fn.__module__.rsplit(".", 1)[-1]
+        k = per_mod_count.get(mod, 0)
+        per_mod_count[mod] = k + 1
+        reg[n] = (mod_rank.get(mod, len(mod_rank)), k)
     names = sorted(
         _REGISTRY,
         key=lambda n: (
             checked.get(n, 0),  # never-checked (0) first, then oldest round
             prio.get(n, len(prio)),  # priority list within a group
-            reg[n],  # stable registration order last
+            reg[n],  # canonical (module, position) order last
         ),
     )
     return {n: _REGISTRY[n] for n in names}
@@ -237,6 +250,27 @@ def entries() -> dict[str, CatalogEntry]:
 
 
 _LOADED = False
+
+
+# The canonical module order for registration-order tie-breaks in
+# _ordered() — MUST match the import sequence below, and must not be
+# reordered casually: it decides which never-checked entries occupy the
+# tail of the driver's 50-entry window.
+_MODULE_ORDER = (
+    "relational",
+    "tpch_extra",
+    "windows",
+    "dedup",
+    "similarity",
+    "sampling",
+    "chunking",
+    "text",
+    "streaming_parity",
+    "quality",
+    "cdc",
+    "sketches",
+    "graph",
+)
 
 
 def _load_all() -> None:
