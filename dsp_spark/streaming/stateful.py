@@ -802,3 +802,82 @@ def bloom_first_seen_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# --- timeout-closed sessions (event-time state expiry) -------------------
+
+SESSION_CLOSE_SCHEMA = (
+    "user_id bigint, n_events bigint, total_cents bigint, "
+    "first_us bigint, last_us bigint"
+)
+_SESSION_STATE_SCHEMA = "n bigint, cents bigint, first_us bigint, last_us bigint"
+SESSION_GAP_S = 30 * 60
+
+
+def _session_close_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Close a user's session when the WATERMARK passes its idle gap.
+
+    This is the state-EXPIRY pattern the other stateful ops here don't
+    need: output exists only when a timeout fires, state is removed on
+    close (no unbounded key accumulation), and the close decision is
+    driven by event-time progress — a user's silence is only final
+    once the watermark proves no older event can still arrive. The
+    session-window builtin gives windowed aggregates; this shape is
+    for side effects on close (abandoned-cart alerts, session logs).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, cents, first_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [int(n)],
+                "total_cents": [int(cents)],
+                "first_us": [int(first_us)],
+                "last_us": [int(last_us)],
+            }
+        )
+        return
+    if state.exists:
+        n, cents, first_us, last_us = (int(x) for x in state.get)
+    else:
+        n, cents, first_us, last_us = 0, 0, None, None
+    for pdf in batches:
+        for ts, v in zip(pdf["ts"], pdf["v_cents"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            n += 1
+            cents += int(v)
+            first_us = us if first_us is None else min(first_us, us)
+            last_us = us if last_us is None else max(last_us, us)
+    state.update((n, cents, first_us, last_us))
+    # close when the watermark passes last event + gap
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_S * 1000)
+    yield from ()
+
+
+def session_close_stream(events: DataFrame) -> DataFrame:
+    """Emit one row per CLOSED session (event-time timeout).
+
+    Input needs (ts timestamp, user_id, value); a watermark must be
+    set by the caller — the timeout fires when the watermark passes
+    the session's last event plus the 30-minute gap, so late events
+    inside the watermark can still reopen nothing (their session has
+    not closed yet) and state for closed sessions is gone.
+    """
+    keyed = events.select(
+        "ts",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v_cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_close_fn,
+        outputStructType=SESSION_CLOSE_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
