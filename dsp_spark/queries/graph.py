@@ -72,3 +72,59 @@ def graph_pagerank_dupgraph(spark, sf_dir):
     return pagerank(docs, pairs, "doc_id", iters=2).select(
         F.col("node").alias("doc_id"), F.col("pr").alias("pagerank")
     )
+
+
+@register(
+    "graph_degree_distribution",
+    f"""
+    WITH {_LSH_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY u)
+    SELECT CAST(bucket AS INTEGER) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_degree,
+           CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM (SELECT degree,
+                 CAST(floor(log2(degree)) AS INTEGER) AS bucket
+          FROM deg)
+    GROUP BY bucket
+    """,
+    doc="Degree distribution of the near-duplicate graph in power-of-2 "
+    "buckets — the shape check a curation run does before trusting "
+    "graph-stage costs: a heavy tail means template hubs (one doc "
+    "near-duplicating thousands) that make pair enumeration and "
+    "clustering quadratic in the hub size, the signal to tighten the "
+    "LSH threshold or cap cluster fan-out. Buckets are exact integer "
+    "log2 of exact counts (log2 of an int is exact binary for the "
+    "bucket floor), grain bounded by log2(max degree) <= 64 rows. "
+    "Isolated docs have no edge and no bucket — degree-0 is the "
+    "complement against n_docs, reported by dedup_rate_by_source.",
+)
+def graph_degree_distribution(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=2, k=5
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
+    return (
+        deg.select(
+            "degree",
+            F.floor(F.log2("degree")).cast("int").alias("degree_bucket"),
+        )
+        .groupBy("degree_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )

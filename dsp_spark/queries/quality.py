@@ -304,3 +304,90 @@ def dq_volume_shift_daily(spark, sf_dir):
             | (2.0 * nd * F.col("trail_days") < F.col("trail_sum"))
         ).alias("shifted"),
     )
+
+
+@register(
+    "dq_schema_drift",
+    """
+    WITH m AS (
+        SELECT
+          CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN lang END) AS BIGINT) AS ndv_lang_a,
+          CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS ndv_lang_b,
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 AND lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang_a,
+          CAST(SUM(CASE WHEN doc_id % 2 = 1 AND lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang_b,
+          CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN source END) AS BIGINT) AS ndv_source_a,
+          CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT) AS ndv_source_b,
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 AND source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source_a,
+          CAST(SUM(CASE WHEN doc_id % 2 = 1 AND source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source_b,
+          CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT) AS ndv_n_chars_a,
+          CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS ndv_n_chars_b,
+          CAST(SUM(CASE WHEN doc_id % 2 = 0 AND n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_chars_a,
+          CAST(SUM(CASE WHEN doc_id % 2 = 1 AND n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_chars_b
+        FROM documents
+    )
+    SELECT 'lang' AS col, ndv_lang_a AS ndv_a, ndv_lang_b AS ndv_b,
+           null_lang_a AS nulls_a, null_lang_b AS nulls_b,
+           ndv_lang_a <> ndv_lang_b OR null_lang_a <> null_lang_b AS drifted
+    FROM m
+    UNION ALL
+    SELECT 'source', ndv_source_a, ndv_source_b,
+           null_source_a, null_source_b,
+           ndv_source_a <> ndv_source_b OR null_source_a <> null_source_b
+    FROM m
+    UNION ALL
+    SELECT 'n_chars', ndv_n_chars_a, ndv_n_chars_b,
+           null_n_chars_a, null_n_chars_b,
+           ndv_n_chars_a <> ndv_n_chars_b OR null_n_chars_a <> null_n_chars_b
+    FROM m
+    """,
+    doc="Schema/profile drift between corpus snapshots (halves by "
+    "doc_id parity standing in for release N vs N+1): per column, the "
+    "distinct-value and null counts of each side with a drift flag — "
+    "the upstream-changed-its-export alarm that catches a source "
+    "silently dropping a language or nulling a field. ONE scan "
+    "computes every profile (conditional distinct/sum aggregates), "
+    "then the 1-row result unpivots to column grain — bounded by the "
+    "schema width, never the data.",
+)
+def dq_schema_drift(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    half_a = F.col("doc_id") % 2 == 0
+    half_b = F.col("doc_id") % 2 == 1
+
+    def prof(col):
+        return [
+            F.countDistinct(F.when(half_a, F.col(col)))
+            .cast("bigint")
+            .alias(f"ndv_{col}_a"),
+            F.countDistinct(F.when(half_b, F.col(col)))
+            .cast("bigint")
+            .alias(f"ndv_{col}_b"),
+            F.sum(F.when(half_a & F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{col}_a"),
+            F.sum(F.when(half_b & F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"null_{col}_b"),
+        ]
+
+    cols = ("lang", "source", "n_chars")
+    m = d.agg(*[a for c in cols for a in prof(c)])
+    stacked = m.selectExpr(
+        "stack(3, "
+        + ", ".join(
+            f"'{c}', ndv_{c}_a, ndv_{c}_b, null_{c}_a, null_{c}_b"
+            for c in cols
+        )
+        + ") as (col, ndv_a, ndv_b, nulls_a, nulls_b)"
+    )
+    return stacked.select(
+        "col",
+        "ndv_a",
+        "ndv_b",
+        "nulls_a",
+        "nulls_b",
+        (
+            (F.col("ndv_a") != F.col("ndv_b"))
+            | (F.col("nulls_a") != F.col("nulls_b"))
+        ).alias("drifted"),
+    )
