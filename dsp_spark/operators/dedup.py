@@ -252,9 +252,14 @@ def containment_pairs(
         # tokenize ONCE into a column first: Catalyst does not CSE
         # inside higher-order-function lambdas, so an inline
         # split(text) would re-run the regex split per gram position
+        # a doc shorter than `gram` tokens has NO fingerprintable run:
+        # emit an empty gram set (it can neither contain nor be
+        # contained), not one collapsed gram — a collapsed gram makes
+        # every trivially short/empty doc in a block "contain" every
+        # other one at containment = 1.0
         grams = F.expr(
             f"CASE WHEN size(__tk) < {gram} "
-            f"THEN array(concat_ws(' ', __tk)) "
+            f"THEN CAST(array() AS array<string>) "
             f"ELSE transform(sequence(1, size(__tk) - {gram - 1}), "
             f"i -> concat_ws(' ', slice(__tk, i, {gram}))) END"
         )

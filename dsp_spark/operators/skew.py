@@ -84,12 +84,14 @@ def write_bucketed(
     except Exception as e:  # reclaim only what Spark refused to reuse
         if "LOCATION_ALREADY_EXISTS" not in str(e):
             raise
+        blocked = e  # keep for the 3-part-name path below, where the
+        # bare `raise` would have no active exception to re-raise
     parts = table.split(".")
     if len(parts) > 2:
         # catalog-qualified (catalog.db.tbl): the default-location
         # guess below would be wrong and could delete an unrelated
         # directory — surface the original error instead
-        raise
+        raise blocked
     quoted = ".".join(f"`{p}`" for p in parts)
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")

@@ -847,6 +847,14 @@ def _session_close_fn(
         n, cents, first_us, last_us = 0, 0, None, None
     for pdf in batches:
         for ts, v in zip(pdf["ts"], pdf["v_cents"]):
+            if pd.isna(v):
+                # null input, or a value that overflowed the
+                # decimal(18,2) cast — name the contract instead of
+                # dying on "cannot convert float NaN to integer"
+                raise ValueError(
+                    f"session_close_stream user {user_id!r}: null or "
+                    "decimal-overflow value in the stream"
+                )
             us = int(pd.Timestamp(ts).value // 1000)
             n += 1
             cents += int(v)

@@ -81,6 +81,8 @@ def test_containment_gram3_matches_python_model(spark):
         (1, "s", "a b c d e x y z"),        # shares the run "a b c d e"
         (2, "s", "h g f e d c b a"),        # same vocab, reversed: no run
         (3, "s", "a b c d e f g h i j"),    # superset run
+        (4, "s", "a b"),                    # shorter than gram: no runs
+        (5, "s", "a b"),                    # identical short doc
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, src string, text string")
     got = {
@@ -93,14 +95,17 @@ def test_containment_gram3_matches_python_model(spark):
     def grams(s, k=3):
         tk = s.split()
         if len(tk) < k:
-            return {" ".join(tk)}
+            # no fingerprintable run exists — the doc participates in
+            # no containment pair (collapsing to one gram made every
+            # trivially short doc "contain" every other one)
+            return set()
         return {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
 
     exp = {}
     gs = {i: grams(txt) for i, _, txt in rows}
     for ida, sa in gs.items():
         for idb, sb in gs.items():
-            if ida == idb:
+            if ida == idb or not sa:
                 continue
             inter = len(sa & sb)
             if inter / len(sa) >= 0.5:
@@ -108,6 +113,8 @@ def test_containment_gram3_matches_python_model(spark):
     assert got == exp
     # the reversed-vocab doc pairs with nobody in either direction
     assert not any(2 in pair for pair in got)
+    # the sub-gram docs pair with nobody, not even each other
+    assert not any(4 in pair or 5 in pair for pair in got)
 
 
 @settings(

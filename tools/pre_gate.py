@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Pre-gate hygiene check: ONE command to run before a round gate.
+
+Bundles every plan/window/tree invariant the round driver and judge
+look at, so a regression is caught here instead of discovered in the
+verdict:
+
+1. Regenerate SCALE.md via tools/scale_report.py and assert its hard
+   invariants — 0 Cartesian products, 0 unbounded global windows,
+   and an EXACT bounded-window allowlist (a stale allowlist entry
+   masks future regressions).
+2. Diff the regenerated SCALE.md against the committed version —
+   plan-shape drift must be committed deliberately, never discovered
+   by the judge.
+3. Assert the driver's 50-entry correctness window contains EVERY
+   catalog entry that has no lifetime green driver row (the rotation
+   contract in dsp_spark/catalog.py _ordered): a never-checked entry
+   outside the window would stay unverified another full round.
+4. Warn on a dirty git tree (gate artifacts must be committed).
+
+Exit 0 = gate-ready. Any hard failure exits 1 with the reason on
+stderr. Run:
+
+    python tools/pre_gate.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures: list[str] = []
+
+    # 1. plan inventory + hard invariants (scale_report exits nonzero on
+    #    any Cartesian / unbounded window / stale allowlist entry)
+    import tools.scale_report as scale_report
+
+    sys.argv = ["scale_report.py", sf_dir]
+    if scale_report.main() != 0:
+        failures.append(
+            "scale_report: plan invariants violated (see stderr above)"
+        )
+
+    # 2. SCALE.md drift vs committed
+    diff = subprocess.run(
+        ["git", "-C", ROOT, "diff", "--stat", "--", "SCALE.md"],
+        capture_output=True,
+        text=True,
+    )
+    if diff.stdout.strip():
+        print(
+            "NOTE: SCALE.md drifted from the committed version — commit "
+            "the regenerated inventory with the round:\n" + diff.stdout,
+            file=sys.stderr,
+        )
+        # drift is not a hard failure (regeneration IS the fix), but an
+        # uncommitted drift at gate time is
+        failures.append("SCALE.md modified but not committed")
+
+    # 3. driver window must contain every never-checked entry
+    from dsp_spark.catalog import _driver_checked_rounds, entries
+
+    names = list(entries())
+    checked = _driver_checked_rounds()
+    never = [n for n in names if n not in checked]
+    window = set(names[:50])
+    outside = [n for n in never if n not in window]
+    if outside:
+        failures.append(
+            f"{len(outside)} never-driver-checked entries OUTSIDE the "
+            f"50-entry window: {outside} — they stay unverified this round"
+        )
+    print(
+        f"window check: {len(never)} never-checked entries, "
+        f"{len(never) - len(outside)} in the 50-slot window"
+    )
+
+    # 4. dirty tree warning (SCALE.md drift already counted above)
+    status = subprocess.run(
+        ["git", "-C", ROOT, "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+    )
+    dirty = [
+        line
+        for line in status.stdout.splitlines()
+        if line.strip() and not line.endswith("SCALE.md")
+    ]
+    if dirty:
+        print(
+            f"WARNING: {len(dirty)} uncommitted paths at gate time:\n"
+            + "\n".join(dirty),
+            file=sys.stderr,
+        )
+
+    if failures:
+        print("PRE-GATE FAIL:", file=sys.stderr)
+        for f in failures:
+            print(f"  - {f}", file=sys.stderr)
+        return 1
+    print("PRE-GATE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

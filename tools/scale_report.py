@@ -24,13 +24,19 @@ def main() -> int:
 
     spark = get_session("scale-report")
     rows = []
+    stale_allowlist: dict[str, tuple[int, int]] = {}
     for name, e in sorted(catalog.entries().items()):
         df = e.fn(spark, sf_dir)
         plan = plans.formatted(df)
         n_global = len(plans.unpartitioned_windows(plan))
+        allowed = ALLOWED_GLOBAL_WINDOWS.get(name, 0)
+        if name in ALLOWED_GLOBAL_WINDOWS and n_global != allowed:
+            # the allowlist must stay EXACT: a lower count means a stale
+            # entry that would mask a future regression up to `allowed`
+            stale_allowlist[name] = (n_global, allowed)
         if n_global == 0:
             gw = ""
-        elif n_global <= ALLOWED_GLOBAL_WINDOWS.get(name, 0):
+        elif n_global <= allowed:
             gw = f"{n_global} (bounded)"
         else:
             gw = f"{n_global} UNBOUNDED"
@@ -76,10 +82,15 @@ def main() -> int:
             f"{n_cartesian} Cartesian products; "
             f"{n_unbounded} unbounded global windows.\n"
         )
-    if n_cartesian or n_unbounded:
+    if n_cartesian or n_unbounded or stale_allowlist:
         print(
             f"ERROR: {n_cartesian} Cartesian products, "
-            f"{n_unbounded} unbounded global windows in plans",
+            f"{n_unbounded} unbounded global windows in plans"
+            + (
+                f", stale allowlist entries (found != allowed): {stale_allowlist}"
+                if stale_allowlist
+                else ""
+            ),
             file=sys.stderr,
         )
         spark.stop()
