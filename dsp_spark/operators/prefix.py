@@ -132,6 +132,13 @@ def _ranked(
     )
     offs = (
         loc.groupBy("_bkt")
+        # count(*), NOT max(_rn): pruning drops the row_number Window
+        # from this branch, so the count collapses to a map-side
+        # partial agg and the offsets shuffle carries ~B tiny rows.
+        # (max(_rn) would keep the Window hoping for exchange reuse —
+        # but reuse NEVER fires over a localCheckpoint RDD scan, Spark
+        # does not canonicalize RDD-scan subtrees as equal, so it would
+        # just re-shuffle and re-sort the full data a second time.)
         .agg(F.count("*").cast("bigint").alias("_cnt"))
         .withColumn(
             "_off", F.coalesce(F.sum("_cnt").over(_offsets_window()), F.lit(0))
@@ -205,6 +212,7 @@ def global_ntile_multi(
     *,
     buckets: int = 64,
     checkpoint: bool = True,
+    payload: list[str] | None = None,
 ) -> DataFrame:
     """Exact ascending NTILE(n_tiles) over SEVERAL orderings at once.
 
@@ -223,12 +231,21 @@ def global_ntile_multi(
     cost collapses to extra rows, which is what Spark scales with,
     not extra stages. All tiny windows here are partitioned by dim,
     so the plan contains NO unpartitioned window at all.
+
+    ``payload`` names input columns to carry through and return with
+    the tiles — the caller then needs NO join back onto the grain
+    table (exchange reuse never fires over the checkpointed RDD scan,
+    so that join re-shuffles both sides). Carried values ride only
+    the FIRST dimension's melted rows, so shuffle bytes grow by one
+    payload copy, not one per dimension.
     """
     if checkpoint:
         df = df.localCheckpoint()
     names = list(dims)
+    payload = payload or []
     melted = df.select(
         key,
+        *payload,
         F.explode(
             F.array(
                 *[
@@ -240,7 +257,16 @@ def global_ntile_multi(
                 ]
             )
         ).alias("_x"),
-    ).select(key, F.col("_x._dim").alias("_dim"), F.col("_x._val").alias("_val"))
+    ).select(
+        key,
+        F.col("_x._dim").alias("_dim"),
+        F.col("_x._val").alias("_val"),
+        # payload rides dim 0 only: rows for the other dims carry null
+        *[
+            F.when(F.col("_x._dim") == 0, F.col(p)).alias(p)
+            for p in payload
+        ],
+    )
 
     fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
     cuts = melted.groupBy("_dim").agg(
@@ -260,6 +286,10 @@ def global_ntile_multi(
     )
     offs = (
         loc.groupBy("_dim", "_bkt")
+        # count(*), NOT max(_rn): see _ranked — pruning collapses this
+        # branch to a map-side partial count (tiny shuffle); keeping
+        # the Window would re-shuffle the melted data hoping for an
+        # exchange reuse that never fires over an RDD-scan input
         .agg(F.count("*").cast("bigint").alias("_cnt"))
         .withColumn(
             "_off",
@@ -287,8 +317,11 @@ def global_ntile_multi(
         ["_dim", "_bkt"],
     ).withColumn("_tile", tile.cast("int"))
     return tiled.groupBy(key).agg(
+        # payload is null on every non-dim-0 row, so a bare max
+        # recovers the single carried value
+        *[F.max(F.col(p)).alias(p) for p in payload],
         *[
             F.max(F.when(F.col("_dim") == i, F.col("_tile"))).alias(name)
             for i, name in enumerate(names)
-        ]
+        ],
     )

@@ -775,7 +775,9 @@ def customer_rfm_segments(spark, sf_dir):
     # last_order melts to epoch seconds: the session runs in UTC so the
     # NTZ->double mapping is monotone and injective (µs resolution sits
     # well inside double's 2^53 integer range), preserving the
-    # ORDER BY last_order tie-broken-by-custkey contract exactly
+    # ORDER BY last_order tie-broken-by-custkey contract exactly.
+    # The R/F/M measures ride the melt as payload — no join back onto
+    # the grain table (its RDD-scan exchange is never reused).
     tiles = prefix.global_ntile_multi(
         rfm,
         "custkey",
@@ -786,8 +788,9 @@ def customer_rfm_segments(spark, sf_dir):
         },
         4,
         checkpoint=False,  # rfm is already materialized above
+        payload=["last_order", "frequency", "monetary"],
     )
-    return rfm.join(tiles, "custkey").select(
+    return tiles.select(
         "custkey",
         "last_order",
         "frequency",

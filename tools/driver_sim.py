@@ -25,6 +25,11 @@ def main() -> int:
     p.add_argument("--limit", type=int, default=50)
     p.add_argument("--all", action="store_true", help="check every entry, not just the window")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated entry names to check (overrides --limit/--all)",
+    )
     args = p.parse_args()
 
     import duckdb
@@ -48,7 +53,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = list(qs) if args.all else list(qs)[: args.limit]
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            p.error(f"unknown entries: {unknown}")
+    else:
+        names = list(qs) if args.all else list(qs)[: args.limit]
 
     results: dict[str, dict] = {}
     n_fail = 0
