@@ -200,6 +200,91 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+# one build per (process, sf_dir): the persisted index exists to
+# amortize assignment across query batches, so the catalog entry
+# rebuilds only when a fresh process first touches an sf_dir (stale
+# on-disk indexes from earlier processes/testdata drops are always
+# overwritten, never trusted)
+_IVF_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ivf_index_path(spark, sf_dir):
+    import os
+
+    from dsp_spark.operators import ann_index
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path = os.path.join(
+        root,
+        "spark-warehouse",
+        "ann_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if _IVF_INDEX_BUILT.get(sf_dir) != path:
+        e = t(spark, sf_dir, "embeddings")
+        ann_index.build_ivf_index(
+            e, e.filter(F.col("vec_id") % 100 == 0), path
+        )
+        _IVF_INDEX_BUILT[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_index_persisted_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, emb AS cv FROM e WHERE vec_id % 100 = 0),
+    asg AS (
+        SELECT vec_id, emb, cell FROM (
+            SELECT v.vec_id, v.emb, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+            FROM e v, cent c) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT v.vec_id AS query_id, v.emb AS qv, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_COS_AC} DESC, c.cent_id) AS rn
+            FROM e v, cent c WHERE v.vec_id < 5) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.query_id, a.vec_id,
+               round(list_dot_product(p.qv, a.emb) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.emb, a.emb))), 6) AS sim
+        FROM probes p JOIN asg a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INTEGER) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 10
+    """,
+    doc="The persisted-IVF index LIFECYCLE as a catalog entry: build "
+    "writes the corpus cell-partitioned to parquet once per process "
+    "(operators/ann_index.build_ivf_index — the ingest-time job), then "
+    "the query reads ONLY the probed cells back through a partition "
+    "filter (query_ivf_index; the scan lists nprobe/n_cells of the "
+    "corpus, the IO shape that makes an index an index). Same "
+    "deterministic codebook, nprobe and shared score_probed_cells as "
+    "ann_ivf_topk, so the oracle — and the results — are identical to "
+    "the scan-composed IVF by construction; what this entry adds to "
+    "the driver check is the round-trip through the on-disk layout "
+    "(write -> partition-pruned read -> score).",
+)
+def ann_index_persisted_topk(spark, sf_dir):
+    from dsp_spark.operators import ann_index
+
+    path = _ivf_index_path(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    out = ann_index.query_ivf_index(
+        spark, path, e.filter(F.col("vec_id") < 5), nprobe=2, k=10
+    )
+    return out.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("int").alias("rnk")
+    )
+
+
 _Q8_CODES = (
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / "
     "(greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)"

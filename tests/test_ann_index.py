@@ -53,6 +53,28 @@ def test_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert 0 < len(cell_dirs) <= m["n_cells"]
 
 
+def test_catalog_entry_matches_scan_composed_ivf(spark, sf_dir):
+    """The `ann_index_persisted_topk` catalog entry (build once per
+    process into spark-warehouse/ann_index, query the on-disk layout)
+    must return exactly what the scan-composed `ann_ivf_topk` entry
+    returns — same codebook, nprobe, shared scorer — and its scan must
+    stay partition-pruned in the catalog context too."""
+    from dsp_spark.queries.similarity import (
+        ann_index_persisted_topk,
+        ann_ivf_topk,
+    )
+
+    want = {
+        tuple(r) for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    df = ann_index_persisted_topk(spark, sf_dir)
+    got = {tuple(r) for r in df.collect()}
+    assert got == want
+    plan = plans.formatted(df)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
 def test_incremental_add_lands_in_cells(spark, sf_dir, tmp_path):
     e, cent, queries, idx, manifest = _setup(spark, sf_dir, tmp_path)
     # new vectors arrive: assign against the SAME codebook and append
