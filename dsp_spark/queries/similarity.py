@@ -209,16 +209,23 @@ _IVF_INDEX_BUILT: dict[str, str] = {}
 
 
 def _ivf_index_path(spark, sf_dir):
+    import hashlib
     import os
 
     from dsp_spark.operators import ann_index
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # suffix with a hash of the FULL sf_dir: two corpora sharing a
+    # basename (e.g. /root/testdata/sf0.01 vs /tmp/regen/sf0.01) must
+    # never serve each other's cells
+    full = os.path.abspath(os.path.normpath(sf_dir))
     path = os.path.join(
         root,
         "spark-warehouse",
         "ann_index",
-        os.path.basename(os.path.normpath(sf_dir)),
+        os.path.basename(full)
+        + "-"
+        + hashlib.md5(full.encode()).hexdigest()[:8],
     )
     if _IVF_INDEX_BUILT.get(sf_dir) != path:
         e = t(spark, sf_dir, "embeddings")

@@ -48,7 +48,7 @@ def _run(spark, tmp_path, pdf, build, mode, n_files=3):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not terminate in 120s"
     return spark.table(name).toPandas(), tmp_path / "ck"
 
 

@@ -93,8 +93,14 @@ def main() -> int:
             print(f"      {json.dumps(rec)}", flush=True)
 
     print(f"\n{len(names) - n_fail}/{len(names)} green, {n_fail} failures")
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "driver_sim_last.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    if args.only:
+        # a targeted debug run must not clobber the committed full-window
+        # artifact — it would replace the 50-entry gate record with a
+        # partial (possibly 1-entry) one
+        print("(--only run: driver_sim_last.json NOT rewritten)")
+    else:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "driver_sim_last.json"), "w") as f:
+            json.dump(results, f, indent=1)
     return 1 if n_fail else 0
 
 

@@ -48,9 +48,10 @@ def main() -> int:
             "scale_report: plan invariants violated (see stderr above)"
         )
 
-    # 2. SCALE.md drift vs committed
+    # 2. SCALE.md drift vs committed — diff against HEAD, not the index:
+    #    a staged-but-uncommitted drift is still uncommitted at gate time
     diff = subprocess.run(
-        ["git", "-C", ROOT, "diff", "--stat", "--", "SCALE.md"],
+        ["git", "-C", ROOT, "diff", "HEAD", "--stat", "--", "SCALE.md"],
         capture_output=True,
         text=True,
     )
@@ -91,7 +92,9 @@ def main() -> int:
     dirty = [
         line
         for line in status.stdout.splitlines()
-        if line.strip() and not line.endswith("SCALE.md")
+        # compare the porcelain PATH field exactly — only the root
+        # SCALE.md is already counted above, not any *SCALE.md suffix
+        if line.strip() and line[3:].strip() != "SCALE.md"
     ]
     if dirty:
         print(

@@ -25,6 +25,11 @@ def main() -> int:
     spark = get_session("scale-report")
     rows = []
     stale_allowlist: dict[str, tuple[int, int]] = {}
+    # an allowlist key for a deleted/renamed entry is the canonical
+    # stale case — the loop below never visits it, so flag it up front
+    for name in ALLOWED_GLOBAL_WINDOWS:
+        if name not in catalog.entries():
+            stale_allowlist[name] = (-1, ALLOWED_GLOBAL_WINDOWS[name])
     for name, e in sorted(catalog.entries().items()):
         df = e.fn(spark, sf_dir)
         plan = plans.formatted(df)
