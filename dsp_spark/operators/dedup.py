@@ -85,18 +85,7 @@ def lsh_pairs_from_signatures(
     instead of re-deriving bands, so the layout can never diverge
     between the pair generator and signature-sharing entries.
     """
-    rows = n_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-            )
-        )
-        for b in range(bands)
-    ]
-    bands_df = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
-    )
+    bands_df = _bands_of(sig, id_col, n_hashes=n_hashes, bands=bands)
     # shuffle-hash, not broadcast: both sides then shuffle on the same
     # (band_idx, band_hash) key with identical child plans, so Spark's
     # ReuseExchange computes the signatures ONCE (2x saving) — and at
@@ -109,6 +98,73 @@ def lsh_pairs_from_signatures(
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _bands_of(
+    sig: DataFrame, id_col: str, *, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows from a signature frame — the one
+    definition of the band layout, shared by the self-join and the
+    asymmetric cross-join candidate generators."""
+    rows = n_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+
+
+def lsh_cross_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    bands: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric LSH banding: candidate near-dup pairs between a large
+    corpus and a SMALL probe set (eval/benchmark docs, a blocklist, a
+    takedown batch). Returns (id_a = corpus doc, id_b = probe doc).
+
+    The scale shape decontamination needs: the corpus side never
+    self-joins — its bands stream map-side against a BROADCAST of the
+    probe bands (an eval suite is ~1e4-1e6 docs against a ~1e10-doc
+    corpus), so the corpus is never shuffled at all. Contrast
+    `lsh_pairs_from_signatures`, whose shuffle-hash self-join is the
+    right plan when both sides are the full corpus.
+    """
+    c_bands = _bands_of(
+        minhash_signatures(corpus, id_col, text_col, n_hashes=n_hashes, k=k),
+        id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    p_bands = _bands_of(
+        minhash_signatures(probes, id_col, text_col, n_hashes=n_hashes, k=k),
+        id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+    )
+    return (
+        c_bands.alias("a")
+        .join(
+            F.broadcast(p_bands.alias("b")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

@@ -728,3 +728,74 @@ def dedup_cluster_savings(spark, sf_dir):
             - F.sum(surv_chars).cast("double") / F.sum("n_chars")
         ).alias("savings"),
     )
+
+
+# --- cross-split near-dup decontamination (round 5) -----------------------
+
+_XBANDS = "\n        UNION ALL ".join(
+    "SELECT doc_id, is_eval, {b} AS band_idx, "
+    "md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+        b=b, cols=", ".join(f"mh{4 * b + r}" for r in range(4))
+    )
+    for b in range(2)
+)
+_XINTER = "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
+
+
+@register(
+    "decontam_near_dup_eval",
+    f"""
+    WITH sig AS (
+        SELECT doc_id, is_eval,
+               {_MH8}
+        FROM (SELECT doc_id,
+                     CAST(substr(source, 4) AS INTEGER) >= 10 AS is_eval,
+                     {shingle_hashes_sql(5)} AS hs
+              FROM documents)
+    ), bands AS (
+        {_XBANDS}
+    ), pairs AS (
+        SELECT DISTINCT tr.doc_id AS id_a, ev.doc_id AS id_b
+        FROM bands tr JOIN bands ev
+          ON tr.band_idx = ev.band_idx AND tr.band_hash = ev.band_hash
+        WHERE NOT tr.is_eval AND ev.is_eval
+    ), toks AS (
+        SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS tk
+        FROM documents
+    )
+    SELECT id_b AS eval_doc_id, id_a AS train_doc_id, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+               round({_XINTER} / (len(a.tk) + len(b.tk) - {_XINTER}), 6) AS jaccard
+        FROM pairs p
+        JOIN toks a ON p.id_a = a.doc_id
+        JOIN toks b ON p.id_b = b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="Near-duplicate train/eval decontamination — the fuzzy sibling "
+    "of decontam_eval_overlap's exact 8-gram check (same src10+ eval "
+    "split): MinHash-LSH bands of the eval docs BROADCAST against the "
+    "train corpus's bands (operators/dedup.py:lsh_cross_pairs — an "
+    "eval suite is ~1e4-1e6 docs vs a ~1e10-doc corpus, so the corpus "
+    "side is never shuffled, never self-joined), then exact token-set "
+    "Jaccard >= 0.5 on the candidate fringe for precision. Output: the "
+    "(eval doc, contaminating train doc, jaccard) removal list a "
+    "training run applies before measuring eval loss.",
+)
+def decontam_near_dup_eval(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.substring("source", 4, 10).cast("int") >= 10
+    cands = dd.lsh_cross_pairs(
+        d.filter(~is_eval),
+        d.filter(is_eval),
+        "doc_id",
+        "text",
+        n_hashes=8,
+        bands=2,
+        k=5,
+    ).localCheckpoint(eager=True)  # verify consumes candidates 3x
+    verified = dd.verify_pairs(d, cands, "doc_id", "text", threshold=0.5)
+    return verified.select(
+        F.col("id_b").alias("eval_doc_id"),
+        F.col("id_a").alias("train_doc_id"),
+        "jaccard",
+    )

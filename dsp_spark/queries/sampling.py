@@ -533,3 +533,53 @@ def doc_length_percentiles_by_source(spark, sf_dir):
         F.percentile("n_chars", 0.99).alias("p99"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+_SHUF_SHARDS = 8
+_SHUF_KEY_DUCK = "md5('ep1|' || doc_id::VARCHAR)"
+_SHUF_SHARD_DUCK = (
+    f"('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT % {_SHUF_SHARDS}"
+)
+
+
+@register(
+    "dataset_shuffle_order",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {_SHUF_KEY_DUCK} AS skey,
+               CAST({_SHUF_SHARD_DUCK} AS INTEGER) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    doc="Deterministic epoch shuffle for training: every doc gets a "
+    "(shard, pos) address from a salted content hash — the global "
+    "random permutation a dataloader needs, with NO global sort and "
+    "no RNG state (epoch 2 is just a different salt; retries and "
+    "repartitions can't change the order). shard = hash % N gives "
+    "balanced shards; pos = md5-rank WITHIN the shard, so the only "
+    "shuffle is the shard repartition and each shard sorts "
+    "independently — exactly the physical plan of the shard-file "
+    "write: repartition(N, shard) + sortWithinPartitions(skey). At "
+    "100 TB, N scales with the corpus (1 shard ~ 1 output file); the "
+    "per-shard sort is an external sort within one task, bounded by "
+    "the chosen shard size, never by the corpus.",
+)
+def dataset_shuffle_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(skey, 1, 8), 16, 10).cast("bigint")
+        % _SHUF_SHARDS
+    ).cast("int")
+    keyed = d.select("doc_id", skey.alias("skey"), shard.alias("shard"))
+    w = W.partitionBy("shard").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

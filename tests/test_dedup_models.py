@@ -160,3 +160,46 @@ def test_containment_matches_python_model(spark, rows):
             if inter / len(sa) >= 0.8:
                 exp[(ida, idb)] = (inter, len(sa))
     assert got == exp
+
+
+def test_lsh_cross_pairs_consistent_with_self_join(spark, sf_dir):
+    """The asymmetric (broadcast-probe) candidate generator must find
+    exactly the self-join generator's candidates restricted to
+    cross-split pairs — same signatures, same band layout, different
+    join strategy only."""
+    from pyspark.sql import functions as F
+
+    from dsp_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    is_eval = F.substring("source", 4, 10).cast("int") >= 10
+    split = {
+        r.doc_id: r.ev
+        for r in d.select("doc_id", is_eval.alias("ev")).collect()
+    }
+    self_pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_pairs(
+            d, "doc_id", "text", n_hashes=8, bands=2, k=5
+        ).collect()
+    }
+    want = {
+        # orient as (train, eval) regardless of id order
+        (a, b) if split[b] else (b, a)
+        for a, b in self_pairs
+        if split[a] != split[b]
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_cross_pairs(
+            d.filter(~is_eval),
+            d.filter(is_eval),
+            "doc_id",
+            "text",
+            n_hashes=8,
+            bands=2,
+            k=5,
+        ).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous: the corpus does contain cross-split dups
