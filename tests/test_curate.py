@@ -22,11 +22,12 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
         >= m["after_exact_dedup"]
         >= m["after_near_dedup"]
         >= m["after_containment"]
+        >= m["after_decontam"]
         > 0
     )
     back = spark.read.parquet(out)
-    assert back.count() == m["after_containment"]
-    assert sum(m["splits"].values()) == m["after_containment"]
+    assert back.count() == m["after_decontam"]
+    assert sum(m["splits"].values()) == m["after_decontam"]
     assert set(back.columns) >= {"doc_id", "text", "shard"}
     # the survivor set must be near-dup free: re-running LSH + verify on
     # the output yields no verified pair
@@ -35,7 +36,19 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
     assert verified.count() == 0
     # exact dups gone too
     n_hashes = back.select(F.md5("text")).distinct().count()
-    assert n_hashes == m["after_containment"]
+    assert n_hashes == m["after_decontam"]
+    # decontam held: no surviving TRAIN doc is a >=0.35 near-dup of a
+    # surviving held-out doc
+    xc = dd.lsh_cross_pairs(
+        back.where(F.col("split") == "train"),
+        back.where(F.col("split") != "train"),
+        "doc_id",
+        "text",
+        n_hashes=8,
+        bands=2,
+        k=5,
+    )
+    assert dd.verify_pairs(back, xc, "doc_id", "text", threshold=0.35).count() == 0
     # and no surviving doc is >=80% token-contained in a LONGER survivor
     cont = dd.containment_pairs(
         back, "doc_id", "text", block_col="source", threshold=0.8, gram=3

@@ -145,3 +145,28 @@ def test_prefix_plan_has_no_data_grain_global_window(rnd_df):
     )
     wins = plans.unpartitioned_windows(df)
     assert len(wins) == 1 and "_tot" in wins[0], wins
+
+
+def test_global_ntile_multi_payload_rides_the_melt(rnd_df):
+    """payload columns must come back exactly (one copy per key, not
+    per dim) and must not change any tile assignment."""
+    base = {
+        r.id: (r.a, r.b)
+        for r in prefix.global_ntile_multi(
+            rnd_df, "id", {"a": F.col("v"), "b": F.col("qual")}, 4,
+            buckets=16,
+        ).collect()
+    }
+    out = prefix.global_ntile_multi(
+        rnd_df,
+        "id",
+        {"a": F.col("v"), "b": F.col("qual")},
+        4,
+        buckets=16,
+        payload=["v", "qual"],
+    ).collect()
+    src = {r.id: (r.v, r.qual) for r in rnd_df.collect()}
+    assert len(out) == len(src)  # one row per key, payload not fanned out
+    for r in out:
+        assert (r.a, r.b) == base[r.id]
+        assert (r.v, r.qual) == src[r.id]

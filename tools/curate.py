@@ -14,6 +14,10 @@ Stages (each a cataloged operator, composed):
                         contained in a longer survivor (subsumption
                         Jaccard can't see; grams, not unigrams, so
                         shared vocabulary alone never fires it)
+  3c. decontam        - train docs near-dup (Jaccard >= 0.35, stricter
+                        than the 0.5 dedup) of a held-out val/test doc
+                        are dropped: held-out bands BROADCAST against
+                        train bands, the corpus never self-joins
   4. split + shard    - stable hash-bucket train/val/test + 32 shards
   5. write            - parquet partitioned by split, rows range-
                         clustered by n_chars inside each partition
@@ -117,8 +121,35 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     n_contain = kept_c.count()
     kept_n = kept_c
 
-    # 4. stable split + shard assignment
+    # 3c. eval decontamination: split membership is a stable hash, so
+    # the held-out (val/test) docs are known BEFORE the write — train
+    # docs still fuzzily matching one must go, or eval loss measures
+    # memorization. Stage 3 already collapsed near-dups at 0.5, so
+    # decontam runs STRICTER (0.35): real pipelines decontaminate more
+    # aggressively than they dedup, because a half-overlapping eval doc
+    # still leaks. The held-out side is 2% by construction, so its LSH
+    # bands broadcast against the train bands (lsh_cross_pairs) — the
+    # train corpus is never shuffled, never self-joined.
     b = smp.hash_bucket("doc_id")
+    xc = dd.lsh_cross_pairs(
+        kept_n.where(b >= 200),
+        kept_n.where(b < 200),
+        "doc_id",
+        "text",
+        n_hashes=8,
+        bands=2,
+        k=5,
+    ).localCheckpoint(eager=True)
+    contaminated = (
+        dd.verify_pairs(kept_n, xc, "doc_id", "text", threshold=0.35)
+        .select(F.col("id_a").alias("doc_id"))  # drop the TRAIN side only
+        .distinct()
+    )
+    kept_d = kept_n.join(contaminated, "doc_id", "left_anti")
+    n_decontam = kept_d.count()
+    kept_n = kept_d
+
+    # 4. stable split + shard assignment
     final = kept_n.withColumn(
         "split",
         F.when(b < 100, "test").when(b < 200, "val").otherwise("train"),
@@ -141,6 +172,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_neardup,
         "after_containment": n_contain,
+        "after_decontam": n_decontam,
         "splits": by_split,
         "out": out_dir,
     }
