@@ -819,36 +819,40 @@ def customer_rfm_segments(spark, sf_dir):
     LIMIT 20
     """,
     doc="Market-basket affinity: top-20 brand pairs co-occurring in one "
-    "order. The (order, brand) relation distinct-reduces BEFORE the "
-    "self-join, both sides share its exchange, and the pair count is "
-    "bounded by |brands|^2 regardless of fact size — the co-occurrence "
-    "shape that stays cheap at 100 TB because the quadratic term is on "
-    "the dictionary, not the data. Total ORDER BY tie-break keeps the "
-    "LIMIT deterministic across engines.",
+    "order. No self-join at all: ONE orderkey shuffle groups each "
+    "basket's distinct brands into a (small, dictionary-bounded) "
+    "array, pairs explode MAP-SIDE within each basket row, and the "
+    "pair count folds into a |brands|^2-grain aggregate — the "
+    "quadratic term lands on per-basket arrays (bounded by order "
+    "width), never on a fact-fact join. Total ORDER BY tie-break "
+    "keeps the LIMIT deterministic across engines.",
 )
 def basket_brand_affinity(spark, sf_dir):
+    pair = (
+        _brand_baskets(spark, sf_dir)
+        .select(F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return pair.orderBy(F.desc("n_orders"), "brand_a", "brand_b").limit(20)
+
+
+def _brand_baskets(spark, sf_dir):
+    """(l_orderkey, sorted distinct brand array) — the grouped-basket
+    relation both market-basket entries derive from. collect_set
+    dedups within the basket, so this replaces the old
+    DISTINCT-then-self-join shape with one orderkey shuffle; the
+    array is bounded by the order's width (7 lineitems here, always
+    small relative to the corpus), so downstream pair explosion is
+    map-side work."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.alias("a").hint("shuffle_hash")
-    b = ob.alias("b").hint("shuffle_hash")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
-        .agg(F.count("*").alias("n_orders"))
-        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
-        .limit(20)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
 
 
@@ -956,36 +960,30 @@ def orders_abc_pareto(spark, sf_dir):
     doc="Association-rule mining over baskets: top-20 brand pairs by "
     "lift = P(a,b)/(P(a)P(b)), with support count and confidence — "
     "the recommender/affinity staple one step past raw co-occurrence "
-    "(basket_brand_affinity). The (order, brand) relation "
-    "distinct-reduces before the self-join, per-brand counts are a "
-    "dictionary-bounded broadcast, the basket total rides a 1-row "
-    "broadcast, and both ratios are single divisions of exact int64 "
-    "products (n*n_orders < 2^63 up to ~3e9 baskets x dictionary "
+    "(basket_brand_affinity). Pairs, per-brand counts, and the basket "
+    "total all derive from ONE materialized basket-array relation "
+    "(localCheckpoint — three consumers with different column prunings "
+    "would otherwise each rerun the fact scan + orderkey shuffle, and "
+    "exchange reuse cannot fire across them): the corpus shuffles "
+    "exactly once, pairs explode map-side inside each basket row, and "
+    "everything downstream is |brands|- or |brands|^2-grain. Per-brand "
+    "counts are a dictionary-bounded broadcast, the basket total rides "
+    "a 1-row broadcast, and both ratios are single divisions of exact "
+    "int64 products (n*n_orders < 2^63 up to ~3e9 baskets x dictionary "
     "brands) so the doubles match bit-for-bit. Top-20 is a "
     "TakeOrderedAndProject with full tie-break.",
 )
 def basket_brand_lift(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    brand = ob.groupBy("p_brand").agg(F.count("*").alias("n"))
-    a = ob.alias("a").hint("shuffle_hash")
-    b = ob.alias("b").hint("shuffle_hash")
+    baskets = _brand_baskets(spark, sf_dir).localCheckpoint(eager=True)
+    tot = baskets.agg(F.count("*").alias("n_orders"))
+    brand = baskets.select(F.explode("brands").alias("p_brand")).groupBy(
+        "p_brand"
+    ).agg(F.count("*").alias("n"))
     pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        baskets.select(F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_ab"))
     )
     ba = brand.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("na"))
