@@ -35,22 +35,46 @@ def exact_dedup(df: DataFrame, id_col: str, *content_cols: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 8, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    k: int = 5,
+    token_gram: int | None = None,
 ) -> DataFrame:
-    """n_hashes MinHash values per doc: one md5 per distinct shingle,
+    """n_hashes MinHash values per doc: one md5 per distinct base unit,
     then affine permutations — the base-hash array is materialized once
-    so hash work is O(len), not O(len * n_hashes)."""
-    hs = textops.shingle_hashes(text_col, k)
-    return (
-        spread(df)
-        .select(F.col(id_col), hs.alias("_hs"))
-        .select(
-            F.col(id_col),
-            *[
-                textops.minhash_from_hashes("_hs", s).alias(f"mh{s}")
-                for s in range(n_hashes)
-            ],
+    so hash work is O(len), not O(len * n_hashes).
+
+    Default base units are char-k-gram shingles (the dedup family's
+    order-sensitive similarity). ``token_gram=n`` switches to distinct
+    token n-grams: the sketch then estimates the token-run Jaccard a
+    decontamination verify thresholds (see textops.token_gram_hashes
+    for why neither unigram tokens nor char shingles work there).
+    Docs with no fingerprintable n-gram run are DROPPED in that mode —
+    they have nothing to band on (their null minhash would otherwise
+    collide with every other gramless doc via md5(''))."""
+    if token_gram is not None:
+        base = (
+            spread(df)
+            .select(F.col(id_col), textops.tokens(text_col).alias("__tk"))
+            .select(
+                F.col(id_col),
+                textops.token_gram_hashes("__tk", token_gram).alias("_hs"),
+            )
+            .filter(F.size("_hs") > 0)
         )
+    else:
+        base = spread(df).select(
+            F.col(id_col), textops.shingle_hashes(text_col, k).alias("_hs")
+        )
+    return base.select(
+        F.col(id_col),
+        *[
+            textops.minhash_from_hashes("_hs", s).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ],
     )
 
 
@@ -135,6 +159,7 @@ def lsh_cross_pairs(
     n_hashes: int = 8,
     bands: int = 2,
     k: int = 5,
+    token_gram: int | None = None,
 ) -> DataFrame:
     """Asymmetric LSH banding: candidate near-dup pairs between a large
     corpus and a SMALL probe set (eval/benchmark docs, a blocklist, a
@@ -148,13 +173,19 @@ def lsh_cross_pairs(
     right plan when both sides are the full corpus.
     """
     c_bands = _bands_of(
-        minhash_signatures(corpus, id_col, text_col, n_hashes=n_hashes, k=k),
+        minhash_signatures(
+            corpus, id_col, text_col, n_hashes=n_hashes, k=k,
+            token_gram=token_gram,
+        ),
         id_col,
         n_hashes=n_hashes,
         bands=bands,
     )
     p_bands = _bands_of(
-        minhash_signatures(probes, id_col, text_col, n_hashes=n_hashes, k=k),
+        minhash_signatures(
+            probes, id_col, text_col, n_hashes=n_hashes, k=k,
+            token_gram=token_gram,
+        ),
         id_col,
         n_hashes=n_hashes,
         bands=bands,
@@ -531,14 +562,17 @@ def verify_pairs(
     text_col: str,
     *,
     threshold: float = 0.5,
+    gram: int | None = None,
 ) -> DataFrame:
-    """Verification stage of the MinHash pipeline: exact token-set
-    Jaccard on CANDIDATE pairs only (LSH gives recall, this gives
-    precision). Token arrays are semi-join-pruned to docs that appear
-    in some candidate before the pair join, so the shuffle carries
-    token sets for the near-dup fringe of the corpus, never all of it;
-    per-pair array_intersect is fine because banding already bounded
-    the pair count.
+    """Verification stage of the MinHash pipeline: exact set Jaccard on
+    CANDIDATE pairs only (LSH gives recall, this gives precision) —
+    over distinct tokens by default, or distinct token n-gram hashes
+    with ``gram=n`` (pair with token_gram candidates so the sketch and
+    the verifier threshold the SAME similarity). Element arrays are
+    semi-join-pruned to docs that appear in some candidate before the
+    pair join, so the shuffle carries sets for the near-dup fringe of
+    the corpus, never all of it; per-pair array_intersect is fine
+    because banding already bounded the pair count.
     """
     from dsp_spark.operators import textops
 
@@ -547,12 +581,14 @@ def verify_pairs(
         .union(pairs.select("id_b"))
         .distinct()
     )
+    if gram is not None:
+        elems = textops.token_gram_hashes("__tk", gram)
+    else:
+        elems = F.array_distinct(F.col("__tk"))
     toks = (
         docs.join(ids, id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.array_distinct(textops.tokens(text_col)).alias("tk"),
-        )
+        .select(F.col(id_col), textops.tokens(text_col).alias("__tk"))
+        .select(F.col(id_col), elems.alias("tk"))
     )
     ta = toks.select(F.col(id_col).alias("id_a"), F.col("tk").alias("tka"))
     tb = toks.select(F.col(id_col).alias("id_b"), F.col("tk").alias("tkb"))

@@ -71,6 +71,12 @@ def zorder_layout(
             f"zorder needs 1+ cols and bits*len(cols) <= 63, got "
             f"{bits} bits x {len(cols)} cols"
         )
+    reserved = {"__z", *(f"__b_{c}" for c in cols)}
+    clash = reserved & set(df.columns)
+    if clash:
+        # never silently overwrite-and-drop a user column that happens
+        # to share a working-column name
+        raise ValueError(f"input columns collide with zorder temps: {sorted(clash)}")
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     # one approxQuantile pass computes every column's cutpoints
     all_cuts = df.stat.approxQuantile(list(cols), probs, 1e-3)

@@ -32,14 +32,27 @@ def hash_bucket(id_col: str, *, salt: str = "") -> Column:
     return F.expr(hash_bucket_sql(id_col, salt=salt, dialect="spark"))
 
 
-def hash_bucket_sql(id_col: str, *, salt: str = "", dialect: str = "duck") -> str:
+def salted_md5_sql(id_col: str, *, salt: str = "", dialect: str = "duck") -> str:
+    """md5(salt || id) as a hex-string expression — the ONE home of the
+    cross-engine salted-hash idiom (both dialects), which every
+    deterministic sampling/sharding/ordering key builds on."""
     s = f"'{salt}' || " if salt else ""
     if dialect == "spark":
-        return (
-            f"CAST(conv(substring(md5({s}CAST({id_col} AS STRING)), 1, 8), 16, 10) "
-            f"AS BIGINT) % {BUCKETS}"
-        )
-    return f"('0x' || substr(md5({s}{id_col}::VARCHAR), 1, 8))::BIGINT % {BUCKETS}"
+        return f"md5({s}CAST({id_col} AS STRING))"
+    return f"md5({s}{id_col}::VARCHAR)"
+
+
+def hash_int_sql(id_col: str, *, salt: str = "", dialect: str = "duck") -> str:
+    """First 32 bits of the salted md5 as a BIGINT (uniform in
+    [0, 2^32)) — the numeric form bucket/shard assignments reduce."""
+    h = salted_md5_sql(id_col, salt=salt, dialect=dialect)
+    if dialect == "spark":
+        return f"CAST(conv(substring({h}, 1, 8), 16, 10) AS BIGINT)"
+    return f"('0x' || substr({h}, 1, 8))::BIGINT"
+
+
+def hash_bucket_sql(id_col: str, *, salt: str = "", dialect: str = "duck") -> str:
+    return f"{hash_int_sql(id_col, salt=salt, dialect=dialect)} % {BUCKETS}"
 
 
 def deterministic_sample(

@@ -89,6 +89,45 @@ def shingle_hashes_sql(k: int, col: str = "text") -> str:
     )
 
 
+def token_gram_hashes(tok_col: str, gram: int) -> Column:
+    """28-bit base hash per *distinct token n-gram* of a PRE-TOKENIZED
+    array column — the token-run twin of :func:`shingle_hashes`.
+
+    MinHash over these estimates token-n-gram Jaccard, the similarity
+    published decontamination pipelines actually threshold (GPT-3 /
+    Dolma use n-gram overlap): unigram token sets are trivially similar
+    on template corpora (shared vocabulary without shared content — a
+    measured 0.5 Jaccard between RANDOM docs of the synthetic corpus),
+    and char shingles are order-sensitive in a different way than the
+    verifier. Takes a tokens column, not raw text: Catalyst does not
+    CSE inside higher-order-function lambdas, so inlining the regex
+    split here would re-run it per gram position.
+
+    Docs shorter than `gram` tokens yield an EMPTY array (no
+    fingerprintable run — same contract as containment_pairs).
+    """
+    return F.expr(
+        f"transform(array_distinct("
+        f"CASE WHEN size({tok_col}) < {gram} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({tok_col}) - {gram - 1}), "
+        f"i -> concat_ws(' ', slice({tok_col}, i, {gram}))) END), "
+        f"g -> CAST(conv(substring(md5(g), 1, 7), 16, 10) AS BIGINT))"
+    )
+
+
+def token_gram_hashes_sql(gram: int, tok_expr: str = "tk0") -> str:
+    """DuckDB mirror of :func:`token_gram_hashes` (takes the tokenized
+    list expression). `range(1, len - (gram-2))` is naturally empty for
+    lists shorter than `gram`, matching the Spark CASE guard."""
+    return (
+        f"list_transform(list_distinct("
+        f"list_transform(range(1, len({tok_expr}) - {gram - 2}), "
+        f"i -> concat_ws(' ', {tok_expr}[i:i+{gram - 1}]))), "
+        f"g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)"
+    )
+
+
 def minhash_from_hashes_sql(seed: int, hashes_expr: str = "hs") -> str:
     """DuckDB mirror of :func:`minhash_from_hashes`."""
     a, b = _mh_consts(seed)

@@ -16,8 +16,10 @@ from dsp_spark.operators.textops import (
     minhash_from_hashes_sql,
     shingle_hashes_sql,
     simhash16_sql,
+    token_gram_hashes_sql,
 )
 from dsp_spark.queries._util import t
+from dsp_spark.queries.text import _EVAL_SPLIT
 
 # --- exact ---------------------------------------------------------------
 
@@ -62,13 +64,26 @@ def dedup_minhash_signature(spark, sf_dir):
 _MH8 = ",\n               ".join(
     f"{minhash_from_hashes_sql(s)} AS mh{s}" for s in range(8)
 )
-_BANDS = "\n        UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash "
-    "FROM sig".format(
-        b=b, cols=", ".join(f"mh{4 * b + r}" for r in range(4))
+
+
+def _bands_sql(*, bands: int, rows: int, extra_cols: str = "") -> str:
+    """The ONE DuckDB template for the LSH band layout (the oracle twin
+    of operators/dedup.py:_bands_of) — band b hashes signature slots
+    [b*rows, (b+1)*rows). `extra_cols` carries flag columns (e.g.
+    is_eval) through the melt."""
+    ec = f"{extra_cols}, " if extra_cols else ""
+    return "\n        UNION ALL ".join(
+        "SELECT doc_id, {ec}{b} AS band_idx, "
+        "md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            ec=ec,
+            b=b,
+            cols=", ".join(f"mh{rows * b + r}" for r in range(rows)),
+        )
+        for b in range(bands)
     )
-    for b in range(2)
-)
+
+
+_BANDS = _bands_sql(bands=2, rows=4)
 
 
 @register(
@@ -732,14 +747,8 @@ def dedup_cluster_savings(spark, sf_dir):
 
 # --- cross-split near-dup decontamination (round 5) -----------------------
 
-_XBANDS = "\n        UNION ALL ".join(
-    "SELECT doc_id, is_eval, {b} AS band_idx, "
-    "md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
-        b=b, cols=", ".join(f"mh{4 * b + r}" for r in range(4))
-    )
-    for b in range(2)
-)
-_XINTER = "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
+_XBANDS = _bands_sql(bands=8, rows=1, extra_cols="is_eval")
+_XGRAM = 3
 
 
 @register(
@@ -749,9 +758,13 @@ _XINTER = "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
         SELECT doc_id, is_eval,
                {_MH8}
         FROM (SELECT doc_id,
-                     CAST(substr(source, 4) AS INTEGER) >= 10 AS is_eval,
-                     {shingle_hashes_sql(5)} AS hs
-              FROM documents)
+                     CAST(substr(source, 4) AS INTEGER) >= {_EVAL_SPLIT}
+                       AS is_eval,
+                     {token_gram_hashes_sql(_XGRAM)} AS hs
+              FROM (SELECT doc_id, source,
+                           string_split_regex(text, '\\s+') AS tk0
+                    FROM documents))
+        WHERE len(hs) > 0
     ), bands AS (
         {_XBANDS}
     ), pairs AS (
@@ -760,12 +773,13 @@ _XINTER = "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
           ON tr.band_idx = ev.band_idx AND tr.band_hash = ev.band_hash
         WHERE NOT tr.is_eval AND ev.is_eval
     ), toks AS (
-        SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS tk
-        FROM documents
+        SELECT doc_id, {token_gram_hashes_sql(_XGRAM)} AS tk
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk0
+              FROM documents)
     )
     SELECT id_b AS eval_doc_id, id_a AS train_doc_id, jaccard FROM (
         SELECT p.id_a, p.id_b,
-               round({_XINTER} / (len(a.tk) + len(b.tk) - {_XINTER}), 6) AS jaccard
+               round({_INTER} / (len(a.tk) + len(b.tk) - {_INTER}), 6) AS jaccard
         FROM pairs p
         JOIN toks a ON p.id_a = a.doc_id
         JOIN toks b ON p.id_b = b.doc_id
@@ -773,27 +787,41 @@ _XINTER = "len(list_filter(a.tk, x -> list_contains(b.tk, x)))"
     """,
     doc="Near-duplicate train/eval decontamination — the fuzzy sibling "
     "of decontam_eval_overlap's exact 8-gram check (same src10+ eval "
-    "split): MinHash-LSH bands of the eval docs BROADCAST against the "
-    "train corpus's bands (operators/dedup.py:lsh_cross_pairs — an "
-    "eval suite is ~1e4-1e6 docs vs a ~1e10-doc corpus, so the corpus "
-    "side is never shuffled, never self-joined), then exact token-set "
-    "Jaccard >= 0.5 on the candidate fringe for precision. Output: the "
-    "(eval doc, contaminating train doc, jaccard) removal list a "
-    "training run applies before measuring eval loss.",
+    "split, shared _EVAL_SPLIT constant): MinHash-LSH bands of the "
+    "eval docs BROADCAST against the train corpus's bands "
+    "(operators/dedup.py:lsh_cross_pairs — an eval suite is ~1e4-1e6 "
+    "docs vs a ~1e10-doc corpus, so the corpus side is never shuffled, "
+    "never self-joined), then exact Jaccard >= 0.5 on the candidate "
+    "fringe for precision. Similarity is token-3-GRAM Jaccard on BOTH "
+    "stages — the sketch (token_gram=3) estimates exactly what the "
+    "verifier (gram=3) thresholds, the alignment recall depends on: "
+    "unigram token sets are trivially similar on template corpora "
+    "(~0.5 Jaccard between RANDOM docs here), and char shingles "
+    "estimate a different similarity than any token verifier, so "
+    "either mismatch silently drops true pairs. Banding is "
+    "recall-oriented 8 bands x 1 row: a true 0.5-Jaccard pair is a "
+    "candidate with p = 1-(1-0.5)^8 = 99.6% (a 2x4 precision banding "
+    "would see ~12%); the permissive candidate set this costs is "
+    "bounded by the small probe side, and a missed contaminated doc "
+    "costs more than a wasted verify. Output: the (eval doc, "
+    "contaminating train doc, jaccard) removal list a training run "
+    "applies before measuring eval loss.",
 )
 def decontam_near_dup_eval(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    is_eval = F.substring("source", 4, 10).cast("int") >= 10
+    is_eval = F.substring("source", 4, 10).cast("int") >= _EVAL_SPLIT
     cands = dd.lsh_cross_pairs(
         d.filter(~is_eval),
         d.filter(is_eval),
         "doc_id",
         "text",
         n_hashes=8,
-        bands=2,
-        k=5,
+        bands=8,
+        token_gram=_XGRAM,
     ).localCheckpoint(eager=True)  # verify consumes candidates 3x
-    verified = dd.verify_pairs(d, cands, "doc_id", "text", threshold=0.5)
+    verified = dd.verify_pairs(
+        d, cands, "doc_id", "text", threshold=0.5, gram=_XGRAM
+    )
     return verified.select(
         F.col("id_b").alias("eval_doc_id"),
         F.col("id_a").alias("train_doc_id"),

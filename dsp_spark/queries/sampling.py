@@ -536,9 +536,9 @@ def doc_length_percentiles_by_source(spark, sf_dir):
 
 
 _SHUF_SHARDS = 8
-_SHUF_KEY_DUCK = "md5('ep1|' || doc_id::VARCHAR)"
+_SHUF_KEY_DUCK = smp.salted_md5_sql("doc_id", salt="ep1|")
 _SHUF_SHARD_DUCK = (
-    f"('0x' || substr({_SHUF_KEY_DUCK}, 1, 8))::BIGINT % {_SHUF_SHARDS}"
+    f"{smp.hash_int_sql('doc_id', salt='ep1|')} % {_SHUF_SHARDS}"
 )
 
 
@@ -560,20 +560,22 @@ _SHUF_SHARD_DUCK = (
     "(shard, pos) address from a salted content hash — the global "
     "random permutation a dataloader needs, with NO global sort and "
     "no RNG state (epoch 2 is just a different salt; retries and "
-    "repartitions can't change the order). shard = hash % N gives "
+    "repartitions can't change the order). shard = hash %% N gives "
     "balanced shards; pos = md5-rank WITHIN the shard, so the only "
     "shuffle is the shard repartition and each shard sorts "
     "independently — exactly the physical plan of the shard-file "
     "write: repartition(N, shard) + sortWithinPartitions(skey). At "
     "100 TB, N scales with the corpus (1 shard ~ 1 output file); the "
     "per-shard sort is an external sort within one task, bounded by "
-    "the chosen shard size, never by the corpus.",
+    "the chosen shard size, never by the corpus. Hash idiom shared "
+    "with hash_bucket via operators/sampling.py salted_md5_sql / "
+    "hash_int_sql — one definition per dialect.",
 )
 def dataset_shuffle_order(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    skey = F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string")))
+    skey = F.expr(smp.salted_md5_sql("doc_id", salt="ep1|", dialect="spark"))
     shard = (
-        F.conv(F.substring(skey, 1, 8), 16, 10).cast("bigint")
+        F.expr(smp.hash_int_sql("doc_id", salt="ep1|", dialect="spark"))
         % _SHUF_SHARDS
     ).cast("int")
     keyed = d.select("doc_id", skey.alias("skey"), shard.alias("shard"))

@@ -114,3 +114,13 @@ def test_zorder_rejects_bit_overflow(spark, sf_dir):
         zorder_layout(ev, ["user_id", "value"], bits=32)
     with pytest.raises(ValueError):
         zorder_layout(ev, [], bits=8)
+
+
+def test_zorder_rejects_temp_column_collision(spark, sf_dir):
+    from dsp_spark.operators.layout import zorder_layout
+    import pytest
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").withColumn("__z", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        zorder_layout(ev, ["user_id", "value"], bits=4)

@@ -14,10 +14,12 @@ Stages (each a cataloged operator, composed):
                         contained in a longer survivor (subsumption
                         Jaccard can't see; grams, not unigrams, so
                         shared vocabulary alone never fires it)
-  3c. decontam        - train docs near-dup (Jaccard >= 0.35, stricter
-                        than the 0.5 dedup) of a held-out val/test doc
-                        are dropped: held-out bands BROADCAST against
-                        train bands, the corpus never self-joins
+  3c. decontam        - train docs near-dup of a held-out val/test doc
+                        are dropped (token-3-GRAM Jaccard >= 0.35 on
+                        both the sketch and the verify — stricter than
+                        the 0.5 dedup): held-out bands BROADCAST
+                        against train bands, the corpus never
+                        self-joins
   4. split + shard    - stable hash-bucket train/val/test + 32 shards
   5. write            - parquet partitioned by split, rows range-
                         clustered by n_chars inside each partition
@@ -130,6 +132,19 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     # still leaks. The held-out side is 2% by construction, so its LSH
     # bands broadcast against the train bands (lsh_cross_pairs) — the
     # train corpus is never shuffled, never self-joined.
+    # Materialize the survivor set once: everything below (two split
+    # filters, the verify prune, the anti-join, the write) would
+    # otherwise re-run the whole quality->dedup->containment lineage.
+    kept_n = kept_n.localCheckpoint(eager=True)
+    # Recall-oriented sketch, twice over: token_gram=3 makes MinHash
+    # estimate the SAME token-3-gram Jaccard the verify (gram=3)
+    # thresholds — unigram tokens are trivially similar on template
+    # corpora and char shingles estimate a different similarity, so
+    # either mismatch silently drops true pairs — and bands=8 x 1 row
+    # gives candidate recall 1-(1-0.35)^8 = 97% at the decontam
+    # threshold (the dedup family's 2x4 would see ~3%). The verify can
+    # only FILTER candidates, never recover ones the banding missed;
+    # permissive candidates are bounded by the small held-out side.
     b = smp.hash_bucket("doc_id")
     xc = dd.lsh_cross_pairs(
         kept_n.where(b >= 200),
@@ -137,11 +152,11 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         "doc_id",
         "text",
         n_hashes=8,
-        bands=2,
-        k=5,
+        bands=8,
+        token_gram=3,
     ).localCheckpoint(eager=True)
     contaminated = (
-        dd.verify_pairs(kept_n, xc, "doc_id", "text", threshold=0.35)
+        dd.verify_pairs(kept_n, xc, "doc_id", "text", threshold=0.35, gram=3)
         .select(F.col("id_a").alias("doc_id"))  # drop the TRAIN side only
         .distinct()
     )
