@@ -143,8 +143,11 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
     # either mismatch silently drops true pairs — and bands=8 x 1 row
     # gives candidate recall 1-(1-0.35)^8 = 97% at the decontam
     # threshold (the dedup family's 2x4 would see ~3%). The verify can
-    # only FILTER candidates, never recover ones the banding missed;
-    # permissive candidates are bounded by the small held-out side.
+    # only FILTER candidates, never recover ones the banding missed.
+    # 1-row bands over-generate on shared template grams, but here —
+    # unlike the catalog entry's 50%-eval split, which uses 12x2 — the
+    # held-out side is 2% by construction, so the junk candidate set
+    # stays small and the 97%-recall config is the right trade.
     b = smp.hash_bucket("doc_id")
     xc = dd.lsh_cross_pairs(
         kept_n.where(b >= 200),
