@@ -27,6 +27,41 @@ def main() -> None:
     spark = get_session("dsp_spark_bench")
     qs = catalog.queries()
 
+    # isolated-rerun path: `python bench.py --only a,b` times ONLY the
+    # named entries on the fresh session (same warmup/best-of/GC
+    # discipline) and does NOT touch bench_full.json — the way to
+    # check whether an in-sweep reading was the operator or the
+    # session (round-4/5 watch-list investigations both needed this)
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = [n.strip() for n in sys.argv[2].split(",") if n.strip()]
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown entries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        out = {}
+        for name in only:
+            try:
+                qs[name](spark, "/root/testdata/sf0.001").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+            except Exception:
+                pass
+            attempts = []
+            for _ in range(4):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                attempts.append(time.perf_counter() - t0)
+            out[name] = {
+                "best": round(min(attempts), 4),
+                "attempts": [round(x, 3) for x in attempts],
+            }
+            _drain_session(spark)
+        print(json.dumps({"metric": "isolated", "sf": sf, "queries": out}))
+        return
+
     # Throughput first, on the fresh session: the reference's perf
     # stages also measure a fresh server process (doc/perf.adoc:3-5).
     # Run after the full catalog sweep, the same suite reads 2-3x
