@@ -32,8 +32,17 @@ def main() -> None:
     # discipline) and does NOT touch bench_full.json — the way to
     # check whether an in-sweep reading was the operator or the
     # session (round-4/5 watch-list investigations both needed this)
-    if len(sys.argv) > 2 and sys.argv[1] == "--only":
-        only = [n.strip() for n in sys.argv[2].split(",") if n.strip()]
+    if len(sys.argv) > 1 and sys.argv[1] != "--only":
+        print(f"usage: bench.py [--only entry1,entry2]", file=sys.stderr)
+        sys.exit(2)
+    if len(sys.argv) > 1:
+        # --only with no/empty list must error, never silently fall
+        # through to the full sweep (which rewrites bench_full.json)
+        only = [n.strip() for n in sys.argv[2].split(",")] if len(sys.argv) > 2 else []
+        only = [n for n in only if n]
+        if not only:
+            print("--only requires a comma-separated entry list", file=sys.stderr)
+            sys.exit(2)
         unknown = [n for n in only if n not in qs]
         if unknown:
             print(f"unknown entries: {unknown}", file=sys.stderr)

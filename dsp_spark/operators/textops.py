@@ -119,11 +119,17 @@ def token_gram_hashes(tok_col: str, gram: int) -> Column:
 def token_gram_hashes_sql(gram: int, tok_expr: str = "tk0") -> str:
     """DuckDB mirror of :func:`token_gram_hashes` (takes the tokenized
     list expression). `range(1, len - (gram-2))` is naturally empty for
-    lists shorter than `gram`, matching the Spark CASE guard."""
+    lists shorter than `gram`, matching the Spark CASE guard.
+
+    array_to_string, NOT concat_ws: DuckDB's concat_ws STRINGIFIES a
+    list argument ('[a, b, c]') instead of joining it, which silently
+    hashes different gram strings than Spark — fine for within-engine
+    overlap counting (injective re-encode), fatal for the cross-engine
+    minhash identity the decontam candidate parity depends on."""
     return (
         f"list_transform(list_distinct("
         f"list_transform(range(1, len({tok_expr}) - {gram - 2}), "
-        f"i -> concat_ws(' ', {tok_expr}[i:i+{gram - 1}]))), "
+        f"i -> array_to_string({tok_expr}[i:i+{gram - 1}], ' '))), "
         f"g -> ('0x' || substr(md5(g), 1, 7))::BIGINT)"
     )
 

@@ -560,7 +560,7 @@ _SHUF_SHARD_DUCK = (
     "(shard, pos) address from a salted content hash — the global "
     "random permutation a dataloader needs, with NO global sort and "
     "no RNG state (epoch 2 is just a different salt; retries and "
-    "repartitions can't change the order). shard = hash %% N gives "
+    "repartitions can't change the order). shard = hash % N gives "
     "balanced shards; pos = md5-rank WITHIN the shard, so the only "
     "shuffle is the shard repartition and each shard sorts "
     "independently — exactly the physical plan of the shard-file "

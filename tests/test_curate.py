@@ -46,18 +46,16 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
     import re
 
     def gram3(text):
-        # same model as verify_pairs(gram=3): \s+ split (keeping any
-        # empty leading token), distinct space-joined 3-token runs
-        tk = re.split(r"\s+", text)
+        # same model as verify_pairs(gram=3): split on JAVA's \s class
+        # ([ \t\n\x0B\f\r] — Python's \s is Unicode-aware and would
+        # tokenize U+00A0 etc. differently), keeping any empty leading
+        # token, then distinct space-joined 3-token runs
+        tk = re.split("[ \t\n\x0b\f\r]+", text)
         return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
 
-    toks = {
-        r.doc_id: gram3(r.text)
-        for r in back.select("doc_id", "text", "split").collect()
-    }
-    split_of = {
-        r.doc_id: r.split for r in back.select("doc_id", "split").collect()
-    }
+    rows = back.select("doc_id", "text", "split").collect()
+    toks = {r.doc_id: gram3(r.text) for r in rows}
+    split_of = {r.doc_id: r.split for r in rows}
     train = [d for d, s in split_of.items() if s == "train"]
     held = [d for d, s in split_of.items() if s != "train"]
     assert held  # non-vacuous

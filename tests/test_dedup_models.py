@@ -203,3 +203,42 @@ def test_lsh_cross_pairs_consistent_with_self_join(spark, sf_dir):
     }
     assert got == want
     assert got  # non-vacuous: the corpus does contain cross-split dups
+
+
+def test_token_gram_hashes_cross_engine_identical(spark):
+    """The Spark and DuckDB token-3-gram hash expressions must produce
+    IDENTICAL hash sets — the decontam entry's cross-engine candidate
+    parity rides on minhash identity, which needs identical base
+    hashes (a stringified-list join like DuckDB's concat_ws-on-list
+    silently breaks this while keeping within-engine Jaccard green)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dsp_spark.operators import textops
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one two",  # shorter than the gram: empty set on both engines
+        "a  b\tc\nd a  b\tc",  # runs of mixed whitespace + repeats
+        "x y z x y z x y z",
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {
+        r.i: sorted(r.hs)
+        for r in sdf.select("i", textops.tokens("text").alias("__tk"))
+        .select("i", textops.token_gram_hashes("__tk", 3).alias("hs"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts)) +
+                ") v(i, text)")
+    want = {
+        row[0]: sorted(row[1])
+        for row in con.execute(
+            "SELECT i, "
+            + textops.token_gram_hashes_sql(3)
+            + " FROM (SELECT i, string_split_regex(text, '\\s+') AS tk0 FROM t)"
+        ).fetchall()
+    }
+    assert got == want
