@@ -242,3 +242,57 @@ def test_token_gram_hashes_cross_engine_identical(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_shingle_and_minhash_sql_mirrors_cross_engine_identical(spark):
+    """Direct identity check of the char-shingle base hashes AND the
+    affine minhash permutations across engines — the dedup family's
+    entry oracles exercise these only transitively, and the concat_ws
+    incident proved transitive coverage can stay green while the
+    underlying hash values silently diverge."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dsp_spark.operators import textops
+
+    texts = [
+        "the quick brown fox",
+        "abc",          # shorter than the 5-gram: single clamped shingle
+        "",             # empty text
+        "aaaaaaaaaa",   # one distinct shingle from many positions
+    ]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r.i: (sorted(r.hs), r.mh0, r.mh1, r.mh2)
+        for r in sdf.select(
+            "i", textops.shingle_hashes("text", 5).alias("_hs")
+        )
+        .select(
+            "i",
+            F.col("_hs").alias("hs"),
+            *[
+                textops.minhash_from_hashes("_hs", s).alias(f"mh{s}")
+                for s in range(3)
+            ],
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") v(i, text)"
+    )
+    want = {
+        row[0]: (sorted(row[1]), row[2], row[3], row[4])
+        for row in con.execute(
+            "SELECT i, hs, "
+            + ", ".join(
+                textops.minhash_from_hashes_sql(s) for s in range(3)
+            )
+            + f" FROM (SELECT i, {textops.shingle_hashes_sql(5)} AS hs FROM t)"
+        ).fetchall()
+    }
+    assert got == want
