@@ -53,20 +53,51 @@ def main() -> None:
                 qs[name](spark, "/root/testdata/sf0.001").write.format(
                     "noop"
                 ).mode("overwrite").save()
+                # FULL-SCALE untimed warmups, not just sf0.001: round 6
+                # measured isolated numbers 4-9x above in-sweep ones
+                # with unchanged plans because one tiny warmup leaves
+                # codegen/C2/Arrow cold for the sf0.1 plan shape (AQE
+                # gives the sf0.001 run a DIFFERENT final plan, so its
+                # generated code never warms the measured path) — the
+                # same mechanism the throughput suite warms 5x for
+                for _ in range(3):
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
             except Exception:
                 pass
+            # timed attempts are guarded too: an entry that fails at the
+            # measured sf_dir records an error marker and the rerun
+            # continues — a crash here used to lose every earlier
+            # entry's timings (results printed only at the end)
             attempts = []
+            err = None
             for _ in range(4):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"[:300]
+                    break
                 attempts.append(time.perf_counter() - t0)
-            out[name] = {
-                "best": round(min(attempts), 4),
-                "attempts": [round(x, 3) for x in attempts],
-            }
+            out[name] = (
+                {"error": err, "attempts": [round(x, 3) for x in attempts]}
+                if err
+                else {
+                    "best": round(min(attempts), 4),
+                    "attempts": [round(x, 3) for x in attempts],
+                }
+            )
+            # incremental per-entry line so partial progress survives
+            # a later crash or kill
+            print(
+                json.dumps({"entry": name, **out[name]}),
+                file=sys.stderr,
+                flush=True,
+            )
             _drain_session(spark)
         print(json.dumps({"metric": "isolated", "sf": sf, "queries": out}))
         return
@@ -78,15 +109,22 @@ def main() -> None:
     # reclaim — that measures session history, not the operator.
     throughput = _throughput_suite(spark)
 
-    # Hard drain between phases: the throughput suite leaves ~2 GB of
-    # generated-message blocks plus shuffle files behind, and the
+    # Hard isolation between phases: the throughput suite leaves ~2 GB
+    # of generated-message blocks plus shuffle files behind, and the
     # catalog sweep starts (alphabetically) with the compute-dense
-    # ann_*/dedup_* family — round 3 recorded them 34-48% slower than
-    # round 2 purely from this session residue (isolated reruns beat
-    # the round-2 numbers with unchanged plans). GC twice with a pause
-    # so the ContextCleaner actually processes the weak-ref queue
-    # before timing resumes.
+    # ann_*/dedup_* family — round 3 recorded them 34-48% slower, and
+    # round 6 up to 4.4x slower, than their isolated/steady numbers
+    # purely from this session residue (plans unchanged each time).
+    # GC-and-pray was not enough on a slower machine: STOP the context
+    # and start a fresh one. Same JVM (the py4j gateway persists), so
+    # C2/JIT warmth of Spark core survives, but the block manager,
+    # shuffle files, broadcast cleanup backlog, and accumulated
+    # stage/task bookkeeping are gone deterministically.
     _drain_session(spark)
+    spark.stop()
+    from dsp_spark.session import get_session as _gs
+
+    spark = _gs("dsp_spark_bench_catalog")
     for _ in range(2):
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)

@@ -270,6 +270,7 @@ _MODULE_ORDER = (
     "cdc",
     "sketches",
     "graph",
+    "layout",
 )
 
 
@@ -293,6 +294,7 @@ def _load_all() -> None:
         cdc,
         sketches,
         graph,
+        layout,
     )
 
     _LOADED = True

@@ -35,6 +35,25 @@ def optimize_layout(
     return out.sortWithinPartitions(*(sort_cols or range_cols))
 
 
+def morton_z(bucket_cols: list, bits: int):
+    """Morton (Z-curve) interleave of non-negative integer bucket ids.
+
+    Output bit ``i*d + j`` = bit ``i`` of dimension ``j`` — the bit
+    layout every Z-order consumer here shares (`zorder_layout` for the
+    physical write path, the `zorder_zvalue_audit` catalog entry for
+    the cross-engine check), so the interleave can never drift between
+    the layout writer and its auditor. Pure column arithmetic
+    (shift/or terms), whole-stage-codegen'd, no UDF.
+    """
+    d = len(bucket_cols)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            bit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return z
+
+
 def zorder_layout(
     df: DataFrame,
     cols: list[str],
@@ -65,6 +84,15 @@ def zorder_layout(
     The z column is dropped before return; callers write the result
     as-is. Files then cover little hypercubes of the value space
     instead of slabs along one axis.
+
+    NULL handling: a NULL value maps to bucket 0 (the higher-order
+    filter's ``cut <= NULL`` predicate is null, so no cutpoint counts),
+    co-clustering nulls with each column's minimum values; and
+    approxQuantile ignores nulls, so cutpoints describe the non-null
+    distribution only. For null-heavy columns this concentrates nulls
+    in the low-z files — their min/max stats then span the full range
+    on the OTHER dimensions. If null isolation matters, pre-split
+    ``df.filter(col.isNull())`` and lay the two halves out separately.
     """
     if not cols or bits * len(cols) > 63:
         raise ValueError(
@@ -89,15 +117,7 @@ def zorder_layout(
             ).alias(f"__b_{c}")
         )
     with_b = df.select("*", *bucket_cols)
-    # Morton interleave: output bit (i*d + j) = bit i of dimension j
-    d = len(cols)
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        for j, c in enumerate(cols):
-            bit = F.shiftright(F.col(f"__b_{c}").cast("bigint"), i).bitwiseAND(
-                F.lit(1)
-            )
-            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    z = morton_z([F.col(f"__b_{c}") for c in cols], bits)
     with_z = with_b.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])
     n = target_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (

@@ -239,10 +239,24 @@ def global_ntile_multi(
     the FIRST dimension's melted rows, so shuffle bytes grow by one
     payload copy, not one per dimension.
     """
-    if checkpoint:
-        df = df.localCheckpoint()
     names = list(dims)
     payload = payload or []
+    # reject ambiguous outputs up front: payload columns that collide
+    # with a dim output name, the key, or an internal working column
+    # would silently produce duplicate-named columns that break
+    # downstream by-name selection (mirrors zorder_layout's guard)
+    reserved = {"_dim", "_val", "_x", "_bkt", "_rn", "_off", "_n", "_cnt", "_cuts"}
+    for label, group in (("dims", set(names)), ("payload", set(payload))):
+        clash = group & reserved
+        if clash:
+            raise ValueError(f"{label} names collide with internals: {sorted(clash)}")
+    overlap = (set(payload) & (set(names) | {key})) | (set(names) & {key})
+    if overlap:
+        raise ValueError(
+            f"payload/dims/key names must be disjoint, got overlap: {sorted(overlap)}"
+        )
+    if checkpoint:
+        df = df.localCheckpoint()
     melted = df.select(
         key,
         *payload,

@@ -1,0 +1,98 @@
+"""Layout / maintenance catalog entries.
+
+`zorder_layout` (operators/layout.py) is the physical write path —
+its file-level effects (narrowed per-file min/max on every listed
+column) are footer-verified in tests/test_layout.py, but a physical
+write can't be a DuckDB-oracle entry: `repartitionByRange` samples
+its boundaries, so file membership is not engine-deterministic.
+
+`zorder_zvalue_audit` makes the LOGIC driver-checkable instead: it
+re-expresses the same pipeline with exact, deterministic stages —
+rank quantization via the two-phase exact NTILE (no sampling, no
+approxQuantile merge-order dependence, no unpartitioned window) and
+the SHARED `morton_z` interleave (the audit and the writer literally
+call one function, so the bit layout can't drift) — then groups rows
+into 16 z-range "files" and reports each file's min/max on BOTH
+dimensions plus its z range. A correct Z-order shows every file
+covering a narrow hypercube (bounded min/max spans on both columns
+at once), which is exactly the property the physical writer exists
+to produce and the thing a slab-per-axis sort cannot do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.operators import prefix
+from dsp_spark.operators.layout import morton_z
+from dsp_spark.queries._util import t
+
+_BITS = 4  # 16 rank-buckets per dimension; z in [0, 255]; 16 files
+
+
+def _z_sql(b0: str, b1: str) -> str:
+    """DuckDB mirror of morton_z([b0, b1], _BITS): bit i of dim j
+    lands at output bit i*2 + j."""
+    terms = []
+    for i in range(_BITS):
+        terms.append(f"((({b0} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b1} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_zvalue_audit",
+    f"""
+    WITH tiles AS (
+        SELECT event_id, value, user_id,
+               NTILE(16) OVER (ORDER BY value, event_id) - 1 AS b0,
+               NTILE(16) OVER (ORDER BY user_id, event_id) - 1 AS b1
+        FROM events
+    ), zed AS (
+        SELECT value, user_id, {_z_sql('b0', 'b1')} AS z FROM tiles
+    )
+    SELECT CAST(z >> {_BITS} AS INTEGER) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(z) AS BIGINT) AS min_z,
+           CAST(MAX(z) AS BIGINT) AS max_z,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM zed
+    GROUP BY 1
+    """,
+    doc="Z-order audit, cross-engine deterministic: exact NTILE(16) "
+    "rank-buckets per dimension (two-phase global_ntile_multi — one "
+    "melted cutpoint pass + one bucket shuffle, NO unpartitioned "
+    "window, NO sampled boundaries), Morton interleave via the SAME "
+    "morton_z used by the physical zorder_layout writer, rows grouped "
+    "into 16 z-range files, per-file min/max on BOTH columns + the z "
+    "span. Narrow two-sided ranges per file are the data-skipping "
+    "property OPTIMIZE ZORDER exists for; the oracle recomputes the "
+    "identical interleave with SQL bit ops, so a drifted bit layout "
+    "or tile rule hash-mismatches immediately.",
+)
+def zorder_zvalue_audit(spark, sf_dir):
+    e = t(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    tiles = prefix.global_ntile_multi(
+        e,
+        "event_id",
+        {"b0": F.col("value"), "b1": F.col("user_id")},
+        16,
+        payload=["value", "user_id"],
+    )
+    z = morton_z([F.col("b0") - 1, F.col("b1") - 1], _BITS)
+    zed = tiles.select("value", "user_id", z.alias("z"))
+    return zed.groupBy(
+        F.shiftright("z", _BITS).cast("int").alias("file_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("z").cast("bigint").alias("min_z"),
+        F.max("z").cast("bigint").alias("max_z"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )

@@ -217,7 +217,8 @@ def _ivf_index_path(spark, sf_dir):
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     # suffix with a hash of the FULL sf_dir: two corpora sharing a
     # basename (e.g. /root/testdata/sf0.01 vs /tmp/regen/sf0.01) must
-    # never serve each other's cells
+    # never serve each other's cells; the cache key is the SAME
+    # normalized path, so 'sf0.01' and 'sf0.01/' hit one build
     full = os.path.abspath(os.path.normpath(sf_dir))
     path = os.path.join(
         root,
@@ -227,13 +228,37 @@ def _ivf_index_path(spark, sf_dir):
         + "-"
         + hashlib.md5(full.encode()).hexdigest()[:8],
     )
-    if _IVF_INDEX_BUILT.get(sf_dir) != path:
+    if _IVF_INDEX_BUILT.get(full) != path:
         e = t(spark, sf_dir, "embeddings")
+        # build into a pid-unique temp dir and swap it in, so a
+        # concurrent bench/driver_sim process never reads a
+        # half-written index; readers of the OLD directory finish
+        # against the renamed-aside copy (POSIX rename keeps open
+        # handles valid) which is removed afterwards
         ann_index.build_ivf_index(
-            e, e.filter(F.col("vec_id") % 100 == 0), path
+            e, e.filter(F.col("vec_id") % 100 == 0), f"{path}.tmp-{os.getpid()}"
         )
-        _IVF_INDEX_BUILT[sf_dir] = path
+        _swap_dir(f"{path}.tmp-{os.getpid()}", path)
+        _IVF_INDEX_BUILT[full] = path
     return path
+
+
+def _swap_dir(tmp: str, path: str) -> None:
+    """Move a freshly built directory into place near-atomically."""
+    import os
+    import shutil
+
+    aside = f"{path}.old-{os.getpid()}"
+    if os.path.exists(path):
+        os.rename(path, aside)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # restore the previous index rather than leaving nothing
+        if os.path.exists(aside) and not os.path.exists(path):
+            os.rename(aside, path)
+        raise
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 @register(

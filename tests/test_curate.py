@@ -80,3 +80,36 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
         .count()
     )
     assert leftover == 0
+
+    # --- stages 6+7: epoch shuffle + packed export (one CLI run) -----
+    from tools.curate import _shuffle_and_pack
+
+    pk = m["packed"]
+    assert pk["epoch"] == 1 and pk["train_docs"] == m["splits"]["train"]
+    assert pk["n_sequences"] > 0 and 0 < pk["fill_rate"] <= 1
+    sb = pk["shard_balance"]
+    assert sb["max_docs"] > 0 and sb["n_shards"] > 0
+    if pk["train_docs"] >= 10 * sb["n_shards"]:
+        # only meaningful when the law of large numbers applies; at the
+        # smoke SF a shard legitimately lands ~5 docs in expectation
+        assert sb["min_docs"] > 0, "empty shuffle shard means skewed hashing"
+
+    packed = spark.read.parquet(pk["out"])
+    assert set(packed.columns) >= {"doc_id", "chunk_idx", "shard", "pos", "seq_id"}
+    # trainer view: within a shard, sequences follow epoch order — the
+    # cumulative seq_id never decreases along (pos, chunk_idx)
+    rows = packed.select("shard", "pos", "chunk_idx", "seq_id").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append((r.pos, r.chunk_idx, r.seq_id))
+    for shard, lst in by_shard.items():
+        seqs = [s for _, _, s in sorted(lst)]
+        assert seqs == sorted(seqs), f"shard {shard} packed out of epoch order"
+
+    # epoch determinism: same corpus + same epoch => identical checksum
+    # on a fresh recomputation; a different epoch reorders the SAME docs
+    again = _shuffle_and_pack(spark, back, str(tmp_path / "pk_again"), epoch=1)
+    other = _shuffle_and_pack(spark, back, str(tmp_path / "pk_ep2"), epoch=2)
+    assert again["order_checksum"] == pk["order_checksum"]
+    assert other["train_docs"] == pk["train_docs"]
+    assert other["order_checksum"] != pk["order_checksum"]

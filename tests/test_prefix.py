@@ -170,3 +170,23 @@ def test_global_ntile_multi_payload_rides_the_melt(rnd_df):
     for r in out:
         assert (r.a, r.b) == base[r.id]
         assert (r.v, r.qual) == src[r.id]
+
+
+def test_global_ntile_multi_rejects_name_collisions(rnd_df):
+    """payload/dims/key/internal name overlaps must raise, never emit
+    two same-named output columns (advisor r5)."""
+    with pytest.raises(ValueError, match="disjoint"):
+        prefix.global_ntile_multi(
+            rnd_df, "id", {"v": F.col("v")}, 4, buckets=16,
+            payload=["v"], checkpoint=False,
+        )
+    with pytest.raises(ValueError, match="disjoint"):
+        prefix.global_ntile_multi(
+            rnd_df, "id", {"id": F.col("v")}, 4, buckets=16,
+            checkpoint=False,
+        )
+    with pytest.raises(ValueError, match="internals"):
+        prefix.global_ntile_multi(
+            rnd_df.withColumnRenamed("v", "_val"), "id",
+            {"_val": F.col("_val")}, 4, buckets=16, checkpoint=False,
+        )

@@ -23,7 +23,19 @@ Stages (each a cataloged operator, composed):
   4. split + shard    - stable hash-bucket train/val/test + 32 shards
   5. write            - parquet partitioned by split, rows range-
                         clustered by n_chars inside each partition
-Prints a one-line JSON manifest with per-stage survivor counts.
+  6. epoch shuffle    - every surviving TRAIN doc gets a deterministic
+                        (shard, pos) address from a salted content
+                        hash (the dataset_shuffle_order operator):
+                        no global sort, no RNG state, --epoch N is
+                        just a different salt
+  7. pack + export    - chunks packed into fixed token-budget
+                        sequences IN EPOCH ORDER within each shuffle
+                        shard (tools/export_packed.py), written
+                        parquet-per-shard with fill-rate manifest
+Prints a one-line JSON manifest with per-stage survivor counts, shard
+balance, and an order checksum (same corpus + same epoch => identical
+checksum on any rerun/partitioning; different epoch => different
+order over the same docs).
 """
 
 from __future__ import annotations
@@ -38,7 +50,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def curate(spark, sf_dir: str, out_dir: str) -> dict:
+def curate(
+    spark, sf_dir: str, out_dir: str, *, epoch: int = 1, pack: bool = True
+) -> dict:
     from dsp_spark.operators import dedup as dd
     from dsp_spark.operators import sampling as smp
     from dsp_spark.operators.layout import optimize_layout
@@ -183,7 +197,7 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         r["split"]: r["n"]
         for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
-    return {
+    manifest = {
         "input_docs": n_input,
         "audit": audit,
         "after_quality": n_quality,
@@ -195,6 +209,84 @@ def curate(spark, sf_dir: str, out_dir: str) -> dict:
         "out": out_dir,
     }
 
+    if pack:
+        manifest["packed"] = _shuffle_and_pack(
+            spark, final, out_dir + "_packed", epoch=epoch
+        )
+    return manifest
+
+
+def _shuffle_and_pack(spark, final, pack_out: str, *, epoch: int) -> dict:
+    """Stages 6+7: deterministic epoch shuffle of the TRAIN split, then
+    packed-sequence export in shuffle order.
+
+    The (shard, pos) address is the dataset_shuffle_order operator
+    inlined with an epoch-salted hash (same salted_md5/hash_int idiom,
+    one definition per dialect in operators/sampling.py): shard = hash
+    % N balances by the law of large numbers, pos = md5-rank within
+    the shard. The ONLY shuffle is the shard repartition the pack
+    write needs anyway; each shard sorts independently (external sort
+    bounded by shard size at 100 TB). The order checksum is a
+    commutative sum of per-row hashes — partitioning-invariant, so a
+    rerun proves epoch determinism by equality and a different epoch
+    shows up as a different checksum over the identical doc set.
+    """
+    from pyspark.sql import Window as W
+
+    from dsp_spark.operators import sampling as smp
+    from tools.export_packed import PACK_SHARDS, export_packed
+
+    salt = f"ep{epoch}|"
+    skey = F.expr(smp.salted_md5_sql("doc_id", salt=salt, dialect="spark"))
+    shard = (
+        F.expr(smp.hash_int_sql("doc_id", salt=salt, dialect="spark"))
+        % PACK_SHARDS
+    ).cast("int")
+    train = final.where(F.col("split") == "train").select(
+        "doc_id", "text", skey.alias("skey"), shard.alias("shard")
+    )
+    shuffled = train.withColumn(
+        "pos",
+        F.row_number()
+        .over(W.partitionBy("shard").orderBy("skey", "doc_id"))
+        .cast("bigint"),
+    ).drop("skey")
+
+    order_ck, n_train = (
+        shuffled.agg(
+            # XOR fold, not SUM: summing 64-bit hashes overflows int64
+            # under ANSI mode; XOR is commutative (partitioning-
+            # invariant) and closed over bigint
+            F.bit_xor(
+                F.xxhash64(F.concat_ws("|", "doc_id", "shard", "pos"))
+            ).alias("ck"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    per_shard = [
+        r.n
+        for r in shuffled.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+
+    pack_manifest = export_packed(
+        spark, shuffled.select("doc_id", "text", "shard", "pos"), pack_out,
+        order_col="pos",
+    )
+    pack_manifest.update(
+        {
+            "epoch": epoch,
+            "order_checksum": int(order_ck or 0),
+            "train_docs": int(n_train),
+            "shard_balance": {
+                "n_shards": len(per_shard),
+                "min_docs": min(per_shard) if per_shard else 0,
+                "max_docs": max(per_shard) if per_shard else 0,
+            },
+        }
+    )
+    return pack_manifest
+
 
 def main(argv=None) -> int:
     import argparse
@@ -202,12 +294,19 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="corpus curation run")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--out", default="/tmp/dsp_curate")
+    p.add_argument("--epoch", type=int, default=1, help="epoch shuffle salt")
+    p.add_argument(
+        "--no-pack", action="store_true",
+        help="stop after the curated write (skip shuffle+pack+export)",
+    )
     args = p.parse_args(argv)
 
     from dsp_spark.session import get_session
 
     spark = get_session("dsp-curate")
-    manifest = curate(spark, args.sf_dir, args.out)
+    manifest = curate(
+        spark, args.sf_dir, args.out, epoch=args.epoch, pack=not args.no_pack
+    )
     print(json.dumps(manifest))
     return 0
 

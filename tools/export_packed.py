@@ -35,8 +35,19 @@ PACK_BUDGET = 2048
 PACK_SHARDS = 32
 
 
-def export_packed(spark, docs, out_dir: str) -> dict:
+def export_packed(spark, docs, out_dir: str, *, order_col: str | None = None) -> dict:
     """docs: DataFrame with (doc_id, text). Returns the manifest.
+
+    By default, shard = content hash of doc_id and packing order is
+    (doc_id, chunk_idx) within a shard. When ``order_col`` is given,
+    docs must ALSO carry (shard, <order_col>) columns — e.g. the
+    (shard, pos) address of a deterministic epoch shuffle
+    (queries/sampling.py dataset_shuffle_order) — and chunks pack in
+    (<order_col>, chunk_idx) order within the given shard: the
+    composed curate -> shuffle -> pack -> export pipeline, where the
+    trainer reads sequences in epoch order straight off the shard
+    files. Either way assignments stay partitioning-invariant (the
+    order key is content-derived, never zipWithIndex).
 
     NULL-text docs cannot be chunked (the transform would silently emit
     nothing while n_docs still counted them); they are excluded up
@@ -50,8 +61,10 @@ def export_packed(spark, docs, out_dir: str) -> dict:
     n_null = docs.where(F.col("text").isNull()).count()
     docs = docs.where(F.col("text").isNotNull())
     n_docs = docs.count()
+    carry = ["shard", order_col] if order_col else []
     chunks = docs.select(
         "doc_id",
+        *carry,
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(length(text) - 1, 1), {CHUNK_STRIDE}), "
@@ -64,12 +77,18 @@ def export_packed(spark, docs, out_dir: str) -> dict:
         "doc_id",
         "chunk_idx",
         "chunk_text",
-        (smp.hash_bucket("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        (
+            F.col("shard").cast("int")
+            if order_col
+            else (smp.hash_bucket("doc_id") % PACK_SHARDS).cast("int")
+        ).alias("shard"),
+        *([order_col] if order_col else []),
         tok.cast("long").alias("n_tok"),
     )
+    order = [order_col, "chunk_idx"] if order_col else ["doc_id", "chunk_idx"]
     w = (
         W.partitionBy("shard")
-        .orderBy("doc_id", "chunk_idx")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     packed = x.withColumn(
