@@ -415,6 +415,59 @@ def text_vocab_topk(spark, sf_dir):
     )
 
 
+_MERGE_K = 64
+
+
+@register(
+    "bpe_merge_pairs",
+    f"""
+    WITH tk AS (SELECT string_split_regex(text, '\\s+') AS l FROM documents),
+    pairs AS (
+        SELECT z[1] AS left_tok, z[2] AS right_tok
+        FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+              FROM tk WHERE len(l) >= 2)
+    )
+    SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs WHERE left_tok <> '' AND right_tok <> ''
+    GROUP BY 1, 2 ORDER BY cnt DESC, left_tok, right_tok LIMIT {_MERGE_K}
+    """,
+    doc="BPE merge-candidate scoring: adjacent-token-PAIR counts, the "
+    "statistic each BPE/WordPiece merge iteration maximizes — the "
+    "sibling of text_vocab_topk's unigram pass (one full such pass "
+    "per merge in a tokenizer build; production fits on a "
+    "deterministic corpus sample, sample_hash_10pct composes). "
+    "Pairs come from one zip-with-next transform per doc (no "
+    "self-join, no window over the token stream); the explode is "
+    "corpus-token-sized but hash aggregation folds map-side, so the "
+    "shuffle carries only distinct (pair, partial count) rows — "
+    "vocab^2-bounded, corpus-independent; global top-k is "
+    "TakeOrderedAndProject (per-partition heaps merged on the "
+    "driver), never a single-partition sort. Ties break on the pair "
+    "for cross-engine determinism.",
+)
+def bpe_merge_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # size >= 2 BEFORE the transform: sequence(1, 0) would DESCEND in
+    # Spark and index tk[-1]/tk[1] out of bounds on 1-token docs
+    tk = d.select(textops.tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    pairs = tk.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(tk[i-1] AS l, tk[i] AS r))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+        .filter((F.col("left_tok") != "") & (F.col("right_tok") != ""))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
+        .limit(_MERGE_K)
+    )
+
+
 @register(
     "corpus_dataset_card",
     """
