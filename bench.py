@@ -211,6 +211,11 @@ def main() -> None:
                 "sf": sf,
                 "wall_sec": wall,
                 "throughput": throughput,
+                # machine fingerprint: round 6 burned hours proving a
+                # "regression" was a slower host (2.10 GHz vs prior
+                # rounds) — record the environment with the numbers so
+                # cross-round diffs start from the confound, not end at it
+                "env": _env_fingerprint(),
             },
             f,
             indent=1,
@@ -267,6 +272,22 @@ def main() -> None:
         separators=(",", ":"),
     )
     print(line, flush=True)
+
+
+def _env_fingerprint() -> dict:
+    """CPU model/count + load at measurement time, best-effort."""
+    out: dict = {"nproc": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    out["cpu_model"] = line.split(":", 1)[1].strip()
+                    break
+        with open("/proc/loadavg") as f:
+            out["loadavg1"] = float(f.read().split()[0])
+    except Exception:
+        pass  # non-Linux or restricted /proc: fingerprint stays partial
+    return out
 
 
 def _drain_session(spark) -> None:
