@@ -83,6 +83,19 @@ def main() -> int:
         f"{len(never) - len(outside)} in the 50-slot window"
     )
 
+    # 3b. LINEAGE.md freshness: the generated operator/catalog map must
+    #     match the tree (a renamed symbol or new entry regenerates it)
+    import tools.gen_lineage as gen_lineage
+
+    lineage_path = os.path.join(ROOT, "LINEAGE.md")
+    current = open(lineage_path).read() if os.path.exists(lineage_path) else ""
+    if current != gen_lineage.generate():
+        failures.append(
+            "LINEAGE.md is stale — run python tools/gen_lineage.py and commit"
+        )
+    else:
+        print("lineage check: LINEAGE.md matches the tree")
+
     # 4. dirty tree warning (SCALE.md drift already counted above)
     status = subprocess.run(
         ["git", "-C", ROOT, "status", "--porcelain"],
