@@ -82,6 +82,11 @@ def zorder_zvalue_audit(spark, sf_dir):
         {"b0": F.col("value"), "b1": F.col("user_id")},
         16,
         payload=["value", "user_id"],
+        # bare 3-column scan input: the eager-checkpoint default exists
+        # for aggregate inputs whose branches would recompute a whole
+        # lineage; here each branch re-reads three parquet columns for
+        # less than the checkpoint write costs
+        checkpoint=False,
     )
     z = morton_z([F.col("b0") - 1, F.col("b1") - 1], _BITS)
     zed = tiles.select("value", "user_id", z.alias("z"))
