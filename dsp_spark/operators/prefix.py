@@ -246,7 +246,11 @@ def global_ntile_multi(
     # would silently produce duplicate-named columns that break
     # downstream by-name selection (mirrors zorder_layout's guard)
     reserved = {"_dim", "_val", "_x", "_bkt", "_rn", "_off", "_n", "_cnt", "_cuts"}
-    for label, group in (("dims", set(names)), ("payload", set(payload))):
+    for label, group in (
+        ("dims", set(names)),
+        ("payload", set(payload)),
+        ("key", {key}),
+    ):
         clash = group & reserved
         if clash:
             raise ValueError(f"{label} names collide with internals: {sorted(clash)}")

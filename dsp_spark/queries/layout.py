@@ -10,8 +10,11 @@ its boundaries, so file membership is not engine-deterministic.
 re-expresses the same pipeline with exact, deterministic stages —
 rank quantization via the two-phase exact NTILE (no sampling, no
 approxQuantile merge-order dependence, no unpartitioned window) and
-the SHARED `morton_z` interleave (the audit and the writer literally
-call one function, so the bit layout can't drift) — then groups rows
+the SHARED `morton_z` interleave (the audit and the writer call one
+function, so those two can't drift from each other; the DuckDB `_z_sql`
+mirror is hand-written and pinned to `morton_z` by a direct
+literal-evaluation unit test, tests/test_layout.py::test_z_sql_matches_morton_z,
+on top of the driver's hash check) — then groups rows
 into 16 z-range "files" and reports each file's min/max on BOTH
 dimensions plus its z range. A correct Z-order shows every file
 covering a narrow hypercube (bounded min/max spans on both columns

@@ -229,27 +229,73 @@ def _ivf_index_path(spark, sf_dir):
         + hashlib.md5(full.encode()).hexdigest()[:8],
     )
     if _IVF_INDEX_BUILT.get(full) != path:
+        # reclaim pid-keyed garbage from EARLIER processes before
+        # building: aside dirs are deliberately not deleted at swap
+        # time (a concurrent reader that planned against the old index
+        # opens its files lazily per task, so deleting immediately
+        # after rename can still yield missing-file errors — Spark
+        # lists at plan time, opens at execute time), and a tmp dir
+        # survives only if its build crashed
+        _reap_stale_dirs(path)
         e = t(spark, sf_dir, "embeddings")
         # build into a pid-unique temp dir and swap it in, so a
         # concurrent bench/driver_sim process never reads a
         # half-written index; readers of the OLD directory finish
         # against the renamed-aside copy (POSIX rename keeps open
-        # handles valid) which is removed afterwards
-        ann_index.build_ivf_index(
-            e, e.filter(F.col("vec_id") % 100 == 0), f"{path}.tmp-{os.getpid()}"
-        )
-        _swap_dir(f"{path}.tmp-{os.getpid()}", path)
+        # handles valid), reaped on a later process's first build
+        tmp = f"{path}.tmp-{os.getpid()}"
+        try:
+            ann_index.build_ivf_index(
+                e, e.filter(F.col("vec_id") % 100 == 0), tmp
+            )
+        except BaseException:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        _swap_dir(tmp, path)
         _IVF_INDEX_BUILT[full] = path
     return path
 
 
-def _swap_dir(tmp: str, path: str) -> None:
-    """Move a freshly built directory into place near-atomically."""
+def _reap_stale_dirs(path: str) -> None:
+    """Remove .tmp-PID / .old-PID siblings whose owning pid is dead.
+
+    Bounded, pid-keyed garbage: each process leaves at most one aside
+    dir per index path, and only if it rebuilt an existing index."""
+    import glob
     import os
     import shutil
 
+    for d in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        pid_s = d.rsplit("-", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid: leave its dir alone
+
+
+def _swap_dir(tmp: str, path: str) -> None:
+    """Move a freshly built directory into place near-atomically.
+
+    The displaced directory is renamed aside and LEFT ON DISK: a
+    concurrent reader may have planned against the old index but not
+    yet opened its files (Spark opens per task, lazily), so deleting
+    here races with it. The aside dir is pid-keyed and reaped by the
+    next process's build (_reap_stale_dirs)."""
+    import os
+
     aside = f"{path}.old-{os.getpid()}"
     if os.path.exists(path):
+        import shutil
+
+        # this pid may rebuild the same path twice (testdata regenerated
+        # mid-process): its previous aside is its own, safe to replace
+        shutil.rmtree(aside, ignore_errors=True)
         os.rename(path, aside)
     try:
         os.rename(tmp, path)
@@ -258,7 +304,6 @@ def _swap_dir(tmp: str, path: str) -> None:
         if os.path.exists(aside) and not os.path.exists(path):
             os.rename(aside, path)
         raise
-    shutil.rmtree(aside, ignore_errors=True)
 
 
 @register(

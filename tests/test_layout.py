@@ -169,3 +169,33 @@ def test_zorder_interleave_matches_python_model(spark):
     # really range-partitioned on the modeled z-value
     for (_, hi1), (lo2, _) in zip(ordered, ordered[1:]):
         assert hi1 < lo2, (ordered,)
+
+
+def test_z_sql_matches_morton_z(spark):
+    """The DuckDB `_z_sql` mirror is hand-written; pin it to the shared
+    `morton_z` bit layout by evaluating BOTH on the same (b0, b1)
+    samples — Spark on literal columns, DuckDB on a literal table — so
+    a future layout change desynchronizes here, not in a driver hash
+    mismatch three stages later (ADVICE r6 #3)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from dsp_spark.operators.layout import morton_z
+    from dsp_spark.queries.layout import _BITS, _z_sql
+
+    samples = [(a, b) for a in (0, 1, 5, 10, 15) for b in (0, 3, 7, 12, 15)]
+    df = spark.createDataFrame(samples, "b0 int, b1 int")
+    spark_z = {
+        (r.b0, r.b1): r.z
+        for r in df.select(
+            "b0", "b1", morton_z([F.col("b0"), F.col("b1")], _BITS).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT b0, b1, {_z_sql('b0', 'b1')} AS z FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in samples)
+        + ") AS t(b0, b1)"
+    ).fetchall()
+    duck_z = {(a, b): z for a, b, z in rows}
+    assert spark_z == duck_z

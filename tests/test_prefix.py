@@ -190,3 +190,10 @@ def test_global_ntile_multi_rejects_name_collisions(rnd_df):
             rnd_df.withColumnRenamed("v", "_val"), "id",
             {"_val": F.col("_val")}, 4, buckets=16, checkpoint=False,
         )
+    # key itself colliding with an internal working column (advisor r6:
+    # the guard covered dims/payload but let key='_dim' through)
+    with pytest.raises(ValueError, match="internals"):
+        prefix.global_ntile_multi(
+            rnd_df.withColumnRenamed("id", "_dim"), "_dim",
+            {"t": F.col("v")}, 4, buckets=16, checkpoint=False,
+        )
