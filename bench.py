@@ -102,6 +102,8 @@ def main() -> None:
         print(json.dumps({"metric": "isolated", "sf": sf, "queries": out}))
         return
 
+    t_wall0 = time.perf_counter()
+
     # Throughput first, on the fresh session: the reference's perf
     # stages also measure a fresh server process (doc/perf.adoc:3-5).
     # Run after the full catalog sweep, the same suite reads 2-3x
@@ -128,6 +130,16 @@ def main() -> None:
     for _ in range(2):
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)
+
+    # Calibration probe ON THE SESSION THE SWEEP USES: round 6 burned
+    # hours proving a "2x regression" was a 1.5x-slower host; the CPU
+    # model string can't normalize that, a measured probe can. Two
+    # numbers: a single-core Python loop (per-core clock proxy) and a
+    # pinned synthetic Spark job (scan+agg+shuffle through codegen —
+    # the path every catalog entry takes). Cross-round comparisons
+    # should read queries_normalized (= best / probe_spark_sec), which
+    # divides the host out.
+    probe = _calibration_probe(spark)
 
     # Headline set: run everything registered; keep deterministic order.
     names = sorted(qs)
@@ -198,29 +210,32 @@ def main() -> None:
     # Full per-query detail goes to a file; the stdout line must stay SHORT
     # (the driver keeps only a tail of stdout — a multi-KB JSON line gets
     # truncated mid-line and fails to parse, as happened in round 1).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
-        json.dump(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # upper-of-2 (or true median-of-3) attempt per query:
-                # a large best-vs-median gap flags GC/ordering noise
-                "queries_median": medians,
-                "sf": sf,
-                "wall_sec": wall,
-                "throughput": throughput,
-                # machine fingerprint: round 6 burned hours proving a
-                # "regression" was a slower host (2.10 GHz vs prior
-                # rounds) — record the environment with the numbers so
-                # cross-round diffs start from the confound, not end at it
-                "env": _env_fingerprint(),
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    env = _env_fingerprint()
+    env.update(probe)
+    full = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # upper-of-2 (or true median-of-3) attempt per query:
+        # a large best-vs-median gap flags GC/ordering noise
+        "queries_median": medians,
+        # host-normalized: in-sweep best divided by the Spark probe —
+        # the cross-round comparable column (r6 verdict ask #1)
+        "queries_normalized": {
+            n: round(v / probe["probe_spark_sec"], 3)
+            for n, v in timings.items()
+        },
+        "sf": sf,
+        "wall_sec": wall,
+        "throughput": throughput,
+        # machine fingerprint: round 6 burned hours proving a
+        # "regression" was a slower host (2.10 GHz vs prior
+        # rounds) — record the environment with the numbers so
+        # cross-round diffs start from the confound, not end at it
+        "env": env,
+    }
+    _write_full(full)
 
     # Headline subset with short keys: the 22 TPC-H-shaped queries plus the
     # scale-critical custom operators. Everything else is summarized by the
@@ -271,7 +286,125 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
+    # print BEFORE the isolated phase: if the driver's timeout fires
+    # mid-rerun, the headline line and the in-sweep artifact already
+    # exist — the isolated column is additive, never load-bearing
     print(line, flush=True)
+
+    # Isolated reruns for the most expensive entries (r6 verdict ask
+    # #2): the in-sweep number for the compute-dense families carries
+    # bounded session residue even after the pre-sweep context restart
+    # (ann_bruteforce_topk read 1.84 in-sweep vs 0.44 isolated in r6),
+    # so the authoritative reading must live IN the artifact, not in a
+    # notes file. Fresh context again; same-JVM codegen cache keeps
+    # warmup cheap.
+    try:
+        top = sorted(timings, key=timings.get, reverse=True)[:15]
+        full["queries_isolated"], full["isolated_skipped"] = _isolated_phase(
+            spark, qs, top, sf_dir, deadline=t_wall0 + 530.0
+        )
+        _write_full(full)
+    except Exception as e:  # additive phase: never fail the bench run
+        print(f"isolated phase failed: {e}", file=sys.stderr)
+
+
+def _write_full(full: dict) -> None:
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    with open(path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+
+def _isolated_phase(
+    spark, qs, names: list[str], sf_dir: str, deadline: float
+) -> tuple[dict, list[str]]:
+    """Best-of-3 per entry on a context restarted after the sweep, one
+    full-scale untimed warmup each (the sweep already C2-compiled the
+    generated classes in this JVM; the codegen cache survives a context
+    restart, so the 3-warmup discipline of --only is not needed here).
+    Entries past the wall-clock deadline are skipped and named — a
+    truncated column must say so, not read as complete."""
+    from dsp_spark.session import get_session as _gs
+
+    _drain_session(spark)
+    spark.stop()
+    spark = _gs("dsp_spark_bench_isolated")
+    spark.sparkContext._jvm.System.gc()
+
+    out: dict[str, float] = {}
+    skipped: list[str] = []
+    for name in names:
+        if time.perf_counter() > deadline:
+            skipped.append(name)
+            continue
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = float("inf")
+            for _ in range(3):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
+        except Exception as e:
+            print(f"isolated {name} failed: {e}", file=sys.stderr)
+            skipped.append(name)
+        _drain_session(spark)
+    return out, skipped
+
+
+def _calibration_probe(spark) -> dict:
+    """Fixed-size probes that measure the HOST, not the catalog.
+
+    * probe_cpu_sec — single-core pure-Python loop (20M iterations of
+      integer mix): per-core clock + interpreter speed.
+    * probe_spark_sec — pinned synthetic job: range(30M) -> 2-key
+      derive -> hash-shuffle groupBy -> agg, through whole-stage
+      codegen and one exchange, best-of-3 after 2 warmups. The shape
+      every catalog entry shares, with zero data dependence.
+
+    Sizes are FROZEN: changing them breaks cross-round normalization
+    (the probe is the denominator of queries_normalized)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc = (acc + i * 2654435761) & 0xFFFFFFFF
+    cpu_sec = time.perf_counter() - t0
+
+    from pyspark.sql import functions as F
+
+    def job():
+        return (
+            spark.range(30_000_000)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count("*").alias("c"),
+                F.avg("v").alias("a"),
+            )
+        )
+
+    for _ in range(2):
+        job().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        job().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "probe_cpu_sec": round(cpu_sec, 4),
+        "probe_spark_sec": round(best, 4),
+    }
 
 
 def _env_fingerprint() -> dict:

@@ -16,7 +16,9 @@ verdict:
    catalog entry that has no lifetime green driver row (the rotation
    contract in dsp_spark/catalog.py _ordered): a never-checked entry
    outside the window would stay unverified another full round.
-4. Warn on a dirty git tree (gate artifacts must be committed).
+4. FAIL on uncommitted round artifacts (bench_full/BENCH_r*/
+   CORRECTNESS_r*/LINEAGE/driver_sim_last/BENCH_NOTES — the files the
+   judge reads); warn on any other dirty path.
 
 Exit 0 = gate-ready. Any hard failure exits 1 with the reason on
 stderr. Run:
@@ -96,19 +98,43 @@ def main() -> int:
     else:
         print("lineage check: LINEAGE.md matches the tree")
 
-    # 4. dirty tree warning (SCALE.md drift already counted above)
+    # 4. dirty tree: round ARTIFACTS (bench/correctness/lineage files)
+    #    modified-or-untracked at gate time are a HARD failure — three
+    #    straight verdicts flagged bench_full.json / BENCH_rN /
+    #    CORRECTNESS_rN sitting uncommitted at judge time, and the
+    #    working-tree copy is often the only one carrying that round's
+    #    final numbers. Anything else dirty stays a warning.
+    import fnmatch
+
+    artifact_globs = (
+        "bench_full.json",
+        "BENCH_r*.json",
+        "CORRECTNESS_r*.json",
+        "LINEAGE.md",
+        "driver_sim_last.json",
+        "BENCH_NOTES.md",
+    )
     status = subprocess.run(
         ["git", "-C", ROOT, "status", "--porcelain"],
         capture_output=True,
         text=True,
     )
-    dirty = [
-        line
-        for line in status.stdout.splitlines()
+    dirty, dirty_artifacts = [], []
+    for line in status.stdout.splitlines():
         # compare the porcelain PATH field exactly — only the root
         # SCALE.md is already counted above, not any *SCALE.md suffix
-        if line.strip() and line[3:].strip() != "SCALE.md"
-    ]
+        path = line[3:].strip()
+        if not line.strip() or path == "SCALE.md":
+            continue
+        if any(fnmatch.fnmatch(path, g) for g in artifact_globs):
+            dirty_artifacts.append(path)
+        else:
+            dirty.append(line)
+    if dirty_artifacts:
+        failures.append(
+            f"round artifacts uncommitted at gate time: {dirty_artifacts} "
+            "— `git add` them with the round (verdict r4/r5/r6 nit)"
+        )
     if dirty:
         print(
             f"WARNING: {len(dirty)} uncommitted paths at gate time:\n"
