@@ -468,6 +468,179 @@ def bpe_merge_pairs(spark, sf_dir):
     )
 
 
+# --- BPE train loop --------------------------------------------------------
+
+_TRAIN_K = 3  # unrolled merge rounds; frozen into the oracle CTE chain
+
+
+def _bpe_pair_counts(docs):
+    """Adjacent-pair counts over (tk array<string>) rows — the statistic
+    one BPE merge round maximizes. Map-side partial agg bounds the
+    shuffle at distinct-pair (vocab^2) rows, corpus-independent."""
+    pairs = docs.filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> struct(tk[i-1] AS l, tk[i] AS r))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+
+def _bpe_apply_merge(docs, top):
+    """Replace every greedy-leftmost non-overlapping (left, right)
+    adjacency with the space-joined merged symbol, via an aggregate()
+    fold over the token array — JVM-side higher-order function, zero
+    Python, zero shuffle (the 1-row winning pair broadcasts).
+
+    Greedy-leftmost falls out of the fold: a merge rewrites the
+    accumulator tail to 'L R', which can never equal L again (strictly
+    longer), so an overlapping second application is impossible — the
+    exact non-overlap rule of a BPE trainer's replace pass."""
+    j = docs.crossJoin(
+        F.broadcast(
+            top.select(
+                F.col("left_tok").alias("_ml"), F.col("right_tok").alias("_mr")
+            )
+        )
+    )
+    ml, mr = F.col("_ml"), F.col("_mr")
+
+    def step(acc, x):
+        # F.get returns NULL (not an ANSI error) on the empty-array probe
+        hit = (
+            (F.size(acc) > 0)
+            & (F.get(acc, F.size(acc) - 1) == ml)
+            & (x == mr)
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat_ws(" ", ml, mr)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return j.select(
+        F.aggregate("tk", F.array().cast("array<string>"), step).alias("tk")
+    )
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE merge round as DuckDB CTEs: count pairs on
+    s{r-1}, pick the winner, apply it greedy-leftmost (gaps-and-islands:
+    runs of consecutive candidates — only possible when left=right —
+    apply at odd offsets, and a row is dropped iff its predecessor
+    applied), emit s{r} re-numbered."""
+    s = f"s{r - 1}"
+    return f"""
+    p{r} AS (
+        SELECT sym AS lt, nxt AS rt, COUNT(*) AS cnt FROM (
+            SELECT sym, LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM {s})
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT lt, rt, cnt FROM p{r} ORDER BY cnt DESC, lt, rt LIMIT 1),
+    c{r} AS (
+        SELECT s.doc_id, s.pos, s.sym, t.lt, t.rt,
+               COALESCE(s.sym = t.lt AND
+                        LEAD(s.sym) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = t.rt,
+                        FALSE) AS cand
+        FROM {s} s CROSS JOIN t{r} t
+    ),
+    g{r} AS (
+        SELECT *, SUM(CASE WHEN cand THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM c{r}
+    ),
+    a{r} AS (
+        SELECT *, cand AND (ROW_NUMBER() OVER (PARTITION BY doc_id, grp, cand
+                                               ORDER BY pos) % 2 = 1) AS applied
+        FROM g{r}
+    ),
+    d{r} AS (
+        SELECT doc_id, pos,
+               CASE WHEN applied THEN lt || ' ' || rt ELSE sym END AS sym,
+               COALESCE(LAG(applied) OVER (PARTITION BY doc_id ORDER BY pos),
+                        FALSE) AS dropped
+        FROM a{r}
+    ),
+    s{r} AS (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+               sym
+        FROM d{r} WHERE NOT dropped
+    )"""
+
+
+@register(
+    "bpe_train_merges",
+    """
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, CAST(z[1] AS INTEGER) AS pos, z[2] AS sym
+        FROM (SELECT doc_id, unnest(list_zip(range(1, len(l) + 1), l)) AS z
+              FROM tk WHERE len(l) >= 1)
+    ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _TRAIN_K + 1))
+    + """
+    SELECT CAST(1 AS INTEGER) AS merge_rank, lt AS left_tok, rt AS right_tok,
+           CAST(cnt AS BIGINT) AS cnt FROM t1
+    UNION ALL SELECT 2, lt, rt, CAST(cnt AS BIGINT) FROM t2
+    UNION ALL SELECT 3, lt, rt, CAST(cnt AS BIGINT) FROM t3
+    """,
+    doc="BPE tokenizer TRAINING, 3 unrolled merge rounds (count adjacent "
+    "pairs -> take the argmax pair, ties on the pair -> replace every "
+    "greedy-leftmost non-overlapping occurrence with the merged symbol "
+    "-> recount): the iterative step bpe_merge_pairs only scored once, "
+    "made oracle-checkable the same way embedding_kmeans_iterate unrolls "
+    "Lloyd rounds into a CTE chain. Spark side is ONE lazy plan: per "
+    "round a map-side-combined pair agg (shuffle bounded by distinct "
+    "pairs, vocab^2, corpus-independent), TakeOrderedAndProject for the "
+    "argmax (per-partition heaps, no global sort), a 1-row broadcast "
+    "cross join, and the merge applied per doc by an aggregate() fold "
+    "over the token array — JVM higher-order function, no Python row "
+    "UDF, tokens never shuffle. The repeated pair-agg subtrees dedupe "
+    "via exchange reuse. The oracle applies each merge with "
+    "gaps-and-islands windows (candidate runs, odd offsets apply — "
+    "provably the fold's greedy-leftmost rule) partitioned by doc_id. "
+    "At 100 TB a trainer persists the tokenized corpus once and pays "
+    "one scan + one vocab-bounded exchange per merge; fits run on a "
+    "deterministic sample (sample_hash_10pct composes upstream).",
+)
+def bpe_train_merges(spark, sf_dir):
+    from functools import reduce
+
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        F.filter(textops.tokens("text"), lambda x: x != "").alias("tk")
+    )
+    outs = []
+    for rank in range(1, _TRAIN_K + 1):
+        top = (
+            _bpe_pair_counts(docs)
+            .orderBy(F.desc("cnt"), "left_tok", "right_tok")
+            .limit(1)
+        )
+        outs.append(
+            top.select(
+                F.lit(rank).cast("int").alias("merge_rank"),
+                "left_tok",
+                "right_tok",
+                "cnt",
+            )
+        )
+        if rank < _TRAIN_K:
+            docs = _bpe_apply_merge(docs, top)
+    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
 @register(
     "corpus_dataset_card",
     """

@@ -212,3 +212,76 @@ def test_multimodal_binaryfile_ingestion(spark, tmp_path):
     by_name = {r.fname: r for r in feats}
     for name, data in blobs.items():
         assert by_name[name].n_bytes == len(data)
+
+
+def _bpe_merge_py(tk, l, r):
+    """Reference greedy-leftmost non-overlapping merge (the rule a BPE
+    trainer's replace pass uses)."""
+    out = []
+    i = 0
+    while i < len(tk):
+        if i + 1 < len(tk) and tk[i] == l and tk[i + 1] == r:
+            out.append(l + " " + r)
+            i += 2
+        else:
+            out.append(tk[i])
+            i += 1
+    return out
+
+
+def test_bpe_apply_merge_greedy_nonoverlap(spark):
+    """The aggregate() fold in bpe_train_merges must implement greedy
+    leftmost NON-overlapping replacement — [a,a,a,a] with merge (a,a)
+    yields two pairs, [a,a,a] yields one pair plus a bare a — and merged
+    symbols (which contain spaces) must participate in later rounds."""
+    from dsp_spark.queries.text import _bpe_apply_merge
+
+    cases = [
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b"], "a", "b"),
+        (["x", "a", "b", "b", "a"], "a", "b"),
+        (["a"], "a", "a"),
+        ([], "a", "a"),
+        # round >= 2 shape: left symbol is itself a prior merge
+        (["a b", "c", "a b", "c", "a b"], "a b", "c"),
+        (["a a", "a a", "a a"], "a a", "a a"),
+    ]
+    for tk, l, r in cases:
+        docs = spark.createDataFrame([(tk,)], "tk array<string>")
+        top = spark.createDataFrame(
+            [(l, r, 1)], "left_tok string, right_tok string, cnt long"
+        )
+        got = _bpe_apply_merge(docs, top).collect()[0].tk
+        assert got == _bpe_merge_py(tk, l, r), (tk, l, r, got)
+
+
+def test_bpe_train_merges_matches_python_model(spark, sf_dir):
+    """End-to-end train loop vs a pure-Python BPE trainer on the real
+    corpus slice — validates the argmax tie-break AND the replace pass
+    composition, independent of the DuckDB oracle."""
+    from collections import Counter
+
+    from dsp_spark.queries.text import bpe_train_merges
+
+    texts = [
+        r.text
+        for r in read_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    docs = [[w for w in t.split() if w] for t in texts]
+    expect = []
+    for rank in range(1, 4):
+        pairs = Counter()
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                pairs[(a, b)] += 1
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((rank, l, r, cnt))
+        docs = [_bpe_merge_py(d, l, r) for d in docs]
+    got = [
+        (x.merge_rank, x.left_tok, x.right_tok, x.cnt)
+        for x in bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
