@@ -441,3 +441,133 @@ def embedding_centroid_drift(spark, sf_dir):
         )
         .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
+
+
+# --- Misra-Gries heavy hitters, batch twin --------------------------------
+
+from dsp_spark.operators.sampling import hash_int_sql as _hash_int_sql  # noqa: E402
+from dsp_spark.streaming.stateful import HH_CAPACITY as _HH_CAP  # noqa: E402
+
+_HH_SHARDS = 8
+_MG_DUCK_SHARD = f"CAST({_hash_int_sql('user_id')} % {_HH_SHARDS} AS INTEGER)"
+
+
+@register(
+    "heavy_hitters_mg_sharded",
+    f"""
+    WITH seq AS (
+        SELECT {_MG_DUCK_SHARD} AS shard, event_id, user_id::VARCHAR AS item
+        FROM events
+    ),
+    arr AS (
+        SELECT shard, list(item ORDER BY event_id) AS items
+        FROM seq GROUP BY shard
+    ),
+    st AS (
+        SELECT shard, list_reduce(
+            list_transform(items,
+                x -> [{{'it': CAST(NULL AS VARCHAR), 'ct': CAST(0 AS BIGINT)}},
+                      {{'it': x, 'ct': CAST(1 AS BIGINT)}}]),
+            (acc, e) -> CASE
+                WHEN len(list_filter(acc[2:], p -> p.it = e[2].it)) > 0 THEN
+                    [acc[1]] || list_transform(acc[2:],
+                        p -> {{'it': p.it,
+                               'ct': p.ct + CASE WHEN p.it = e[2].it
+                                            THEN 1 ELSE 0 END}})
+                WHEN len(acc) - 1 < {_HH_CAP} THEN
+                    list_append(acc, {{'it': e[2].it, 'ct': CAST(1 AS BIGINT)}})
+                ELSE
+                    [{{'it': acc[1].it, 'ct': acc[1].ct + 1}}] ||
+                    list_transform(list_filter(acc[2:], p -> p.ct > 1),
+                                   p -> {{'it': p.it, 'ct': p.ct - 1}})
+            END) AS s
+        FROM arr
+    )
+    SELECT shard, p.it AS item, CAST(p.ct AS BIGINT) AS est_count,
+           CAST(s[1].ct AS BIGINT) AS decrements
+    FROM (SELECT shard, s, unnest(s[2:]) AS p FROM st)
+    """,
+    doc="Misra-Gries heavy-hitters sketch as a deterministic BATCH "
+    "computation — the oracle row for the bounded-state streaming "
+    "family (streaming/stateful.py heavy_hitters_stream shares the "
+    "algebra and HH_CAPACITY; tests pin the two to each other). Items "
+    "hash-shard by md5(user_id) (the cross-engine salted-hash idiom), "
+    "each shard folds its event_id-ordered items through the classic "
+    "MG step — increment if tracked, insert if a slot is free, else "
+    "decrement every counter and evict zeros — via one aggregate() "
+    "higher-order fold, JVM-side, O(capacity) live state per shard. "
+    "The DuckDB mirror runs the identical fold with list_reduce over "
+    "singleton summaries (sentinel first element carries the "
+    "decrement tally). Output is the sketch itself: per shard at most "
+    "capacity (item, est_count) rows plus the decrement bound (true "
+    "count is within [est, est+decrements]). One shuffle groups items "
+    "to shards; the per-shard collect is the price of the sketch's "
+    "DEFINITIONAL sequential order — at 100 TB you raise n_shards so "
+    "each shard's slice fits an executor core, or run the streaming "
+    "twin whose state is capacity-bounded regardless of input size.",
+)
+def heavy_hitters_mg_sharded(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    shard = F.expr(_hash_int_sql("user_id", dialect="spark")) % _HH_SHARDS
+    keyed = e.select(
+        shard.cast("int").alias("shard"),
+        "event_id",
+        F.col("user_id").cast("string").alias("item"),
+    )
+    arr = keyed.groupBy("shard").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, item))), "
+            "p -> p.item)"
+        ).alias("items")
+    )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("it"),
+        F.array().cast("array<bigint>").alias("ct"),
+        F.lit(0).cast("bigint").alias("dec"),
+    )
+
+    def step(s, x):
+        it, ct, dec = s["it"], s["ct"], s["dec"]
+        inc = F.struct(
+            it.alias("it"),
+            F.zip_with(
+                it, ct, lambda v, c: c + F.when(v == x, 1).otherwise(0)
+            ).alias("ct"),
+            dec.alias("dec"),
+        )
+        ins = F.struct(
+            F.concat(it, F.array(x)).alias("it"),
+            F.concat(ct, F.array(F.lit(1).cast("bigint"))).alias("ct"),
+            dec.alias("dec"),
+        )
+        kept = F.filter(
+            F.zip_with(it, ct, lambda v, c: F.struct(v.alias("v"), c.alias("c"))),
+            lambda p: p["c"] > 1,
+        )
+        evict = F.struct(
+            F.transform(kept, lambda p: p["v"]).alias("it"),
+            F.transform(kept, lambda p: p["c"] - 1).alias("ct"),
+            (dec + 1).alias("dec"),
+        )
+        return F.when(F.array_contains(it, x), inc).otherwise(
+            F.when(F.size(it) < _HH_CAP, ins).otherwise(evict)
+        )
+
+    st = arr.select("shard", F.aggregate("items", init, step).alias("s"))
+    return st.select(
+        "shard",
+        F.explode(
+            F.zip_with(
+                F.col("s.it"),
+                F.col("s.ct"),
+                lambda v, c: F.struct(v.alias("v"), c.alias("c")),
+            )
+        ).alias("p"),
+        F.col("s.dec").alias("decrements"),
+    ).select(
+        "shard",
+        F.col("p.v").alias("item"),
+        F.col("p.c").alias("est_count"),
+        "decrements",
+    )

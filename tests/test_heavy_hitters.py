@@ -118,3 +118,47 @@ def test_mg_stream_equals_single_batch_run(spark, tmp_path, zipf_items):
     one, _ = _run_stream(spark, tmp_path / "one", zipf_items, n_files=1)
     three, _ = _run_stream(spark, tmp_path / "three", zipf_items, n_files=3)
     assert one == three
+
+
+def test_batch_twin_entry_matches_streaming_fold(spark, sf_dir):
+    """The heavy_hitters_mg_sharded catalog entry must produce EXACTLY
+    the summary the streaming _hh_fn produces when fed each shard's
+    items in the same (event_id) order — the sketch algebra is shared,
+    so the batch twin's oracle evidence covers the streaming operator."""
+    from dsp_spark.operators.sampling import hash_int_sql
+    from dsp_spark.queries.sketches import _HH_SHARDS, heavy_hitters_mg_sharded
+    from dsp_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .selectExpr(
+            f"CAST({hash_int_sql('user_id', dialect='spark')} % {_HH_SHARDS} AS INT) AS shard",
+            "event_id",
+            "CAST(user_id AS STRING) AS item",
+        )
+        .collect()
+    )
+    shards: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append((r.event_id, r.item))
+
+    expect = set()
+    for shard, evs in shards.items():
+        counters: dict[str, int] = {}
+        dec = 0
+        for _, item in sorted(evs):
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < HH_CAPACITY:
+                counters[item] = 1
+            else:
+                dec += 1
+                counters = {k: c - 1 for k, c in counters.items() if c > 1}
+        for k, c in counters.items():
+            expect.add((shard, k, c, dec))
+
+    got = {
+        (r.shard, r.item, r.est_count, r.decrements)
+        for r in heavy_hitters_mg_sharded(spark, sf_dir).collect()
+    }
+    assert got == expect
