@@ -113,3 +113,55 @@ def test_curation_run_end_to_end(spark, sf_dir, tmp_path):
     assert again["order_checksum"] == pk["order_checksum"]
     assert other["train_docs"] == pk["train_docs"]
     assert other["order_checksum"] != pk["order_checksum"]
+
+
+def test_curate_stats_only_and_resume(spark, sf_dir, tmp_path):
+    """Restartability contract: --stats-only writes nothing; a run
+    killed between the curated write and the packed export resumes
+    from the commit marker and produces a byte-identical manifest; an
+    up-to-date resume SKIPS the stage (proven by tampering the stored
+    marker and seeing the tampered value come back, not a recompute)."""
+    import json
+    import os
+    import shutil
+
+    sys.path.insert(0, "/root/repo")
+    from tools.curate import curate
+
+    out = str(tmp_path / "cur")
+
+    st = curate(spark, sf_dir, out, stats_only=True)
+    assert st["out"] is None
+    assert st["after_decontam"] > 0
+    assert not os.path.exists(out), "--stats-only must not write"
+
+    m1 = curate(spark, sf_dir, out)
+    j1 = json.dumps(m1, sort_keys=True)
+    # the dry-run funnel equals the real run's funnel
+    for k in ("input_docs", "after_quality", "after_exact_dedup",
+              "after_near_dedup", "after_containment", "after_decontam"):
+        assert st[k] == m1[k]
+
+    # kill between stage 5 and 7: packed export lost, curated write kept
+    shutil.rmtree(out + "_packed")
+    m2 = curate(spark, sf_dir, out, resume=True)
+    assert json.dumps(m2, sort_keys=True) == j1
+
+    # up-to-date resume must SKIP both stages: tamper the stage-A marker
+    # and expect the tampered count back (a recompute would repair it)
+    marker = os.path.join(out, "_curate_manifest.json")
+    with open(marker) as f:
+        stored = json.load(f)
+    stored["manifest"]["after_quality"] = -12345
+    with open(marker, "w") as f:
+        json.dump(stored, f)
+    m3 = curate(spark, sf_dir, out, resume=True)
+    assert m3["after_quality"] == -12345, "resume recomputed an up-to-date stage"
+    assert m3["packed"] == m1["packed"], "resume recomputed an up-to-date pack"
+
+    # a marker with a stale fingerprint must NOT be trusted
+    stored["fingerprint"] = "stale"
+    with open(marker, "w") as f:
+        json.dump(stored, f)
+    m4 = curate(spark, sf_dir, out, resume=True)
+    assert json.dumps(m4, sort_keys=True) == j1

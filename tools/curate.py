@@ -36,6 +36,14 @@ Prints a one-line JSON manifest with per-stage survivor counts, shard
 balance, and an order checksum (same corpus + same epoch => identical
 checksum on any rerun/partitioning; different epoch => different
 order over the same docs).
+
+Restartability (the 100 TB property): the two durable stages (curated
+write; packed export) each write a manifest AFTER their parquet — the
+manifest is the commit marker. `--resume` skips a stage iff its marker
+exists and matches the input fingerprint (documents.parquet identity)
+and stage params (epoch); a run killed mid-write left no marker and
+recomputes exactly that stage. `--stats-only` runs the funnel and
+prints counts without writing anything.
 """
 
 from __future__ import annotations
@@ -50,9 +58,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def _input_fingerprint(sf_dir: str) -> str:
+    """Identity of the curation INPUT: absolute path + size + mtime of
+    the documents table. A resumed run whose input changed must
+    recompute, never serve stale survivors."""
+    path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(path)
+    return f"{path}|{st.st_size}|{int(st.st_mtime)}"
+
+
+def _load_stage_manifest(path: str, fp: str, extra: dict | None = None):
+    """Stored per-stage manifest iff it exists, parses, and matches the
+    input fingerprint + stage params — else None (stage recomputes).
+    The manifest is written AFTER the stage's parquet, so its presence
+    is the stage's commit marker: a run killed mid-write leaves data
+    without a manifest and the resume recomputes it."""
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if m.get("fingerprint") != fp or m.get("params") != (extra or {}):
+        return None
+    return m["manifest"]
+
+
+def _write_stage_manifest(path: str, fp: str, manifest: dict, extra: dict | None = None) -> None:
+    with open(path, "w") as f:
+        json.dump(
+            {"fingerprint": fp, "params": extra or {}, "manifest": manifest}, f
+        )
+
+
 def curate(
-    spark, sf_dir: str, out_dir: str, *, epoch: int = 1, pack: bool = True
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    epoch: int = 1,
+    pack: bool = True,
+    resume: bool = False,
+    stats_only: bool = False,
 ) -> dict:
+    fp = _input_fingerprint(sf_dir)
+    stage_a = os.path.join(out_dir, "_curate_manifest.json")
+    if resume and not stats_only:
+        manifest = _load_stage_manifest(stage_a, fp)
+        if manifest is not None:
+            print(f"resume: curated write up to date at {out_dir}", file=sys.stderr)
+            final = spark.read.parquet(out_dir)
+            return _maybe_pack(
+                spark, final, manifest, out_dir, fp,
+                epoch=epoch, pack=pack, resume=True,
+            )
+
     from dsp_spark.operators import dedup as dd
     from dsp_spark.operators import sampling as smp
     from dsp_spark.operators.layout import optimize_layout
@@ -187,12 +246,6 @@ def curate(
         F.when(b < 100, "test").when(b < 200, "val").otherwise("train"),
     ).withColumn("shard", (b % 32).cast("int"))
 
-    # 5. clustered write: one file run per split, length-clustered rows
-    shutil.rmtree(out_dir, ignore_errors=True)
-    optimize_layout(
-        final, range_cols=["n_chars"], target_partitions=8
-    ).write.partitionBy("split").parquet(out_dir)
-
     by_split = {
         r["split"]: r["n"]
         for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
@@ -209,10 +262,45 @@ def curate(
         "out": out_dir,
     }
 
-    if pack:
-        manifest["packed"] = _shuffle_and_pack(
-            spark, final, out_dir + "_packed", epoch=epoch
-        )
+    if stats_only:
+        # dry run: the full survivor funnel, zero writes
+        manifest["out"] = None
+        return manifest
+
+    # 5. clustered write: one file run per split, length-clustered rows
+    shutil.rmtree(out_dir, ignore_errors=True)
+    optimize_layout(
+        final, range_cols=["n_chars"], target_partitions=8
+    ).write.partitionBy("split").parquet(out_dir)
+    # manifest AFTER the write = stage commit marker for --resume
+    _write_stage_manifest(stage_a, fp, manifest)
+
+    return _maybe_pack(
+        spark, final, manifest, out_dir, fp,
+        epoch=epoch, pack=pack, resume=resume,
+    )
+
+
+def _maybe_pack(
+    spark, final, manifest: dict, out_dir: str, fp: str, *,
+    epoch: int, pack: bool, resume: bool,
+) -> dict:
+    """Stages 6+7 behind their own commit marker: a resumed run whose
+    packed output matches (input fingerprint, epoch) reuses it; any
+    mismatch — different epoch, regenerated input, killed mid-export —
+    recomputes from the curated parquet."""
+    if not pack:
+        return manifest
+    pack_out = out_dir + "_packed"
+    stage_b = os.path.join(pack_out, "_pack_manifest.json")
+    if resume:
+        stored = _load_stage_manifest(stage_b, fp, {"epoch": epoch})
+        if stored is not None:
+            print(f"resume: packed export up to date at {pack_out}", file=sys.stderr)
+            manifest["packed"] = stored
+            return manifest
+    manifest["packed"] = _shuffle_and_pack(spark, final, pack_out, epoch=epoch)
+    _write_stage_manifest(stage_b, fp, manifest["packed"], {"epoch": epoch})
     return manifest
 
 
@@ -299,13 +387,26 @@ def main(argv=None) -> int:
         "--no-pack", action="store_true",
         help="stop after the curated write (skip shuffle+pack+export)",
     )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="skip stages whose committed output matches the input "
+        "fingerprint + params (restartability: each durable stage "
+        "writes its manifest AFTER its parquet, so a killed run "
+        "resumes from the last completed stage)",
+    )
+    p.add_argument(
+        "--stats-only", action="store_true",
+        help="dry run: print the per-stage survivor funnel, write nothing",
+    )
     args = p.parse_args(argv)
 
     from dsp_spark.session import get_session
 
     spark = get_session("dsp-curate")
     manifest = curate(
-        spark, args.sf_dir, args.out, epoch=args.epoch, pack=not args.no_pack
+        spark, args.sf_dir, args.out, epoch=args.epoch,
+        pack=not args.no_pack, resume=args.resume,
+        stats_only=args.stats_only,
     )
     print(json.dumps(manifest))
     return 0
