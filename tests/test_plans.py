@@ -330,3 +330,41 @@ def test_sampling_reports_single_shuffle(spark, sf_dir):
 def test_resize_is_narrow_map(spark, sf_dir):
     """bytes->bytes resize + audit hash: zero exchanges end to end."""
     assert plans.count_exchanges(q("multimodal_resize_audit", spark, sf_dir)) == 0
+
+
+def test_plan_lock_catches_injected_regression():
+    """The PLAN_LOCK.json diff must flag any per-entry increase in
+    exchange or global-window count (a refactor silently adding a
+    shuffle), and must NOT flag additions, removals, or improvements."""
+    from tools.scale_report import compare_lock
+
+    old = {
+        "a": {"exchanges": 3, "bcast": True, "global_windows": 0},
+        "b": {"exchanges": 1, "bcast": False, "global_windows": 1},
+        "gone": {"exchanges": 2, "bcast": False, "global_windows": 0},
+    }
+    new = {
+        "a": {"exchanges": 5, "bcast": True, "global_windows": 0},   # worse
+        "b": {"exchanges": 1, "bcast": False, "global_windows": 2},  # worse
+        "c": {"exchanges": 9, "bcast": False, "global_windows": 0},  # new
+    }
+    regs = compare_lock(old, new)
+    assert any("a: exchanges 3 -> 5" in r for r in regs)
+    assert any("b: global windows 1 -> 2" in r for r in regs)
+    assert len(regs) == 2  # 'c' (new) and 'gone' (removed) are not regressions
+    # improvements re-baseline silently
+    assert compare_lock(new, old) == []
+
+
+def test_committed_plan_lock_matches_catalog():
+    """Every catalog entry appears in the committed lockfile and vice
+    versa — a stale lock can't mask a regression on a renamed entry."""
+    import json
+    import os
+
+    from dsp_spark import catalog
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_LOCK.json")
+    with open(path) as f:
+        lock = json.load(f)
+    assert set(lock["entries"]) == set(catalog.entries())

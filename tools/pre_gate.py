@@ -113,6 +113,7 @@ def main() -> int:
         "LINEAGE.md",
         "driver_sim_last.json",
         "BENCH_NOTES.md",
+        "PLAN_LOCK.json",
     )
     status = subprocess.run(
         ["git", "-C", ROOT, "status", "--porcelain"],

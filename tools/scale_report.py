@@ -5,19 +5,56 @@ For each query: number of exchanges (shuffles + broadcasts), whether
 dimension joins broadcast, whether self-join sides reuse one exchange,
 and whether any Cartesian product appears (must never). Run:
 
-    python tools/scale_report.py [sf_dir]
+    python tools/scale_report.py [sf_dir] [--accept-plan-changes]
+
+Also maintains PLAN_LOCK.json, the committed per-entry
+{exchanges, bcast, global_windows} lockfile: an entry whose exchange
+or global-window count INCREASED vs the committed lock is a plan
+regression and fails the run (and therefore pre_gate) — a refactor
+can't silently add a shuffle. Deliberate changes re-baseline with
+--accept-plan-changes and commit the updated lock; decreases
+re-baseline automatically (still need committing, which the gate's
+dirty-artifact check enforces).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOCK_PATH = os.path.join(ROOT, "PLAN_LOCK.json")
+
+
+def compare_lock(old: dict, new: dict) -> list[str]:
+    """Plan regressions of `new` vs the committed lock `old`: any
+    per-entry increase in exchange count or global-window count.
+    New/removed entries are not regressions (additions baseline
+    themselves; removals just leave the lock)."""
+    regs = []
+    for name in sorted(new):
+        o, n = old.get(name), new[name]
+        if not o:
+            continue
+        if n["exchanges"] > o["exchanges"]:
+            regs.append(
+                f"{name}: exchanges {o['exchanges']} -> {n['exchanges']}"
+            )
+        if n["global_windows"] > o["global_windows"]:
+            regs.append(
+                f"{name}: global windows {o['global_windows']} -> "
+                f"{n['global_windows']}"
+            )
+    return regs
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    accept = "--accept-plan-changes" in sys.argv
+    argv = [a for a in sys.argv if a != "--accept-plan-changes"]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
     from dsp_spark import catalog, plans
     from dsp_spark.session import get_session
     from tests.test_plans import ALLOWED_GLOBAL_WINDOWS
@@ -54,6 +91,7 @@ def main() -> int:
                 "CARTESIAN" if "CartesianProduct" in plan else "",
                 gw,
                 len(plans.whole_stage_codegen_ids(df)),
+                n_global,
             )
         )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
@@ -100,6 +138,46 @@ def main() -> int:
         )
         spark.stop()
         return 1
+
+    # plan-regression lockfile: diff per-entry counts against the
+    # committed PLAN_LOCK.json (same sf_dir only — statistics-driven
+    # broadcast decisions legitimately differ across scales)
+    new_lock = {
+        "sf_dir": sf_dir,
+        "entries": {
+            r[0]: {
+                "exchanges": r[1],
+                "bcast": r[2] == "y",
+                "global_windows": r[7],
+            }
+            for r in rows
+        },
+    }
+    old_lock = {}
+    if os.path.exists(LOCK_PATH):
+        try:
+            with open(LOCK_PATH) as f:
+                old_lock = json.load(f)
+        except ValueError:
+            old_lock = {}
+    regs = (
+        compare_lock(old_lock.get("entries", {}), new_lock["entries"])
+        if old_lock.get("sf_dir") == sf_dir
+        else []
+    )
+    if regs and not accept:
+        print(
+            f"ERROR: {len(regs)} plan regressions vs committed PLAN_LOCK.json "
+            "(re-baseline deliberately with --accept-plan-changes):\n  "
+            + "\n  ".join(regs),
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 1
+    with open(LOCK_PATH, "w") as f:
+        json.dump(new_lock, f, indent=1, sort_keys=True)
+    if regs:
+        print(f"accepted {len(regs)} plan changes into PLAN_LOCK.json")
     print(f"wrote {out}: {len(rows)} entries")
     spark.stop()
     return 0
