@@ -452,6 +452,93 @@ _HH_SHARDS = 8
 _MG_DUCK_SHARD = f"CAST({_hash_int_sql('user_id')} % {_HH_SHARDS} AS INTEGER)"
 
 
+def _mg_fold(items_col):
+    """Misra-Gries fold over an ordered item array -> state struct
+    (it array<string>, ct array<bigint>, dec bigint): increment if
+    tracked, insert if a slot is free, else decrement every counter
+    and evict zeros. One JVM aggregate() — shared by the sharded-fold
+    entry and the per-half folds the merge entry combines."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("it"),
+        F.array().cast("array<bigint>").alias("ct"),
+        F.lit(0).cast("bigint").alias("dec"),
+    )
+
+    def step(s, x):
+        it, ct, dec = s["it"], s["ct"], s["dec"]
+        inc = F.struct(
+            it.alias("it"),
+            F.zip_with(
+                it, ct, lambda v, c: c + F.when(v == x, 1).otherwise(0)
+            ).alias("ct"),
+            dec.alias("dec"),
+        )
+        ins = F.struct(
+            F.concat(it, F.array(x)).alias("it"),
+            F.concat(ct, F.array(F.lit(1).cast("bigint"))).alias("ct"),
+            dec.alias("dec"),
+        )
+        kept = F.filter(
+            F.zip_with(it, ct, lambda v, c: F.struct(v.alias("v"), c.alias("c"))),
+            lambda p: p["c"] > 1,
+        )
+        evict = F.struct(
+            F.transform(kept, lambda p: p["v"]).alias("it"),
+            F.transform(kept, lambda p: p["c"] - 1).alias("ct"),
+            (dec + 1).alias("dec"),
+        )
+        return F.when(F.array_contains(it, x), inc).otherwise(
+            F.when(F.size(it) < _HH_CAP, ins).otherwise(evict)
+        )
+
+    return F.aggregate(items_col, init, step)
+
+
+def _mg_reduce_sql(items_expr: str) -> str:
+    """DuckDB mirror of _mg_fold as a list_reduce over singleton
+    summaries; the sentinel first element carries the decrement tally
+    (list_reduce in DuckDB 1.0 mis-accumulates struct-of-list states,
+    list-of-struct works)."""
+    return f"""list_reduce(
+        list_transform({items_expr},
+            x -> [{{'it': CAST(NULL AS VARCHAR), 'ct': CAST(0 AS BIGINT)}},
+                  {{'it': x, 'ct': CAST(1 AS BIGINT)}}]),
+        (acc, e) -> CASE
+            WHEN len(list_filter(acc[2:], p -> p.it = e[2].it)) > 0 THEN
+                [acc[1]] || list_transform(acc[2:],
+                    p -> {{'it': p.it,
+                           'ct': p.ct + CASE WHEN p.it = e[2].it
+                                        THEN 1 ELSE 0 END}})
+            WHEN len(acc) - 1 < {_HH_CAP} THEN
+                list_append(acc, {{'it': e[2].it, 'ct': CAST(1 AS BIGINT)}})
+            ELSE
+                [{{'it': acc[1].it, 'ct': acc[1].ct + 1}}] ||
+                list_transform(list_filter(acc[2:], p -> p.ct > 1),
+                               p -> {{'it': p.it, 'ct': p.ct - 1}})
+        END)"""
+
+
+def _mg_state_rows(st, *group_cols):
+    """(group..., s state-struct) -> (group..., item, est_count,
+    decrements) rows — the sketch exploded into its emitted form."""
+    return st.select(
+        *group_cols,
+        F.explode(
+            F.zip_with(
+                F.col("s.it"),
+                F.col("s.ct"),
+                lambda v, c: F.struct(v.alias("v"), c.alias("c")),
+            )
+        ).alias("p"),
+        F.col("s.dec").alias("decrements"),
+    ).select(
+        *group_cols,
+        F.col("p.v").alias("item"),
+        F.col("p.c").alias("est_count"),
+        "decrements",
+    )
+
+
 @register(
     "heavy_hitters_mg_sharded",
     f"""
@@ -463,26 +550,7 @@ _MG_DUCK_SHARD = f"CAST({_hash_int_sql('user_id')} % {_HH_SHARDS} AS INTEGER)"
         SELECT shard, list(item ORDER BY event_id) AS items
         FROM seq GROUP BY shard
     ),
-    st AS (
-        SELECT shard, list_reduce(
-            list_transform(items,
-                x -> [{{'it': CAST(NULL AS VARCHAR), 'ct': CAST(0 AS BIGINT)}},
-                      {{'it': x, 'ct': CAST(1 AS BIGINT)}}]),
-            (acc, e) -> CASE
-                WHEN len(list_filter(acc[2:], p -> p.it = e[2].it)) > 0 THEN
-                    [acc[1]] || list_transform(acc[2:],
-                        p -> {{'it': p.it,
-                               'ct': p.ct + CASE WHEN p.it = e[2].it
-                                            THEN 1 ELSE 0 END}})
-                WHEN len(acc) - 1 < {_HH_CAP} THEN
-                    list_append(acc, {{'it': e[2].it, 'ct': CAST(1 AS BIGINT)}})
-                ELSE
-                    [{{'it': acc[1].it, 'ct': acc[1].ct + 1}}] ||
-                    list_transform(list_filter(acc[2:], p -> p.ct > 1),
-                                   p -> {{'it': p.it, 'ct': p.ct - 1}})
-            END) AS s
-        FROM arr
-    )
+    st AS (SELECT shard, {_mg_reduce_sql('items')} AS s FROM arr)
     SELECT shard, p.it AS item, CAST(p.ct AS BIGINT) AS est_count,
            CAST(s[1].ct AS BIGINT) AS decrements
     FROM (SELECT shard, s, unnest(s[2:]) AS p FROM st)
@@ -520,54 +588,116 @@ def heavy_hitters_mg_sharded(spark, sf_dir):
             "p -> p.item)"
         ).alias("items")
     )
+    st = arr.select("shard", _mg_fold(F.col("items")).alias("s"))
+    return _mg_state_rows(st, "shard")
 
-    init = F.struct(
-        F.array().cast("array<string>").alias("it"),
-        F.array().cast("array<bigint>").alias("ct"),
-        F.lit(0).cast("bigint").alias("dec"),
+
+@register(
+    "heavy_hitters_mg_merge",
+    f"""
+    WITH seq AS (
+        SELECT {_MG_DUCK_SHARD} AS shard,
+               CAST(event_id % 2 AS INTEGER) AS half,
+               event_id, user_id::VARCHAR AS item
+        FROM events
+    ),
+    arr AS (
+        SELECT shard, half, list(item ORDER BY event_id) AS items
+        FROM seq GROUP BY shard, half
+    ),
+    st AS (SELECT shard, half, {_mg_reduce_sql('items')} AS s FROM arr),
+    halves AS (
+        SELECT shard, half, p.it AS item, p.ct AS est, s[1].ct AS dec
+        FROM (SELECT shard, half, s, unnest(s[2:]) AS p FROM st)
+    ),
+    decs AS (
+        SELECT shard, CAST(SUM(dec) AS BIGINT) AS dec_in
+        FROM (SELECT DISTINCT shard, half, dec FROM halves) GROUP BY shard
+    ),
+    summed AS (
+        SELECT shard, item, CAST(SUM(est) AS BIGINT) AS est
+        FROM halves GROUP BY shard, item
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                                     ORDER BY est DESC, item) AS rn
+        FROM summed
+    ),
+    sub AS (
+        SELECT shard,
+               COALESCE(MAX(CASE WHEN rn = {_HH_CAP} + 1 THEN est END), 0) AS s
+        FROM ranked GROUP BY shard
     )
+    SELECT r.shard, r.item,
+           CAST(r.est - b.s AS BIGINT) AS est_count,
+           CAST(d.dec_in + b.s AS BIGINT) AS decrements
+    FROM ranked r JOIN sub b USING (shard) JOIN decs d USING (shard)
+    WHERE r.est - b.s > 0
+    """,
+    doc="Misra-Gries sketch UNION (Agarwal et al., Mergeable "
+    "Summaries): build one MG summary per (shard, half) — halves split "
+    "by event_id parity, each folded in event order exactly like "
+    "heavy_hitters_mg_sharded — then merge the two summaries of every "
+    "shard by summing counters and subtracting the (capacity+1)-th "
+    "largest combined count (ties broken on the item), dropping "
+    "non-positives; the merged error bound is the halves' decrement "
+    "sum plus the subtracted value. This is the hierarchy step a "
+    "100 TB deployment relies on — per-partition (or per-day) sketches "
+    "union to any coarser grain WITHOUT re-scanning raw events, the "
+    "same roll-up shape hll_user_rollup_merge shows for distinct "
+    "counts. The merge itself is relational (one groupBy + one "
+    "capacity-bounded window per shard over <= 2*capacity rows), so "
+    "both engines compute it identically.",
+)
+def heavy_hitters_mg_merge(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    shard = F.expr(_hash_int_sql("user_id", dialect="spark")) % _HH_SHARDS
+    keyed = e.select(
+        shard.cast("int").alias("shard"),
+        (F.col("event_id") % 2).cast("int").alias("half"),
+        "event_id",
+        F.col("user_id").cast("string").alias("item"),
+    )
+    arr = keyed.groupBy("shard", "half").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(event_id, item))), "
+            "p -> p.item)"
+        ).alias("items")
+    )
+    st = arr.select("shard", "half", _mg_fold(F.col("items")).alias("s"))
+    halves = _mg_state_rows(st, "shard", "half").withColumnRenamed(
+        "decrements", "dec"
+    )
+    decs = (
+        halves.select("shard", "half", "dec")
+        .distinct()
+        .groupBy("shard")
+        .agg(F.sum("dec").cast("bigint").alias("dec_in"))
+    )
+    summed = halves.groupBy("shard", "item").agg(
+        F.sum("est_count").cast("bigint").alias("est")
+    )
+    from pyspark.sql import Window as W
 
-    def step(s, x):
-        it, ct, dec = s["it"], s["ct"], s["dec"]
-        inc = F.struct(
-            it.alias("it"),
-            F.zip_with(
-                it, ct, lambda v, c: c + F.when(v == x, 1).otherwise(0)
-            ).alias("ct"),
-            dec.alias("dec"),
+    ranked = summed.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("shard").orderBy(F.desc("est"), "item")
+        ),
+    )
+    sub = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _HH_CAP + 1, F.col("est"))), F.lit(0)
+        ).alias("s")
+    )
+    return (
+        ranked.join(sub, "shard")
+        .join(decs, "shard")
+        .where(F.col("est") - F.col("s") > 0)
+        .select(
+            "shard",
+            "item",
+            (F.col("est") - F.col("s")).cast("bigint").alias("est_count"),
+            (F.col("dec_in") + F.col("s")).cast("bigint").alias("decrements"),
         )
-        ins = F.struct(
-            F.concat(it, F.array(x)).alias("it"),
-            F.concat(ct, F.array(F.lit(1).cast("bigint"))).alias("ct"),
-            dec.alias("dec"),
-        )
-        kept = F.filter(
-            F.zip_with(it, ct, lambda v, c: F.struct(v.alias("v"), c.alias("c"))),
-            lambda p: p["c"] > 1,
-        )
-        evict = F.struct(
-            F.transform(kept, lambda p: p["v"]).alias("it"),
-            F.transform(kept, lambda p: p["c"] - 1).alias("ct"),
-            (dec + 1).alias("dec"),
-        )
-        return F.when(F.array_contains(it, x), inc).otherwise(
-            F.when(F.size(it) < _HH_CAP, ins).otherwise(evict)
-        )
-
-    st = arr.select("shard", F.aggregate("items", init, step).alias("s"))
-    return st.select(
-        "shard",
-        F.explode(
-            F.zip_with(
-                F.col("s.it"),
-                F.col("s.ct"),
-                lambda v, c: F.struct(v.alias("v"), c.alias("c")),
-            )
-        ).alias("p"),
-        F.col("s.dec").alias("decrements"),
-    ).select(
-        "shard",
-        F.col("p.v").alias("item"),
-        F.col("p.c").alias("est_count"),
-        "decrements",
     )

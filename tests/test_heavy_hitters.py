@@ -162,3 +162,39 @@ def test_batch_twin_entry_matches_streaming_fold(spark, sf_dir):
         for r in heavy_hitters_mg_sharded(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_mg_merge_entry_guarantees(spark, sf_dir):
+    """The merged sketch must keep the MG contract per shard: every
+    reported est undercounts its true frequency by at most the merged
+    decrement bound, and any item whose true frequency exceeds the
+    bound is present (Agarwal et al. mergeable-summaries guarantee)."""
+    from collections import Counter
+
+    from dsp_spark.operators.sampling import hash_int_sql
+    from dsp_spark.queries.sketches import _HH_SHARDS, heavy_hitters_mg_merge
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            f"CAST({hash_int_sql('user_id', dialect='spark')} % {_HH_SHARDS} AS INT) AS shard",
+            "CAST(user_id AS STRING) AS item",
+        )
+        .collect()
+    )
+    truth = Counter((r.shard, r.item) for r in rows)
+
+    out = heavy_hitters_mg_merge(spark, sf_dir).collect()
+    assert out
+    dec_of = {}
+    for r in out:
+        dec_of.setdefault(r.shard, r.decrements)
+        assert r.decrements == dec_of[r.shard]  # one bound per shard
+        true = truth[(r.shard, r.item)]
+        assert r.est_count <= true <= r.est_count + r.decrements, (
+            r.shard, r.item, r.est_count, r.decrements, true,
+        )
+    present = {(r.shard, r.item) for r in out}
+    for (shard, item), true in truth.items():
+        if shard in dec_of and true > dec_of[shard]:
+            assert (shard, item) in present, (shard, item, true, dec_of[shard])
