@@ -701,3 +701,122 @@ def heavy_hitters_mg_merge(spark, sf_dir):
             (F.col("dec_in") + F.col("s")).cast("bigint").alias("decrements"),
         )
     )
+
+
+@register(
+    "quantiles_loghist_by_key",
+    """
+    WITH x AS (
+        SELECT event_type AS key,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ),
+    h AS (
+        SELECT key,
+               CASE WHEN cents > 0 THEN LEAST(length(bin(cents)), 63)
+                    ELSE 0 END AS bin,
+               COUNT(*) AS c, MAX(cents) AS mx
+        FROM x GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT key, bin, c,
+               SUM(c) OVER (PARTITION BY key ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY key ORDER BY bin) - c AS prev,
+               SUM(c) OVER (PARTITION BY key) AS n,
+               MAX(mx) OVER (PARTITION BY key) AS mxx
+        FROM h
+    ),
+    hit AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key, q ORDER BY bin) AS rn
+        FROM (SELECT w.*, q FROM w,
+              UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS t(q))
+        WHERE cum >= q * n
+    ),
+    vals AS (
+        SELECT key, q, n, mxx,
+               (CASE WHEN bin = 0 THEN 0.0 ELSE POWER(2.0, bin - 1) END
+                + (q * n - prev) / c *
+                  (POWER(2.0, bin)
+                   - CASE WHEN bin = 0 THEN 0.0
+                          ELSE POWER(2.0, bin - 1) END)) / 100.0 AS v
+        FROM hit WHERE rn = 1
+    )
+    SELECT key, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN q = 0.5 THEN v END) AS p50,
+           MAX(CASE WHEN q = 0.9 THEN v END) AS p90,
+           MAX(CASE WHEN q = 0.99 THEN v END) AS p99,
+           MAX(mxx) / 100.0 AS max_v
+    FROM vals GROUP BY key
+    """,
+    doc="Per-key log2-histogram quantiles as a deterministic BATCH "
+    "computation — the oracle row for the streaming "
+    "quantile_histogram_stream sketch (same cents quantization, same "
+    "min(bit_length, 63) binning, same inside-bin linear "
+    "interpolation; a test pins the entry to the streaming "
+    "_qh_quantile on identical input). Unlike percentile_approx this "
+    "sketch is O(64 counters) per key FOREVER and merges by vector "
+    "add, the property that lets a latency/price dashboard run on an "
+    "unbounded stream; the factor-of-2 relative error is the "
+    "documented trade. One partial-agg shuffle to (key, bin) grain "
+    "(<=64 rows per key), per-key windows over those 64 rows, and "
+    "every emitted double comes from the identical exact-int -> "
+    "double op sequence on both engines (q*n, the bin edges as exact "
+    "powers of two, one division) — no ROUND-on-double anywhere.",
+)
+def quantiles_loghist_by_key(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    x = e.select(F.col("event_type").alias("key"), cents.alias("cents"))
+    b = (
+        F.when(
+            F.col("cents") > 0,
+            F.least(F.length(F.bin("cents")), F.lit(63)),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    h = x.groupBy("key", b.alias("bin")).agg(
+        F.count("*").alias("c"), F.max("cents").alias("mx")
+    )
+    pk = W.partitionBy("key")
+    w = h.select(
+        "key",
+        "bin",
+        "c",
+        F.sum("c").over(pk.orderBy("bin")).alias("cum"),
+        (F.sum("c").over(pk.orderBy("bin")) - F.col("c")).alias("prev"),
+        F.sum("c").over(pk).alias("n"),
+        F.max("mx").over(pk).alias("mxx"),
+    )
+    hit = (
+        w.select(
+            "*",
+            F.explode(
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("q"),
+        )
+        .where(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("key", "q").orderBy("bin")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    lo = F.when(F.col("bin") == 0, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), F.col("bin") - 1)
+    )
+    hi = F.pow(F.lit(2.0), F.col("bin"))
+    v = (
+        lo
+        + (F.col("q") * F.col("n") - F.col("prev")) / F.col("c") * (hi - lo)
+    ) / 100.0
+    vals = hit.select("key", "q", "n", "mxx", v.alias("v"))
+    return vals.groupBy("key").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("q") == 0.5, F.col("v"))).alias("p50"),
+        F.max(F.when(F.col("q") == 0.9, F.col("v"))).alias("p90"),
+        F.max(F.when(F.col("q") == 0.99, F.col("v"))).alias("p99"),
+        (F.max("mxx") / 100.0).alias("max_v"),
+    )

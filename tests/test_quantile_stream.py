@@ -95,3 +95,47 @@ def test_negative_values_rejected_loudly():
     with pytest.raises(ValueError, match="non-negative"):
         _qh_bin(-500)
     assert _qh_bin(0) == 0
+
+
+def test_batch_twin_entry_matches_streaming_model(spark, sf_dir):
+    """quantiles_loghist_by_key must produce EXACTLY what the streaming
+    sketch's _qh_bin/_qh_quantile compute on the same per-key values —
+    the sketch algebra is shared, so the batch twin's driver-oracle
+    evidence covers the streaming operator's math."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from dsp_spark.queries.sketches import quantiles_loghist_by_key
+    from dsp_spark.session import read_table
+    from dsp_spark.streaming.stateful import QH_BINS, _qh_bin, _qh_quantile
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    bins: dict[str, list[int]] = defaultdict(lambda: [0] * QH_BINS)
+    n: dict[str, int] = defaultdict(int)
+    mx: dict[str, int] = defaultdict(int)
+    for r in rows:
+        # same quantization as the entry: decimal(18,2) cents
+        c = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        k = r.event_type
+        bins[k][_qh_bin(c)] += 1
+        n[k] += 1
+        mx[k] = max(mx[k], c)
+
+    got = {
+        r.key: (r.n, r.p50, r.p90, r.p99, r.max_v)
+        for r in quantiles_loghist_by_key(spark, sf_dir).collect()
+    }
+    assert set(got) == set(bins)
+    for k in bins:
+        want = (
+            n[k],
+            _qh_quantile(bins[k], n[k], 0.5),
+            _qh_quantile(bins[k], n[k], 0.9),
+            _qh_quantile(bins[k], n[k], 0.99),
+            mx[k] / 100.0,
+        )
+        assert got[k] == pytest.approx(want, abs=1e-12), (k, got[k], want)
