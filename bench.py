@@ -301,7 +301,7 @@ def main() -> None:
     try:
         top = sorted(timings, key=timings.get, reverse=True)[:15]
         full["queries_isolated"], full["isolated_skipped"] = _isolated_phase(
-            spark, qs, top, sf_dir, deadline=t_wall0 + 530.0
+            spark, qs, top, sf_dir, deadline=t_wall0 + 545.0
         )
         _write_full(full)
     except Exception as e:  # additive phase: never fail the bench run
@@ -319,10 +319,12 @@ def _write_full(full: dict) -> None:
 def _isolated_phase(
     spark, qs, names: list[str], sf_dir: str, deadline: float
 ) -> tuple[dict, list[str]]:
-    """Best-of-3 per entry on a context restarted after the sweep, one
+    """Best-of-2 per entry on a context restarted after the sweep, one
     full-scale untimed warmup each (the sweep already C2-compiled the
     generated classes in this JVM; the codegen cache survives a context
-    restart, so the 3-warmup discipline of --only is not needed here).
+    restart, so the 3-warmup discipline of --only is not needed here —
+    and the column exists to expose 2-4x session residue, for which
+    best-of-2 is ample; --only remains the high-precision protocol).
     Entries past the wall-clock deadline are skipped and named — a
     truncated column must say so, not read as complete."""
     from dsp_spark.session import get_session as _gs
@@ -343,7 +345,7 @@ def _isolated_phase(
                 "overwrite"
             ).save()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(2):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
@@ -369,12 +371,17 @@ def _calibration_probe(spark) -> dict:
       every catalog entry shares, with zero data dependence.
 
     Sizes are FROZEN: changing them breaks cross-round normalization
-    (the probe is the denominator of queries_normalized)."""
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(20_000_000):
-        acc = (acc + i * 2654435761) & 0xFFFFFFFF
-    cpu_sec = time.perf_counter() - t0
+    (the probe is the denominator of queries_normalized). Both probes
+    report best-of-3 — a single-shot loop on a machine still draining
+    load reads ~40% high (measured r7) and would mis-normalize the
+    whole round."""
+    cpu_sec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(20_000_000):
+            acc = (acc + i * 2654435761) & 0xFFFFFFFF
+        cpu_sec = min(cpu_sec, time.perf_counter() - t0)
 
     from pyspark.sql import functions as F
 
