@@ -562,20 +562,30 @@ def _bpe_learn_merges(docs) -> list[tuple[str, str, int]]:
     fully-lazy nested alternative (1-row broadcast cross joins)
     re-evaluates the merge inside join conditions and recomputes the
     agg subtrees — measured 3-4x slower at sf0.1."""
-    merges: list[tuple[str, str, int]] = []
-    for _ in range(_TRAIN_K):
-        row = (
-            _bpe_pair_counts(docs)
-            .orderBy(F.desc("cnt"), "left_tok", "right_tok")
-            .limit(1)
-            .collect()
-        )
-        if not row:
-            break
-        l, r, cnt = row[0]
-        merges.append((l, r, int(cnt)))
-        docs = _bpe_apply_merge(docs, l, r)
-    return merges
+    # materialize the tokenized strings once: every round re-reads them
+    # (round r additionally applies r regex passes), so without this the
+    # parquet scan + whitespace collapse runs K times (~20% of the
+    # trainer's cost at sf0.1); at 100 TB the equivalent is persisting
+    # the tokenized corpus before the merge loop
+    base = docs.localCheckpoint(eager=True)
+    try:
+        docs = base
+        merges: list[tuple[str, str, int]] = []
+        for _ in range(_TRAIN_K):
+            row = (
+                _bpe_pair_counts(docs)
+                .orderBy(F.desc("cnt"), "left_tok", "right_tok")
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                break
+            l, r, cnt = row[0]
+            merges.append((l, r, int(cnt)))
+            docs = _bpe_apply_merge(docs, l, r)
+        return merges
+    finally:
+        base.unpersist()
 
 
 def _bpe_round_sql(r: int) -> str:
