@@ -832,3 +832,140 @@ def decontam_near_dup_eval(spark, sf_dir):
         F.col("id_a").alias("train_doc_id"),
         "jaccard",
     )
+
+
+# --- cross-doc duplicated-span coverage ------------------------------------
+
+_SPAN_G = 8  # gram anchor length (tokens); spans >= G tokens are caught
+
+
+@register(
+    "dedup_dup_span_fraction",
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, CAST(z.pos AS INTEGER) AS pos, z.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l) - {_SPAN_G} + 2),
+                            i -> {{'pos': i,
+                                   'gram': array_to_string(l[i:i+{_SPAN_G}-1], ' ')}})) AS z
+              FROM tk WHERE len(l) >= {_SPAN_G})
+    ),
+    dupg AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gpos GROUP BY gram)
+        WHERE nd >= 2
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM gpos
+        WHERE gram IN (SELECT gram FROM dupg)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {_SPAN_G} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island,
+               pos
+        FROM isl
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(span_len) AS BIGINT) AS n_dup_tokens
+        FROM (SELECT doc_id, island,
+                     MAX(pos) + {_SPAN_G} - 1 - MIN(pos) + 1 AS span_len
+              FROM spans GROUP BY doc_id, island)
+        GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.l) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CASE WHEN len(tk.l) = 0 THEN 0.0
+                ELSE COALESCE(c.n_dup_tokens, 0) / CAST(len(tk.l) AS DOUBLE)
+           END AS dup_frac
+    FROM tk LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Cross-document duplicated-SPAN coverage, the exact-substring "
+    "dedup statistic of Lee et al. (Deduplicating Training Data Makes "
+    "LMs Better) at token grain: any token run of >= G(=8) tokens "
+    "appearing in two or more documents is flagged through its G-gram "
+    "anchors (a duplicated run of length >= G contains a duplicated "
+    "G-gram, so merged anchor spans cover exactly the maximal "
+    "duplicated runs), anchor positions merge into spans per doc "
+    "(gaps-and-islands over a doc-partitioned window), and each doc "
+    "reports its covered-token count and fraction — the quantity a "
+    "curation pipeline thresholds to strip boilerplate that survives "
+    "whole-doc dedup (MinHash sees low whole-doc Jaccard; containment "
+    "sees only near-total subsumption; this sees a 50-token license "
+    "block in 10k documents). Two gram-keyed partial-agg exchanges "
+    "(counts fold map-side; the corpus-token-sized explode never "
+    "carries text, only 8-token grams) + per-doc bounded windows; "
+    "cross-engine exact because every number is integer arithmetic "
+    "until one final division.",
+)
+def dedup_dup_span_fraction(spark, sf_dir):
+    G = _SPAN_G
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("l"),
+    )
+    gpos = tk.where(F.size("l") >= G).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {G} + 1), "
+                f"i -> struct(i AS pos, array_join(slice(l, i, {G}), ' ') AS gram))"
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.pos").cast("int").alias("pos"), "z.gram")
+    # the gram relation feeds BOTH the dup-gram aggregate and the
+    # position join-back; materialize it once — the per-position
+    # array_join string build is ~40% of the entry's cost, and the
+    # single-pass alternative (collect positions per gram) is
+    # hot-gram-skew-unsafe at corpus scale
+    gpos = gpos.localCheckpoint(eager=True)
+    dupg = (
+        gpos.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = gpos.join(dupg, "gram", "left_semi").select("doc_id", "pos").distinct()
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + G - 1).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    spans = isl.withColumn("island", F.sum("new_island").over(w))
+    cov = (
+        spans.groupBy("doc_id", "island")
+        .agg((F.max("pos") + G - 1 - F.min("pos") + 1).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").cast("bigint").alias("n_dup_tokens"))
+    )
+    return tk.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+        F.when(F.size("l") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            / F.size("l").cast("double")
+        )
+        .alias("dup_frac"),
+    )

@@ -296,3 +296,43 @@ def test_shingle_and_minhash_sql_mirrors_cross_engine_identical(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_dup_span_fraction_matches_python_model(spark, sf_dir):
+    """dedup_dup_span_fraction vs a brute-force model: collect every
+    8-token gram, keep grams seen in >=2 distinct docs, mark the 8
+    positions each occurrence covers, and count marked positions per
+    doc — the merged-interval window math must equal direct marking."""
+    from collections import defaultdict
+
+    from dsp_spark.queries.dedup import _SPAN_G, dedup_dup_span_fraction
+    from dsp_spark.session import read_table
+
+    G = _SPAN_G
+    rows = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [w for w in r.text.split() if w] for r in rows}
+    gram_docs = defaultdict(set)
+    for d, l in toks.items():
+        for i in range(len(l) - G + 1):
+            gram_docs[" ".join(l[i : i + G])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, l in toks.items():
+        covered = set()
+        for i in range(len(l) - G + 1):
+            if " ".join(l[i : i + G]) in dup:
+                covered.update(range(i, i + G))
+        n = len(l)
+        want[d] = (n, len(covered), 0.0 if n == 0 else len(covered) / n)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_frac)
+        for r in dedup_dup_span_fraction(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert got[d][1] == want[d][1], (d, got[d], want[d])
+        assert abs(got[d][2] - want[d][2]) < 1e-12, (d, got[d], want[d])
+    # non-vacuous: the synthetic corpus must actually contain dup spans
+    assert any(v[1] > 0 for v in want.values())
