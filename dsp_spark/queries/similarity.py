@@ -200,16 +200,27 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
-# one build per (process, sf_dir): the persisted index exists to
-# amortize assignment across query batches, so the catalog entry
-# rebuilds only when a fresh process first touches an sf_dir (stale
-# on-disk indexes from earlier processes/testdata drops are always
-# overwritten, never trusted)
+# one build per (corpus fingerprint): the persisted index exists to
+# amortize assignment across query batches AND across processes — a
+# fresh process trusts an on-disk index iff its commit-marker manifest
+# matches the input's identity (path + size + mtime of
+# embeddings.parquet); any mismatch (testdata regenerated, crashed
+# build with no marker, params drift) rebuilds. The per-process dict
+# only avoids re-statting on every call.
 _IVF_INDEX_BUILT: dict[str, str] = {}
+
+
+def _ivf_fingerprint(full_sf_dir: str) -> str:
+    import os
+
+    src = os.path.join(full_sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    return f"{src}|{st.st_size}|{int(st.st_mtime)}|cells=vec_id%100"
 
 
 def _ivf_index_path(spark, sf_dir):
     import hashlib
+    import json
     import os
 
     from dsp_spark.operators import ann_index
@@ -228,33 +239,50 @@ def _ivf_index_path(spark, sf_dir):
         + "-"
         + hashlib.md5(full.encode()).hexdigest()[:8],
     )
-    if _IVF_INDEX_BUILT.get(full) != path:
-        # reclaim pid-keyed garbage from EARLIER processes before
-        # building: aside dirs are deliberately not deleted at swap
-        # time (a concurrent reader that planned against the old index
-        # opens its files lazily per task, so deleting immediately
-        # after rename can still yield missing-file errors — Spark
-        # lists at plan time, opens at execute time), and a tmp dir
-        # survives only if its build crashed
-        _reap_stale_dirs(path)
-        e = t(spark, sf_dir, "embeddings")
-        # build into a pid-unique temp dir and swap it in, so a
-        # concurrent bench/driver_sim process never reads a
-        # half-written index; readers of the OLD directory finish
-        # against the renamed-aside copy (POSIX rename keeps open
-        # handles valid), reaped on a later process's first build
-        tmp = f"{path}.tmp-{os.getpid()}"
-        try:
-            ann_index.build_ivf_index(
-                e, e.filter(F.col("vec_id") % 100 == 0), tmp
-            )
-        except BaseException:
-            import shutil
+    if _IVF_INDEX_BUILT.get(full) == path:
+        return path
+    fp = _ivf_fingerprint(full)
+    marker = os.path.join(path, "_index_manifest.json")
+    try:
+        with open(marker) as f:
+            if json.load(f).get("fingerprint") == fp:
+                # a prior process built this index from the SAME input:
+                # trust it (the marker travels inside the built dir
+                # through the atomic rename — a crashed build removes
+                # its tmp dir, so no matching marker can ever exist
+                # without the data it describes)
+                _IVF_INDEX_BUILT[full] = path
+                return path
+    except (OSError, ValueError):
+        pass
+    # reclaim pid-keyed garbage from EARLIER processes before
+    # building: aside dirs are deliberately not deleted at swap
+    # time (a concurrent reader that planned against the old index
+    # opens its files lazily per task, so deleting immediately
+    # after rename can still yield missing-file errors — Spark
+    # lists at plan time, opens at execute time), and a tmp dir
+    # survives only if its build crashed
+    _reap_stale_dirs(path)
+    e = t(spark, sf_dir, "embeddings")
+    # build into a pid-unique temp dir and swap it in, so a
+    # concurrent bench/driver_sim process never reads a
+    # half-written index; readers of the OLD directory finish
+    # against the renamed-aside copy (POSIX rename keeps open
+    # handles valid), reaped on a later process's first build
+    tmp = f"{path}.tmp-{os.getpid()}"
+    try:
+        ann_index.build_ivf_index(
+            e, e.filter(F.col("vec_id") % 100 == 0), tmp
+        )
+        with open(os.path.join(tmp, "_index_manifest.json"), "w") as f:
+            json.dump({"fingerprint": fp}, f)
+    except BaseException:
+        import shutil
 
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        _swap_dir(tmp, path)
-        _IVF_INDEX_BUILT[full] = path
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _swap_dir(tmp, path)
+    _IVF_INDEX_BUILT[full] = path
     return path
 
 

@@ -96,3 +96,38 @@ def test_incremental_add_lands_in_cells(spark, sf_dir, tmp_path):
         if r.query_id < 3
     }
     assert all(v == q + 1_000_000 for q, v in top.items())
+
+
+def test_persisted_index_trusted_across_processes(spark, sf_dir):
+    """The index commit-marker manifest lets a FRESH process reuse an
+    on-disk index built from the same input (fingerprint match), while
+    a regenerated input or corrupted marker forces a rebuild."""
+    import json
+    import time
+
+    from dsp_spark.queries import similarity as simq
+
+    # first build (or reuse) in this process
+    path = simq._ivf_index_path(spark, sf_dir)
+    marker = os.path.join(path, "_index_manifest.json")
+    assert os.path.exists(marker)
+    built_at = os.path.getmtime(marker)
+
+    # simulate a fresh process: clear the in-memory cache; a matching
+    # marker must be trusted (no rebuild -> marker mtime unchanged)
+    simq._IVF_INDEX_BUILT.clear()
+    assert simq._ivf_index_path(spark, sf_dir) == path
+    assert os.path.getmtime(marker) == built_at
+    assert simq._IVF_INDEX_BUILT  # cache re-primed
+
+    # a marker whose fingerprint does not match the input must NOT be
+    # trusted: poison it and expect a rebuild (marker rewritten)
+    simq._IVF_INDEX_BUILT.clear()
+    with open(marker, "w") as f:
+        json.dump({"fingerprint": "stale"}, f)
+    time.sleep(0.02)
+    assert simq._ivf_index_path(spark, sf_dir) == path
+    with open(marker) as f:
+        assert json.load(f)["fingerprint"] == simq._ivf_fingerprint(
+            os.path.abspath(os.path.normpath(sf_dir))
+        )
