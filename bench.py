@@ -17,6 +17,40 @@ import sys
 import time
 
 
+# Headline subset with short keys: the 22 TPC-H-shaped queries plus the
+# scale-critical custom operators; the stdout line and tools/gen_round.py
+# both read this map. Everything else is summarized by the total
+# ("value" spans ALL registered queries, not just these).
+HEADLINE = {
+    "q1": "q1_pricing_summary",
+    "q3": "q3_shipping_priority",
+    "q4": "q4_order_priority",
+    "q5": "q5_regional_supplier_volume",
+    "q6": "q6_forecast_revenue",
+    "q7": "q7_nation_volume",
+    "q8": "q8_market_share",
+    "q9": "q9_product_type_profit",
+    "q10": "q10_returned_items",
+    "q12": "q12_late_shipment_priority",
+    "q13": "q13_customer_distribution",
+    "q14": "q14_promo_revenue",
+    "q15": "q15_top_supplier",
+    "q16": "q16_supplier_part_variety",
+    "q17": "q17_small_quantity_revenue",
+    "q18": "q18_large_orders",
+    "q19": "q19_discounted_revenue",
+    "q21": "q21_suppliers_who_kept_orders_waiting",
+    "q22": "q22_global_sales_opportunity",
+    "dedup_minhash": "dedup_minhash_lsh_pairs",
+    "ann": "ann_bruteforce_topk",
+    "ann_ivf": "ann_ivf_topk",
+    "sessionize": "events_sessionize",
+    "asof": "asof_join_event_order",
+    "rollup_1h": "events_hourly_rollup",
+}
+
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -237,36 +271,7 @@ def main() -> None:
     }
     _write_full(full)
 
-    # Headline subset with short keys: the 22 TPC-H-shaped queries plus the
-    # scale-critical custom operators. Everything else is summarized by the
-    # total ("value" spans ALL registered queries, not just these).
-    headline = {
-        "q1": "q1_pricing_summary",
-        "q3": "q3_shipping_priority",
-        "q4": "q4_order_priority",
-        "q5": "q5_regional_supplier_volume",
-        "q6": "q6_forecast_revenue",
-        "q7": "q7_nation_volume",
-        "q8": "q8_market_share",
-        "q9": "q9_product_type_profit",
-        "q10": "q10_returned_items",
-        "q12": "q12_late_shipment_priority",
-        "q13": "q13_customer_distribution",
-        "q14": "q14_promo_revenue",
-        "q15": "q15_top_supplier",
-        "q16": "q16_supplier_part_variety",
-        "q17": "q17_small_quantity_revenue",
-        "q18": "q18_large_orders",
-        "q19": "q19_discounted_revenue",
-        "q21": "q21_suppliers_who_kept_orders_waiting",
-        "q22": "q22_global_sales_opportunity",
-        "dedup_minhash": "dedup_minhash_lsh_pairs",
-        "ann": "ann_bruteforce_topk",
-        "ann_ivf": "ann_ivf_topk",
-        "sessionize": "events_sessionize",
-        "asof": "asof_join_event_order",
-        "rollup_1h": "events_hourly_rollup",
-    }
+    headline = HEADLINE
     qshort = {
         k: round(timings[v], 2) for k, v in headline.items() if v in timings
     }
