@@ -1254,3 +1254,119 @@ def events_hourly_seasonality(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_days"),
         (F.sum("n").cast("double") / F.count("*")).alias("avg_per_day"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+        FROM events
+    )
+    SELECT COALESCE(touch, 'none') AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch conversion attribution: each purchase credits the "
+    "user's most recent preceding NON-purchase event (purchases with "
+    "no prior touch credit 'none') — the marketing-analytics op every "
+    "event pipeline ships, and the window-function shape (conditional "
+    "last_value IGNORE NULLS over an unbounded-preceding frame) that "
+    "separates engines with real window semantics from rollup-only "
+    "ones. One user-partitioned window (bounded per-user cardinality, "
+    "no global window) + one tiny attribute-grain agg; ties inside a "
+    "microsecond break on event_id for cross-engine determinism.",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = e.select("event_type", touch.alias("touch"))
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("none")).alias("attributed_type"))
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+    )
+
+
+@register(
+    "orders_open_backlog_daily",
+    """
+    WITH closes AS (
+        SELECT l_orderkey AS okey, MAX(l_shipdate) AS close_day
+        FROM lineitem GROUP BY 1
+    ),
+    deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+        UNION ALL
+        SELECT CAST(c.close_day AS DATE) AS day, -1 AS delta
+        FROM orders o JOIN closes c ON o.o_orderkey = c.okey
+    ),
+    daily AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opened,
+               CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               SUM(delta) AS net
+        FROM deltas GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS backlog
+    FROM daily
+    """,
+    doc="Open-order backlog curve (interval counting): every order "
+    "contributes +1 at o_orderdate and -1 at its last lineitem "
+    "ship date (the synthetic schema's completion timestamp); the running sum over the day spine is the number "
+    "of orders in flight on each day — the WIP/backlog metric an "
+    "operations dashboard tracks, and the scalable alternative to an "
+    "interval point-in-time join (which would touch every (day, "
+    "open-order) pair). One per-order partial agg + one fact-fact "
+    "co-partitioned join on orderkey + one DAY-grain cumsum — the "
+    "single-partition window runs over the ~2.4k-row calendar spine "
+    "(audited in the bounded global-window allowlist), never over "
+    "order rows.",
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.max("l_shipdate").alias("close_day")
+    )
+    opens = o.select(F.col("o_orderdate").cast("date").alias("day"), F.lit(1).alias("delta"))
+    closed = (
+        o.join(closes, o.o_orderkey == closes.okey)
+        .select(F.col("close_day").cast("date").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = (
+        opens.unionAll(closed)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_opened"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.sum("delta").alias("net"),
+        )
+    )
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum("net").over(W.orderBy("day")).cast("bigint").alias("backlog"),
+    )

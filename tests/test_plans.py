@@ -86,6 +86,7 @@ ALLOWED_GLOBAL_WINDOWS = {
     "dq_volume_shift_daily": 1,  # calendar-day spine
     "events_cumulative_distinct_users": 1,  # day grain
     "events_journey_paths": 1,  # path dictionary (≤ |event_types|^3)
+    "orders_open_backlog_daily": 1,  # calendar-day spine (~2.4k rows)
 }
 
 

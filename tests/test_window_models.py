@@ -102,3 +102,78 @@ def test_twap_matches_model(spark, tmp_path):
         r = got[uid]
         assert (r["n_segments"], r["covered_s"]) == (segs, den)
         assert abs(r["twap"] - twap) < 1e-9
+
+
+def test_last_touch_attribution_matches_model(spark, sf_dir):
+    """Attribution credit vs a direct Python walk over each user's
+    (ts, event_id)-ordered events: every purchase credits the most
+    recent preceding non-purchase; purchases with no prior touch
+    credit 'none'."""
+    from collections import Counter, defaultdict
+
+    from dsp_spark.queries.windows import events_attribution_last_touch
+    from dsp_spark.session import read_table
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = Counter()
+    for evs in by_user.values():
+        touch = None
+        for _, _, typ in sorted(evs):
+            if typ == "purchase":
+                want[touch or "none"] += 1
+            else:
+                touch = typ
+    got = {
+        r.attributed_type: r.n_conversions
+        for r in events_attribution_last_touch(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == sum(1 for r in rows if r.event_type == "purchase")
+
+
+def test_open_backlog_matches_model(spark, sf_dir):
+    """Backlog curve vs direct interval counting: on every day in the
+    spine, backlog = #orders opened on-or-before minus #orders whose
+    last ship date is on-or-before."""
+    from collections import Counter
+
+    from dsp_spark.queries.windows import orders_open_backlog_daily
+    from dsp_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    ).collect()
+    closes = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").cast("date").alias("cd"))
+        .collect()
+    )
+    close_of = {r.l_orderkey: r.cd for r in closes}
+    opened, closed = Counter(), Counter()
+    for r in orders:
+        opened[r.od] += 1
+        if r.o_orderkey in close_of:
+            closed[close_of[r.o_orderkey]] += 1
+    got = {
+        r.day: (r.n_opened, r.n_closed, r.backlog)
+        for r in orders_open_backlog_daily(spark, sf_dir).collect()
+    }
+    assert set(got) == set(opened) | set(closed)
+    run = 0
+    for day in sorted(got):
+        run += opened.get(day, 0) - closed.get(day, 0)
+        assert got[day] == (opened.get(day, 0), closed.get(day, 0), run), day
+    # non-vacuous: the curve rises, and it ends at exactly the count of
+    # never-closing orders (orders with no lineitems)
+    backs = [got[d][2] for d in sorted(got)]
+    never_close = sum(1 for r in orders if r.o_orderkey not in close_of)
+    assert max(backs) > never_close
+    assert backs[-1] == never_close
