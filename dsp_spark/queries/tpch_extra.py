@@ -770,3 +770,72 @@ def q20_dominant_part_suppliers(spark, sf_dir):
         .join(dominant, s.s_suppkey == dominant.dom_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "supplier_lead_time_stats",
+    """
+    WITH x AS (
+        SELECT l.l_suppkey AS suppkey,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r AS (
+        SELECT suppkey, d,
+               ROW_NUMBER() OVER (PARTITION BY suppkey ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY suppkey) AS n,
+               SUM(d) OVER (PARTITION BY suppkey) AS sd,
+               MIN(d) OVER (PARTITION BY suppkey) AS mn,
+               MAX(d) OVER (PARTITION BY suppkey) AS mx
+        FROM x
+    )
+    SELECT suppkey, CAST(n AS BIGINT) AS n_shipments,
+           CAST(mn AS BIGINT) AS min_days,
+           CAST(mx AS BIGINT) AS max_days,
+           CAST(sd AS DOUBLE) / n AS avg_days,
+           CAST(d AS BIGINT) AS p90_days
+    FROM r WHERE rn = (9 * n + 9) // 10
+    """,
+    doc="Per-supplier lead-time distribution (order date -> ship "
+    "date): count, min/max, exact mean, and the DISCRETE p90 — the "
+    "value at rank ceil(0.9n), computed with pure integer rank math "
+    "((9n+9) div 10, never ceil(0.9*n): DuckDB's 0.9 literal is "
+    "DECIMAL and Spark's is double, so their products straddle the "
+    "ceil boundary on multiples of ten) — the supply-chain SLA "
+    "dashboard per vendor. One fact-fact co-partitioned join on "
+    "orderkey, one supplier-keyed exchange, bounded per-supplier "
+    "windows; the mean is one int->double division. Lead times are "
+    "SIGNED: the synthetic generator draws ship dates independent of "
+    "order dates, so negative values are expected and kept (a real "
+    "deployment would DQ-flag them via dq_events_freshness's "
+    "pattern).",
+)
+def supplier_lead_time_stats(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    x = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff("l_shipdate", "o_orderdate").alias("d"),
+    )
+    pk = W.partitionBy("suppkey")
+    r = x.select(
+        "suppkey",
+        "d",
+        F.row_number().over(pk.orderBy("d")).alias("rn"),
+        F.count("*").over(pk).alias("n"),
+        F.sum("d").over(pk).alias("sd"),
+        F.min("d").over(pk).alias("mn"),
+        F.max("d").over(pk).alias("mx"),
+    )
+    return r.where(
+        F.col("rn") == F.expr("(9 * n + 9) div 10")
+    ).select(
+        "suppkey",
+        F.col("n").cast("bigint").alias("n_shipments"),
+        F.col("mn").cast("bigint").alias("min_days"),
+        F.col("mx").cast("bigint").alias("max_days"),
+        (F.col("sd").cast("double") / F.col("n")).alias("avg_days"),
+        F.col("d").cast("bigint").alias("p90_days"),
+    )
