@@ -11,12 +11,21 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     # stable column order by name (the driver sorts columns before hashing)
     df = df[sorted(df.columns)]
+    import datetime
+
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             # decimals and bytes -> canonical forms
             df[c] = df[c].map(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+            # Spark DATE comes back as datetime.date objects while DuckDB
+            # fetchdf gives datetime64 — the driver's stringified hash
+            # treats both as '1995-01-01' (midnight timestamps stringify
+            # without the time), so the strict comparator must unify them
+            # too, not fail on the representation
+            if df[c].map(lambda v: isinstance(v, datetime.date) or pd.isna(v)).all() and not df[c].isna().all():
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     sort_cols = list(df.columns)
     df = df.sort_values(sort_cols, na_position="first", kind="mergesort").reset_index(
         drop=True
