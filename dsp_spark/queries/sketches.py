@@ -611,8 +611,12 @@ def heavy_hitters_mg_sharded(spark, sf_dir):
         FROM (SELECT shard, half, s, unnest(s[2:]) AS p FROM st)
     ),
     decs AS (
-        SELECT shard, CAST(SUM(dec) AS BIGINT) AS dec_in
-        FROM (SELECT DISTINCT shard, half, dec FROM halves) GROUP BY shard
+        -- from the STATE rows, not the exploded counters: a half whose
+        -- final counter set emptied (every item evicted on the last
+        -- arrival) emits no counter rows but its decrements still bound
+        -- the merged error
+        SELECT shard, CAST(SUM(s[1].ct) AS BIGINT) AS dec_in
+        FROM st GROUP BY shard
     ),
     summed AS (
         SELECT shard, item, CAST(SUM(est) AS BIGINT) AS est
@@ -668,11 +672,10 @@ def heavy_hitters_mg_merge(spark, sf_dir):
     halves = _mg_state_rows(st, "shard", "half").withColumnRenamed(
         "decrements", "dec"
     )
-    decs = (
-        halves.select("shard", "half", "dec")
-        .distinct()
-        .groupBy("shard")
-        .agg(F.sum("dec").cast("bigint").alias("dec_in"))
+    # dec from the state rows, not the exploded counters: an
+    # empty-counter half still contributes its decrement bound
+    decs = st.groupBy("shard").agg(
+        F.sum(F.col("s.dec")).cast("bigint").alias("dec_in")
     )
     summed = halves.groupBy("shard", "item").agg(
         F.sum("est_count").cast("bigint").alias("est")

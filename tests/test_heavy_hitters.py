@@ -198,3 +198,19 @@ def test_mg_merge_entry_guarantees(spark, sf_dir):
     for (shard, item), true in truth.items():
         if shard in dec_of and true > dec_of[shard]:
             assert (shard, item) in present, (shard, item, true, dec_of[shard])
+
+
+def test_mg_fold_can_empty_and_merge_keeps_its_dec(spark):
+    """Edge the merge entry must survive: a summary whose final counter
+    set is EMPTY (16 singletons then one new arrival evicts all) emits
+    zero counter rows but its decrement still bounds the merged error —
+    dec aggregation must read the state, not the exploded counters."""
+    from pyspark.sql import functions as F
+
+    from dsp_spark.queries.sketches import _mg_fold
+
+    items = [f"x{i}" for i in range(HH_CAPACITY)] + ["boom"]
+    df = spark.createDataFrame([(items,)], "items array<string>")
+    st = df.select(_mg_fold(F.col("items")).alias("s")).collect()[0].s
+    assert list(st.it) == [] and list(st.ct) == []
+    assert st.dec == 1
