@@ -117,3 +117,67 @@ def doc_pack_sequences(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+_FIM_H1 = smp.hash_int_sql("doc_id", salt="fim1|")
+_FIM_H2 = smp.hash_int_sql("doc_id", salt="fim2|")
+_FIM_H1_S = smp.hash_int_sql("doc_id", salt="fim1|", dialect="spark")
+_FIM_H2_S = smp.hash_int_sql("doc_id", salt="fim2|", dialect="spark")
+
+
+@register(
+    "doc_fim_split",
+    f"""
+    WITH cuts AS (
+        SELECT doc_id, text, length(text) AS n,
+               {_FIM_H1} % (length(text) + 1) AS c1
+        FROM documents
+    ),
+    cc AS (
+        SELECT doc_id, text, n, c1,
+               c1 + {_FIM_H2} % (n - c1 + 1) AS c2
+        FROM cuts
+    )
+    SELECT doc_id,
+           CAST(c1 AS BIGINT) AS prefix_len,
+           CAST(c2 - c1 AS BIGINT) AS middle_len,
+           CAST(n - c2 AS BIGINT) AS suffix_len,
+           md5(substr(text, 1, CAST(c1 AS INTEGER))) AS prefix_md5,
+           md5(substr(text, CAST(c1 + 1 AS INTEGER),
+                      CAST(c2 - c1 AS INTEGER))) AS middle_md5,
+           md5(substr(text, CAST(c2 + 1 AS INTEGER),
+                      CAST(n - c2 AS INTEGER))) AS suffix_md5
+    FROM cc
+    """,
+    doc="Fill-in-the-middle (FIM) training transform: split every doc "
+    "into (prefix, middle, suffix) at two DETERMINISTIC cut points "
+    "derived from salted content-addressed hashes (the same "
+    "salted_md5/hash_int idiom every sampling/sharding key uses — no "
+    "RNG state, reproducible across reruns and partitionings; c1 "
+    "uniform in [0, n], c2 uniform in [c1, n], so empty segments are "
+    "legitimate outcomes the trainer must handle). Emits segment "
+    "lengths AND md5s of the actual segment bytes, so the oracle "
+    "verifies the split CONTENT, not just arithmetic. Pure narrow map "
+    "at scan speed — zero shuffle; the downstream PSM/SPM reassembly "
+    "is string concat on these exact offsets.",
+)
+def doc_fim_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    c1 = F.expr(_FIM_H1_S) % (n + 1)
+    cc = d.select("doc_id", "text", n.alias("n"), c1.alias("c1")).withColumn(
+        "c2", F.col("c1") + F.expr(_FIM_H2_S) % (F.col("n") - F.col("c1") + 1)
+    )
+    return cc.select(
+        "doc_id",
+        F.col("c1").cast("bigint").alias("prefix_len"),
+        (F.col("c2") - F.col("c1")).cast("bigint").alias("middle_len"),
+        (F.col("n") - F.col("c2")).cast("bigint").alias("suffix_len"),
+        F.md5(F.expr("substring(text, 1, CAST(c1 AS INT))")).alias("prefix_md5"),
+        F.md5(
+            F.expr("substring(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))")
+        ).alias("middle_md5"),
+        F.md5(
+            F.expr("substring(text, CAST(c2 + 1 AS INT), CAST(n - c2 AS INT))")
+        ).alias("suffix_md5"),
+    )

@@ -823,3 +823,57 @@ def quantiles_loghist_by_key(spark, sf_dir):
         F.max(F.when(F.col("q") == 0.99, F.col("v"))).alias("p99"),
         (F.max("mxx") / 100.0).alias("max_v"),
     )
+
+
+@register(
+    "embedding_dim_median_mad",
+    """
+    WITH x AS (
+      SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x6
+      FROM embeddings
+    ),
+    med AS (
+      SELECT dim, CAST(quantile_cont(x6, 0.5) * 2 AS BIGINT) AS med2,
+             COUNT(*) AS n
+      FROM x GROUP BY dim
+    )
+    SELECT x.dim, CAST(MAX(m.n) AS BIGINT) AS n,
+           MAX(m.med2) / 2000000.0 AS median_val,
+           quantile_cont(ABS(2 * x.x6 - m.med2), 0.5) / 2000000.0 AS mad_val
+    FROM x JOIN med m ON x.dim = m.dim
+    GROUP BY x.dim
+    """,
+    doc="Robust per-dimension location/scale for the embedding matrix "
+    "(median + median-absolute-deviation — the whitening preflight "
+    "that outlier vectors can't poison, unlike embedding_dim_variance's "
+    "moments): values fixed-point-quantize to 1e-6 ints, the median is "
+    "carried DOUBLED (2*quantile is exactly the integer a+b for even "
+    "counts, so |2x - med2| stays in exact int64 and the second median "
+    "interpolates integer midpoints — zero engine-divergent float ops; "
+    "dividing by 2e6 at the end is the single rounding-free emit). Two "
+    "64-key aggregates over the posexploded cells with a broadcast "
+    "median join between them; at 100 TB swap the exact medians for "
+    "the log-histogram sketch twin (quantiles_loghist_by_key) — this "
+    "entry is the calibration oracle for it.",
+)
+def embedding_dim_median_mad(spark, sf_dir):
+    em = t(spark, sf_dir, "embeddings")
+    x = em.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000000).cast("bigint").alias("x6"),
+    )
+    med = x.groupBy("dim").agg(
+        (F.percentile("x6", F.lit(0.5)) * 2).cast("bigint").alias("med2"),
+        F.count("*").alias("n"),
+    )
+    j = x.join(F.broadcast(med), "dim")
+    return j.groupBy("dim").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (F.max("med2") / 2000000.0).alias("median_val"),
+        (
+            F.percentile(F.abs(2 * F.col("x6") - F.col("med2")), F.lit(0.5))
+            / 2000000.0
+        ).alias("mad_val"),
+    )

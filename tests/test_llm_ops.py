@@ -292,3 +292,32 @@ def test_bpe_train_merges_matches_python_model(spark, sf_dir):
         for x in bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
     ]
     assert got == expect
+
+
+def test_fim_split_reassembles_byte_exact(spark, sf_dir):
+    """The FIM segments must partition each document exactly: lengths
+    sum to the doc length and each segment's md5 matches the md5 of
+    the corresponding python slice — the transform is a split, never
+    a re-synthesis."""
+    import hashlib
+
+    from dsp_spark.queries.chunking import doc_fim_split
+
+    out = {r.doc_id: r for r in doc_fim_split(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(out) == set(docs)
+    n_empty_mid = 0
+    for d, text in docs.items():
+        r = out[d]
+        assert r.prefix_len + r.middle_len + r.suffix_len == len(text), d
+        p = text[: r.prefix_len]
+        m = text[r.prefix_len : r.prefix_len + r.middle_len]
+        s = text[r.prefix_len + r.middle_len :]
+        for seg, h in ((p, r.prefix_md5), (m, r.middle_md5), (s, r.suffix_md5)):
+            assert hashlib.md5(seg.encode()).hexdigest() == h, d
+        n_empty_mid += r.middle_len == 0
+    # empty middles are legitimate (c2 == c1) but must not dominate
+    assert n_empty_mid < len(docs) / 2
