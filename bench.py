@@ -332,6 +332,12 @@ def _isolated_phase(
     best-of-2 is ample; --only remains the high-precision protocol).
     Entries past the wall-clock deadline are skipped and named — a
     truncated column must say so, not read as complete."""
+    if time.perf_counter() > deadline:
+        # nothing will run: skip the context restart too (and let the
+        # unit test exercise the skip contract without killing the
+        # session it was handed)
+        return {}, list(names)
+
     from dsp_spark.session import get_session as _gs
 
     _drain_session(spark)
