@@ -305,9 +305,30 @@ def main() -> None:
     # warmup cheap.
     try:
         top = sorted(timings, key=timings.get, reverse=True)[:15]
-        full["queries_isolated"], full["isolated_skipped"] = _isolated_phase(
-            spark, qs, top, sf_dir, deadline=t_wall0 + 545.0
+        # Probe-scaled budget (r7 verdict ask #2): the old fixed 545 s
+        # deadline was tuned to the builder's host (probe_spark_sec
+        # ~0.60) and the driver's slower r7 rerun swept past it,
+        # skipping the ENTIRE isolated column from the authoritative
+        # artifact. The probe exists to measure host speed — use it:
+        # slower hosts get proportionally more time (clamped at 3x so
+        # a pathological probe can't unbound the run), and past the
+        # deadline entries DEGRADE to best-of-1 with no warmup for a
+        # further half-budget before skipping — a degraded reading
+        # beats a named absence.
+        budget = 545.0 * min(3.0, max(1.0, probe["probe_spark_sec"] / 0.60))
+        (
+            full["queries_isolated"],
+            full["isolated_skipped"],
+            full["isolated_degraded"],
+        ) = _isolated_phase(
+            spark,
+            qs,
+            top,
+            sf_dir,
+            deadline=t_wall0 + budget,
+            hard_deadline=t_wall0 + 1.5 * budget,
         )
+        full["isolated_budget_sec"] = round(budget, 1)
         _write_full(full)
     except Exception as e:  # additive phase: never fail the bench run
         print(f"isolated phase failed: {e}", file=sys.stderr)
@@ -322,41 +343,58 @@ def _write_full(full: dict) -> None:
 
 
 def _isolated_phase(
-    spark, qs, names: list[str], sf_dir: str, deadline: float
-) -> tuple[dict, list[str]]:
+    spark,
+    qs,
+    names: list[str],
+    sf_dir: str,
+    deadline: float,
+    hard_deadline: float | None = None,
+    restart: bool = True,
+) -> tuple[dict, list[str], list[str]]:
     """Best-of-2 per entry on a context restarted after the sweep, one
     full-scale untimed warmup each (the sweep already C2-compiled the
     generated classes in this JVM; the codegen cache survives a context
     restart, so the 3-warmup discipline of --only is not needed here —
     and the column exists to expose 2-4x session residue, for which
     best-of-2 is ample; --only remains the high-precision protocol).
-    Entries past the wall-clock deadline are skipped and named — a
-    truncated column must say so, not read as complete."""
-    if time.perf_counter() > deadline:
+    Entries starting past `deadline` DEGRADE to best-of-1 with no
+    warmup (listed in the degraded return) until `hard_deadline`
+    (defaults to `deadline` — no degrade window); entries past
+    `hard_deadline` are skipped and named — a truncated column must
+    say so, not read as complete."""
+    if hard_deadline is None:
+        hard_deadline = deadline
+    if time.perf_counter() > hard_deadline:
         # nothing will run: skip the context restart too (and let the
         # unit test exercise the skip contract without killing the
         # session it was handed)
-        return {}, list(names)
+        return {}, list(names), []
 
-    from dsp_spark.session import get_session as _gs
+    if restart:  # tests pass False: a getOrCreate-shared session must
+        # survive the suite, and the degrade logic is what's under test
+        from dsp_spark.session import get_session as _gs
 
-    _drain_session(spark)
-    spark.stop()
-    spark = _gs("dsp_spark_bench_isolated")
+        _drain_session(spark)
+        spark.stop()
+        spark = _gs("dsp_spark_bench_isolated")
     spark.sparkContext._jvm.System.gc()
 
     out: dict[str, float] = {}
     skipped: list[str] = []
+    degraded: list[str] = []
     for name in names:
-        if time.perf_counter() > deadline:
+        now = time.perf_counter()
+        if now > hard_deadline:
             skipped.append(name)
             continue
+        warm = now <= deadline
         try:
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            if warm:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(2 if warm else 1):
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
@@ -364,11 +402,13 @@ def _isolated_phase(
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 4)
+            if not warm:
+                degraded.append(name)
         except Exception as e:
             print(f"isolated {name} failed: {e}", file=sys.stderr)
             skipped.append(name)
         _drain_session(spark)
-    return out, skipped
+    return out, skipped, degraded
 
 
 def _calibration_probe(spark) -> dict:
@@ -383,11 +423,14 @@ def _calibration_probe(spark) -> dict:
 
     Sizes are FROZEN: changing them breaks cross-round normalization
     (the probe is the denominator of queries_normalized). Both probes
-    report best-of-3 — a single-shot loop on a machine still draining
-    load reads ~40% high (measured r7) and would mis-normalize the
-    whole round."""
+    report best-of-5 (r7 judged the best-of-3 reading ~1.5x-granular —
+    0.6 vs 1.0 s across runs is too coarse a divisor for 0.2-0.5 s
+    entries; more reps of the SAME pinned job tighten the minimum
+    without breaking cross-round comparability) and the Spark probe
+    also reports its observed spread (worst/best - 1) so the artifact
+    itself says how trustworthy the normalized column is."""
     cpu_sec = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         acc = 0
         for i in range(20_000_000):
@@ -413,15 +456,17 @@ def _calibration_probe(spark) -> dict:
 
     for _ in range(2):
         job().write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(3):
+    reps: list[float] = []
+    for _ in range(5):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         job().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
+        reps.append(time.perf_counter() - t0)
+    best = min(reps)
     return {
         "probe_cpu_sec": round(cpu_sec, 4),
         "probe_spark_sec": round(best, 4),
+        "probe_spark_spread": round(max(reps) / best - 1.0, 4),
     }
 
 

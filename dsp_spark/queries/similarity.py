@@ -203,19 +203,41 @@ def ann_ivf_topk(spark, sf_dir):
 # one build per (corpus fingerprint): the persisted index exists to
 # amortize assignment across query batches AND across processes — a
 # fresh process trusts an on-disk index iff its commit-marker manifest
-# matches the input's identity (path + size + mtime of
-# embeddings.parquet); any mismatch (testdata regenerated, crashed
+# matches the input's identity (path + size + mtime_ns + content
+# digest of embeddings.parquet); any mismatch (testdata regenerated, crashed
 # build with no marker, params drift) rebuilds. The per-process dict
 # only avoids re-statting on every call.
 _IVF_INDEX_BUILT: dict[str, str] = {}
 
 
 def _ivf_fingerprint(full_sf_dir: str) -> str:
+    """Identity of the index's input, content-aware: path + size +
+    mtime_ns + a digest. Truncated-seconds mtime alone would trust a
+    same-size regeneration within the same second, and a directory-
+    shaped parquet whose part files are rewritten in place may not bump
+    the DIRECTORY mtime at all — so files digest their parquet footer
+    (row-group offsets + column stats live at the tail, so same-size
+    different-data always differs there) and directories digest the
+    per-file (relpath, size, mtime_ns) listing."""
+    import hashlib
     import os
 
     src = os.path.join(full_sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    return f"{src}|{st.st_size}|{int(st.st_mtime)}|cells=vec_id%100"
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for droot, _dirs, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                p = os.path.join(droot, fn)
+                fst = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, src)}|{fst.st_size}|{fst.st_mtime_ns};".encode()
+                )
+    else:
+        with open(src, "rb") as f:
+            f.seek(max(0, st.st_size - 65536))
+            h.update(f.read())
+    return f"{src}|{st.st_size}|{st.st_mtime_ns}|{h.hexdigest()}|cells=vec_id%100"
 
 
 def _ivf_index_path(spark, sf_dir):

@@ -710,9 +710,14 @@ def heavy_hitters_mg_merge(spark, sf_dir):
     "quantiles_loghist_by_key",
     """
     WITH x AS (
-        SELECT event_type AS key,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        FROM events
+        SELECT key,
+               CASE WHEN cents < 0 THEN CAST(error(
+                        'quantiles_loghist_by_key requires non-negative values'
+                    ) AS BIGINT)
+                    ELSE cents END AS cents
+        FROM (SELECT event_type AS key,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events)
     ),
     h AS (
         SELECT key,
@@ -764,14 +769,27 @@ def heavy_hitters_mg_merge(spark, sf_dir):
     "(<=64 rows per key), per-key windows over those 64 rows, and "
     "every emitted double comes from the identical exact-int -> "
     "double op sequence on both engines (q*n, the bin edges as exact "
-    "powers of two, one division) — no ROUND-on-double anywhere.",
+    "powers of two, one division) — no ROUND-on-double anywhere. "
+    "Negative values raise on BOTH engines (raise_error / error()), "
+    "mirroring the streaming _qh_bin ValueError: log histograms need "
+    "a positive domain, and a silent bin-0 placement would break the "
+    "pinned parity with wrong quantiles.",
 )
 def quantiles_loghist_by_key(spark, sf_dir):
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
-    x = e.select(F.col("event_type").alias("key"), cents.alias("cents"))
+    # mirror the streaming _qh_bin contract: a negative value must fail
+    # LOUDLY on both engines, not silently land in bin 0 with the wrong
+    # sign and magnitude (the claimed batch/stream parity would break
+    # with wrong quantiles otherwise)
+    guarded = F.when(cents >= 0, cents).otherwise(
+        F.raise_error(
+            F.lit("quantiles_loghist_by_key requires non-negative values")
+        )
+    )
+    x = e.select(F.col("event_type").alias("key"), guarded.alias("cents"))
     b = (
         F.when(
             F.col("cents") > 0,

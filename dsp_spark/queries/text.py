@@ -593,7 +593,13 @@ def _bpe_round_sql(r: int) -> str:
     s{r-1}, pick the winner, apply it greedy-leftmost (gaps-and-islands:
     runs of consecutive candidates — only possible when left=right —
     apply at odd offsets, and a row is dropped iff its predecessor
-    applied), emit s{r} re-numbered."""
+    applied), emit s{r} re-numbered. The winner joins in via LEFT JOIN
+    ON TRUE, not CROSS JOIN: on a degenerate corpus with fewer than
+    _TRAIN_K learnable merges t{r} is EMPTY, and a cross join would
+    empty every later s{r} (tokens_after=0 for all docs) while the
+    Spark trainer just breaks out of the loop — the left join passes
+    s{r-1} through unchanged (cand coalesces to FALSE on NULL lt/rt),
+    matching the break."""
     s = f"s{r - 1}"
     return f"""
     p{r} AS (
@@ -608,7 +614,7 @@ def _bpe_round_sql(r: int) -> str:
                COALESCE(s.sym = t.lt AND
                         LEAD(s.sym) OVER (PARTITION BY s.doc_id ORDER BY s.pos) = t.rt,
                         FALSE) AS cand
-        FROM {s} s CROSS JOIN t{r} t
+        FROM {s} s LEFT JOIN t{r} t ON TRUE
     ),
     g{r} AS (
         SELECT *, SUM(CASE WHEN cand THEN 0 ELSE 1 END)

@@ -34,12 +34,32 @@ def test_isolated_phase_deadline_skips_are_named(spark):
         "a": lambda s, d: s.range(10).selectExpr("id AS v"),
         "b": lambda s, d: s.range(10).selectExpr("id AS v"),
     }
-    # deadline already passed: everything skips
-    out, skipped = bench._isolated_phase(
+    # hard deadline already passed: everything skips (hard_deadline
+    # defaults to deadline, preserving the pre-degrade contract)
+    out, skipped, degraded = bench._isolated_phase(
         spark, qs, ["a", "b"], "/root/testdata/sf0.001",
         deadline=time.perf_counter() - 1,
     )
-    assert out == {} and skipped == ["a", "b"]
+    assert out == {} and skipped == ["a", "b"] and degraded == []
+
+
+def test_isolated_phase_degrades_before_skipping(spark):
+    """Past the soft deadline but inside the hard one, an entry must
+    still be measured — best-of-1, listed as degraded — instead of
+    skipped: the r7 driver rerun lost the ENTIRE isolated column to a
+    host ~8% slower than the builder's (fixed 545 s deadline), and the
+    degrade window is the fix's load-bearing half. restart=False keeps
+    the suite's getOrCreate-shared session alive."""
+    import bench
+
+    qs = {"a": lambda s, d: s.range(10).selectExpr("id AS v")}
+    out, skipped, degraded = bench._isolated_phase(
+        spark, qs, ["a"], "/root/testdata/sf0.001",
+        deadline=time.perf_counter() - 1,       # soft: already passed
+        hard_deadline=time.perf_counter() + 120,  # hard: plenty left
+        restart=False,
+    )
+    assert skipped == [] and degraded == ["a"] and "a" in out
 
 
 def test_gen_round_generates_all_sections():

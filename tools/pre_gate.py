@@ -36,6 +36,49 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+ARTIFACT_GLOBS = (
+    "bench_full.json",
+    "BENCH_r*.json",
+    "CORRECTNESS_r*.json",
+    "LINEAGE.md",
+    "driver_sim_last.json",
+    "BENCH_NOTES.md",
+    "PLAN_LOCK.json",
+)
+
+
+def classify_porcelain(lines: list[str]) -> tuple[list[str], list[str]]:
+    """Split `git status --porcelain` lines into (other-dirty lines,
+    dirty artifact paths). Rename/copy entries read 'R  old -> new';
+    taking line[3:] whole would yield a path that never fnmatches,
+    letting a renamed round artifact escape the hard failure — so BOTH
+    sides are matched (either end of a rename touching an artifact is
+    a dirty artifact). git quotes pathological names (embedded '"' or
+    ' -> '), so the plain split is safe on unquoted ones."""
+    import fnmatch
+
+    dirty, dirty_artifacts = [], []
+    for line in lines:
+        if not line.strip():
+            continue
+        paths = [p.strip() for p in line[3:].split(" -> ") if p.strip()]
+        # compare the porcelain PATH field exactly — only the root
+        # SCALE.md is already counted elsewhere, not any *SCALE.md suffix
+        paths = [p for p in paths if p != "SCALE.md"]
+        if not paths:
+            continue
+        hits = [
+            p
+            for p in paths
+            if any(fnmatch.fnmatch(p, g) for g in ARTIFACT_GLOBS)
+        ]
+        if hits:
+            dirty_artifacts.extend(hits)
+        else:
+            dirty.append(line)
+    return dirty, dirty_artifacts
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     failures: list[str] = []
@@ -104,33 +147,12 @@ def main() -> int:
     #    CORRECTNESS_rN sitting uncommitted at judge time, and the
     #    working-tree copy is often the only one carrying that round's
     #    final numbers. Anything else dirty stays a warning.
-    import fnmatch
-
-    artifact_globs = (
-        "bench_full.json",
-        "BENCH_r*.json",
-        "CORRECTNESS_r*.json",
-        "LINEAGE.md",
-        "driver_sim_last.json",
-        "BENCH_NOTES.md",
-        "PLAN_LOCK.json",
-    )
     status = subprocess.run(
         ["git", "-C", ROOT, "status", "--porcelain"],
         capture_output=True,
         text=True,
     )
-    dirty, dirty_artifacts = [], []
-    for line in status.stdout.splitlines():
-        # compare the porcelain PATH field exactly — only the root
-        # SCALE.md is already counted above, not any *SCALE.md suffix
-        path = line[3:].strip()
-        if not line.strip() or path == "SCALE.md":
-            continue
-        if any(fnmatch.fnmatch(path, g) for g in artifact_globs):
-            dirty_artifacts.append(path)
-        else:
-            dirty.append(line)
+    dirty, dirty_artifacts = classify_porcelain(status.stdout.splitlines())
     if dirty_artifacts:
         failures.append(
             f"round artifacts uncommitted at gate time: {dirty_artifacts} "
