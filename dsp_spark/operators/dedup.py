@@ -608,3 +608,139 @@ def verify_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dup_span_intervals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 8,
+    min_docs: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document.
+
+    The span machinery of the Lee-et-al exact-substring pipeline
+    (Deduplicating Training Data Makes Language Models Better) at token
+    grain: any token run of >= ``gram`` tokens appearing in
+    ``min_docs``+ documents is flagged through its gram anchors (a
+    duplicated run of length >= G contains a duplicated G-gram, so the
+    merged anchor spans cover exactly the maximal duplicated runs);
+    anchor positions merge into islands per doc. Returns one row per
+    (doc, span): ``(id_col, s, e)`` with 1-based inclusive token
+    positions.
+
+    Scale: two gram-keyed partial-agg exchanges (the corpus-token-sized
+    explode carries G-token grams, never documents) + per-doc bounded
+    windows — the same plan dedup_dup_span_fraction audits.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("_sid"), toks.alias("_l"))
+    g = gram
+    gpos = (
+        base.where(F.size("_l") >= g)
+        .select(
+            "_sid",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_l) - {g} + 1), "
+                    f"i -> struct(i AS pos, array_join(slice(_l, i, {g}), ' ') AS gram))"
+                )
+            ).alias("z"),
+        )
+        .select("_sid", F.col("z.pos").cast("int").alias("pos"), "z.gram")
+    )
+    if checkpoint:
+        # the gram relation feeds BOTH the dup-gram aggregate and the
+        # position join-back; the per-position array_join string build
+        # dominates the scan, so compute it once
+        gpos = gpos.localCheckpoint(eager=True)
+    dupg = (
+        gpos.groupBy("gram")
+        .agg(F.count_distinct("_sid").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    hits = gpos.join(dupg, "gram", "left_semi").select("_sid", "pos").distinct()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_sid").orderBy("pos")
+    prev_end = F.max(F.col("pos") + g - 1).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    spans = isl.withColumn("island", F.sum("new_island").over(w))
+    return (
+        spans.groupBy("_sid", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + g - 1).cast("int").alias("e"))
+        .select(F.col("_sid").alias(id_col), "s", "e")
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 8,
+    min_docs: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """APPLY the Lee-et-al span removal that dup_span_intervals (and the
+    dedup_dup_span_fraction audit) only measures: every cross-document
+    duplicated token run of >= ``gram`` tokens is removed from EVERY
+    document it occurs in — boilerplate semantics, the transform a
+    curation pipeline runs on license blocks / navigation chrome that
+    survive whole-doc dedup (MinHash sees low whole-doc Jaccard;
+    containment sees only near-total subsumption). For keep-one-witness
+    semantics compose with a min-id witness rule upstream.
+
+    Returns ``df`` with ``text_col`` REPLACED by the stripped token
+    stream — single-space joined: this is a TOKEN-grain transform,
+    original whitespace is not preserved — plus ``n_tokens`` (pre-strip)
+    and ``tokens_removed`` columns; all other columns pass through.
+
+    Scale: the interval set per doc is bounded by doc length, and the
+    strip itself is one JVM higher-order-function pass (exists() over
+    the doc's own intervals per token — no Python, no extra shuffle
+    beyond the interval build + one id-keyed join back).
+    """
+    iv = dup_span_intervals(
+        df, id_col, text_col, gram=gram, min_docs=min_docs, checkpoint=checkpoint
+    )
+    ivs = iv.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_iv")
+    )
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("_sid"), toks.alias("_l"))
+    enriched = base.join(
+        ivs.withColumnRenamed(id_col, "_sid"), "_sid", "left"
+    ).select(
+        "_sid",
+        "_l",
+        F.coalesce(
+            F.col("_iv"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ).alias("_iv"),
+    )
+    stripped = enriched.select(
+        "_sid",
+        F.size("_l").alias("n_tokens"),
+        F.expr(
+            "transform(filter(transform(_l, (x, i) -> struct(x AS tok, i + 1 AS pos)), "
+            "p -> NOT exists(_iv, v -> p.pos >= v.s AND p.pos <= v.e)), p -> p.tok)"
+        ).alias("_kept"),
+    ).select(
+        "_sid",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).cast("int").alias("tokens_removed"),
+        F.array_join("_kept", " ").alias("_stripped"),
+    )
+    return (
+        df.drop(text_col)
+        .join(stripped.withColumnRenamed("_sid", id_col), id_col, "inner")
+        .withColumnRenamed("_stripped", text_col)
+    )

@@ -921,40 +921,14 @@ def dedup_dup_span_fraction(spark, sf_dir):
         "doc_id",
         F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("l"),
     )
-    gpos = tk.where(F.size("l") >= G).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(l) - {G} + 1), "
-                f"i -> struct(i AS pos, array_join(slice(l, i, {G}), ' ') AS gram))"
-            )
-        ).alias("z"),
-    ).select("doc_id", F.col("z.pos").cast("int").alias("pos"), "z.gram")
-    # the gram relation feeds BOTH the dup-gram aggregate and the
-    # position join-back; materialize it once — the per-position
-    # array_join string build is ~40% of the entry's cost, and the
-    # single-pass alternative (collect positions per gram) is
-    # hot-gram-skew-unsafe at corpus scale
-    gpos = gpos.localCheckpoint(eager=True)
-    dupg = (
-        gpos.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
+    # span machinery shared with the APPLY entry (dedup_span_strip):
+    # operators/dedup.py dup_span_intervals — same anchors, same
+    # gaps-and-islands merge, same checkpoint placement
+    iv = dd.dup_span_intervals(
+        d.select("doc_id", "text"), "doc_id", "text", gram=G
     )
-    hits = gpos.join(dupg, "gram", "left_semi").select("doc_id", "pos").distinct()
-    w = W.partitionBy("doc_id").orderBy("pos")
-    prev_end = F.max(F.col("pos") + G - 1).over(
-        w.rowsBetween(W.unboundedPreceding, -1)
-    )
-    isl = hits.withColumn(
-        "new_island",
-        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
-    )
-    spans = isl.withColumn("island", F.sum("new_island").over(w))
     cov = (
-        spans.groupBy("doc_id", "island")
-        .agg((F.max("pos") + G - 1 - F.min("pos") + 1).alias("span_len"))
+        iv.select("doc_id", (F.col("e") - F.col("s") + 1).alias("span_len"))
         .groupBy("doc_id")
         .agg(F.sum("span_len").cast("bigint").alias("n_dup_tokens"))
     )
@@ -968,4 +942,109 @@ def dedup_dup_span_fraction(spark, sf_dir):
             / F.size("l").cast("double")
         )
         .alias("dup_frac"),
+    )
+
+
+@register(
+    "dedup_span_strip",
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, CAST(z.pos AS INTEGER) AS pos, z.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l) - {_SPAN_G} + 2),
+                            i -> {{'pos': i,
+                                   'gram': array_to_string(l[i:i+{_SPAN_G}-1], ' ')}})) AS z
+              FROM tk WHERE len(l) >= {_SPAN_G})
+    ),
+    dupg AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gpos GROUP BY gram)
+        WHERE nd >= 2
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM gpos
+        WHERE gram IN (SELECT gram FROM dupg)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {_SPAN_G} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island,
+               pos
+        FROM isl
+    ),
+    iv AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SPAN_G} - 1 AS e
+        FROM spans GROUP BY doc_id, island
+    ),
+    covpos AS (
+        SELECT doc_id, CAST(unnest(range(s, e + 1)) AS INTEGER) AS pos FROM iv
+    ),
+    allpos AS (
+        SELECT doc_id, pos, l[pos] AS tok FROM (
+            SELECT doc_id, l,
+                   CAST(unnest(range(1, len(l) + 1)) AS INTEGER) AS pos
+            FROM tk)
+    ),
+    kept AS (
+        SELECT a.doc_id, a.pos, a.tok
+        FROM allpos a LEFT JOIN covpos c
+          ON a.doc_id = c.doc_id AND a.pos = c.pos
+        WHERE c.pos IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS stripped_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.l) AS BIGINT) AS n_tokens,
+           CAST(len(tk.l) - COALESCE(a.n_kept, 0) AS BIGINT) AS tokens_removed,
+           COALESCE(a.stripped_md5, md5('')) AS stripped_md5
+    FROM tk LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="APPLY the Lee-et-al exact-substring span removal that "
+    "dedup_dup_span_fraction only measures (same G=8 anchors, same "
+    "gaps-and-islands merge — both builders call "
+    "operators/dedup.py dup_span_intervals, so the measure and the "
+    "transform CANNOT disagree on what a duplicated span is): every "
+    "cross-document duplicated token run of >= 8 tokens is removed "
+    "from every document it occurs in — boilerplate semantics, what a "
+    "curation pipeline runs on license blocks / navigation chrome "
+    "that survive whole-doc dedup — and each doc emits its pre-strip "
+    "token count, tokens removed, and the md5 of the exact stripped "
+    "token stream (single-space joined; token-grain transform). The "
+    "md5 is CONTENT verification the way doc_fim_split verifies "
+    "segment bytes: the oracle rebuilds the kept token sequence "
+    "per position and hashes it, so a one-token drift anywhere in "
+    "any document fails the driver hash. The strip itself is one JVM "
+    "higher-order-function pass (exists() over the doc's OWN interval "
+    "list per token — intervals per doc are bounded by doc length, no "
+    "Python, no shuffle beyond the interval build + one id-keyed join "
+    "back); wired into tools/curate.py as the optional --strip-spans "
+    "stage.",
+)
+def dedup_span_strip(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    out = dd.strip_dup_spans(
+        d.select("doc_id", "text"), "doc_id", "text", gram=_SPAN_G
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("tokens_removed").cast("bigint").alias("tokens_removed"),
+        F.md5(F.col("text")).alias("stripped_md5"),
     )

@@ -762,6 +762,85 @@ _BPE_MERGES_CACHE: dict[str, list[tuple[str, str, int]]] = {}
 
 
 @register(
+    "bpe_fertility_by_lang",
+    """
+    WITH tk AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    s0 AS (
+        SELECT doc_id, CAST(z[1] AS INTEGER) AS pos, z[2] AS sym
+        FROM (SELECT doc_id, unnest(list_zip(range(1, len(l) + 1), l)) AS z
+              FROM tk WHERE len(l) >= 1)
+    ),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _TRAIN_K + 1))
+    + """,
+    after AS (SELECT doc_id, COUNT(*) AS n_after FROM s3 GROUP BY doc_id)
+    SELECT tk.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(tk.l)) AS BIGINT) AS n_words,
+           CAST(SUM(COALESCE(a.n_after, 0)) AS BIGINT) AS n_tokens,
+           round(SUM(COALESCE(a.n_after, 0)) /
+                 CAST(NULLIF(SUM(len(tk.l)), 0) AS DOUBLE), 6) AS fertility,
+           round(SUM(strlen(array_to_string(tk.l, ' '))) /
+                 CAST(NULLIF(SUM(COALESCE(a.n_after, 0)), 0) AS DOUBLE), 6)
+               AS bytes_per_token
+    FROM tk LEFT JOIN after a USING (doc_id)
+    GROUP BY tk.lang
+    """,
+    doc="Tokenizer fertility per LANGUAGE — the number that decides "
+    "whether a tokenizer is fair across languages in a multilingual "
+    "mix (r7 verdict ask #6): encode the corpus with the merges "
+    "bpe_train_merges learns (the encode path of bpe_encode_stats, "
+    "same _BPE_MERGES_CACHE fit, same _bpe_apply_merge folds) and "
+    "report per-lang tokens-per-word (n_tokens/n_words — a language "
+    "whose frequent adjacencies made the merge table encodes cheaper; "
+    "disparities here mean unequal effective context budget) and "
+    "bytes-per-token (normalized-text bytes / n_tokens — the cost-"
+    "per-token asymmetry, measured on the PRE-merge byte length so "
+    "the internal \\x01 separator never leaks into the metric). Plan: "
+    "one corpus scan applying the merges as narrow JVM regex folds + "
+    "one lang-grain partial agg — token arrays never shuffle, the "
+    "groupBy ships three bigint sums per doc. Both ratios are one "
+    "double division of exact bigint sums at round(6), engine-"
+    "deterministic per the merge_gain precedent.",
+)
+def bpe_fertility_by_lang(spark, sf_dir):
+    import os
+
+    d = t(spark, sf_dir, "documents")
+    docs = (
+        d.select("lang", _bpe_doc_string(F.col("text")).alias("s"))
+        .withColumn("n0", F.size(_bpe_tokens(F.col("s"))).cast("bigint"))
+        # byte length of the UNPADDED normalized string, bound to the
+        # pre-merge projection (later withColumn("s", ...) layers do
+        # not rewrite this expression)
+        .withColumn("nb", F.octet_length(F.trim(F.col("s"))).cast("bigint"))
+    )
+    full = os.path.abspath(os.path.normpath(sf_dir))
+    merges = _BPE_MERGES_CACHE.get(full)
+    if merges is None:
+        merges = _bpe_learn_merges(docs.select("s"))
+        _BPE_MERGES_CACHE[full] = merges
+    for ml, mr, _ in merges:
+        docs = _bpe_apply_merge(docs, ml, mr)
+    after = F.sum(F.size(_bpe_tokens(F.col("s"))).cast("bigint"))
+    words = F.sum("n0")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        words.cast("bigint").alias("n_words"),
+        after.cast("bigint").alias("n_tokens"),
+        F.round(
+            after / F.nullif(words.cast("double"), F.lit(0.0)), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("nb") / F.nullif(after.cast("double"), F.lit(0.0)), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@register(
     "corpus_dataset_card",
     """
     SELECT lang,

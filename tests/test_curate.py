@@ -165,3 +165,37 @@ def test_curate_stats_only_and_resume(spark, sf_dir, tmp_path):
         json.dump(stored, f)
     m4 = curate(spark, sf_dir, out, resume=True)
     assert json.dumps(m4, sort_keys=True) == j1
+
+
+def test_curate_strip_spans_stage(spark, sf_dir, tmp_path):
+    """--strip-spans: the written corpus must contain no cross-document
+    duplicated 8-token span (re-measuring on the OUTPUT finds zero dup
+    tokens), the manifest reports how many tokens went, n_chars is
+    recomputed, and a resume keyed without strip_spans must NOT serve
+    the stripped output (the flag is part of the stage identity)."""
+    import os
+
+    sys.path.insert(0, "/root/repo")
+    from tools.curate import curate
+    from dsp_spark.operators.dedup import dup_span_intervals
+
+    out = str(tmp_path / "cur_strip")
+    m = curate(spark, sf_dir, out, pack=False, strip_spans=True)
+    assert m["span_tokens_removed"] is not None and m["span_tokens_removed"] >= 0
+
+    back = spark.read.parquet(out)
+    # idempotence: re-measuring dup spans on the stripped survivors
+    # finds nothing (the strip removed every cross-doc duplicated run)
+    assert dup_span_intervals(back, "doc_id", "text", gram=8).count() == 0
+    # n_chars matches the (stripped) text
+    bad = back.where(F.length("text").cast("long") != F.col("n_chars")).count()
+    assert bad == 0
+
+    # flag mismatch breaks resume: a non-strip resume over the stripped
+    # output must recompute (span_tokens_removed comes back None)
+    m2 = curate(spark, sf_dir, out, pack=False, resume=True, strip_spans=False)
+    assert m2["span_tokens_removed"] is None
+    # and a matching-flag resume skips (marker round-trips)
+    m3 = curate(spark, sf_dir, out, pack=False, resume=True, strip_spans=False)
+    assert m3["after_decontam"] == m2["after_decontam"]
+    assert os.path.exists(os.path.join(out, "_curate_manifest.json"))

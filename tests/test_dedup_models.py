@@ -336,3 +336,78 @@ def test_dup_span_fraction_matches_python_model(spark, sf_dir):
         assert abs(got[d][2] - want[d][2]) < 1e-12, (d, got[d], want[d])
     # non-vacuous: the synthetic corpus must actually contain dup spans
     assert any(v[1] > 0 for v in want.values())
+
+
+def test_span_strip_matches_python_model(spark, sf_dir):
+    """dedup_span_strip vs brute force: mark every position covered by
+    a cross-doc duplicated 8-gram, drop marked tokens, and the md5 of
+    the kept token stream (space-joined) must match per doc — a
+    one-token drift anywhere fails. Also: stripping removes EXACTLY
+    the tokens dedup_dup_span_fraction counts (measure == apply)."""
+    import hashlib
+    from collections import defaultdict
+
+    from dsp_spark.queries.dedup import (
+        _SPAN_G,
+        dedup_dup_span_fraction,
+        dedup_span_strip,
+    )
+    from dsp_spark.session import read_table
+
+    G = _SPAN_G
+    rows = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: [w for w in r.text.split() if w] for r in rows}
+    gram_docs = defaultdict(set)
+    for d, l in toks.items():
+        for i in range(len(l) - G + 1):
+            gram_docs[" ".join(l[i : i + G])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, l in toks.items():
+        covered = set()
+        for i in range(len(l) - G + 1):
+            if " ".join(l[i : i + G]) in dup:
+                covered.update(range(i, i + G))
+        kept = [t for i, t in enumerate(l) if i not in covered]
+        want[d] = (
+            len(l),
+            len(covered),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens_removed, r.stripped_md5)
+        for r in dedup_span_strip(spark, sf_dir).collect()
+    }
+    assert got == want
+    # measure == apply: tokens_removed equals the audit's n_dup_tokens
+    frac = {
+        r.doc_id: r.n_dup_tokens
+        for r in dedup_dup_span_fraction(spark, sf_dir).collect()
+    }
+    assert {d: v[1] for d, v in got.items()} == frac
+    # non-vacuous: something was actually stripped
+    assert any(v[1] > 0 for v in want.values())
+
+
+def test_strip_dup_spans_preserves_other_columns(spark):
+    """The operator form must pass non-text columns through unchanged
+    and replace the text column in place (token-grain: single-space
+    joined) — the contract the curate --strip-spans stage relies on."""
+    from dsp_spark.operators.dedup import strip_dup_spans
+
+    span = "a b c d e f g h"  # exactly G=8 tokens, shared by two docs
+    df = spark.createDataFrame(
+        [
+            (1, f"intro {span} tail1", "s0"),
+            (2, f"{span} tail2 x y", "s1"),
+            (3, "unique words only here now", "s2"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = strip_dup_spans(df, "doc_id", "text", gram=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].source == "s0" and rows[1].text == "intro tail1"
+    assert rows[2].text == "tail2 x y" and rows[2].tokens_removed == 8
+    assert rows[3].text == "unique words only here now"
+    assert rows[3].tokens_removed == 0 and rows[3].n_tokens == 5

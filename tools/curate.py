@@ -99,11 +99,15 @@ def curate(
     pack: bool = True,
     resume: bool = False,
     stats_only: bool = False,
+    strip_spans: bool = False,
 ) -> dict:
     fp = _input_fingerprint(sf_dir)
     stage_a = os.path.join(out_dir, "_curate_manifest.json")
     if resume and not stats_only:
-        manifest = _load_stage_manifest(stage_a, fp)
+        # strip_spans changes the curated TEXT itself, so it is part of
+        # the stage's identity — a resume must never serve unstripped
+        # output to a --strip-spans run (or vice versa)
+        manifest = _load_stage_manifest(stage_a, fp, {"strip_spans": strip_spans})
         if manifest is not None:
             print(f"resume: curated write up to date at {out_dir}", file=sys.stderr)
             final = spark.read.parquet(out_dir)
@@ -240,6 +244,27 @@ def curate(
     n_decontam = kept_d.count()
     kept_n = kept_d
 
+    # 3d. span strip (optional, --strip-spans): the Lee-et-al APPLY
+    # step after the measure — every cross-document duplicated token
+    # run of >= 8 tokens is removed from the SURVIVORS (running it
+    # post-dedup means one family representative can't re-flag spans
+    # against its own dropped near-dups; what remains flagged is true
+    # cross-family boilerplate). Same operator the dedup_span_strip
+    # catalog entry drives, so the stage is driver-evidenced. n_chars
+    # is recomputed because the text changed.
+    span_tokens_removed = None
+    if strip_spans:
+        stripped = dd.strip_dup_spans(kept_n, "doc_id", "text", gram=8)
+        stripped = stripped.withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).localCheckpoint(eager=True)
+        span_tokens_removed = int(
+            stripped.agg(
+                F.coalesce(F.sum("tokens_removed"), F.lit(0))
+            ).collect()[0][0]
+        )
+        kept_n = stripped.drop("n_tokens", "tokens_removed")
+
     # 4. stable split + shard assignment
     final = kept_n.withColumn(
         "split",
@@ -258,6 +283,7 @@ def curate(
         "after_near_dedup": n_neardup,
         "after_containment": n_contain,
         "after_decontam": n_decontam,
+        "span_tokens_removed": span_tokens_removed,
         "splits": by_split,
         "out": out_dir,
     }
@@ -273,7 +299,7 @@ def curate(
         final, range_cols=["n_chars"], target_partitions=8
     ).write.partitionBy("split").parquet(out_dir)
     # manifest AFTER the write = stage commit marker for --resume
-    _write_stage_manifest(stage_a, fp, manifest)
+    _write_stage_manifest(stage_a, fp, manifest, {"strip_spans": strip_spans})
 
     return _maybe_pack(
         spark, final, manifest, out_dir, fp,
@@ -398,6 +424,12 @@ def main(argv=None) -> int:
         "--stats-only", action="store_true",
         help="dry run: print the per-stage survivor funnel, write nothing",
     )
+    p.add_argument(
+        "--strip-spans", action="store_true",
+        help="after dedup/decontam, strip cross-document duplicated "
+        "token spans (>= 8 tokens) from the surviving text — the "
+        "Lee-et-al exact-substring APPLY step (dedup_span_strip)",
+    )
     args = p.parse_args(argv)
 
     from dsp_spark.session import get_session
@@ -406,7 +438,7 @@ def main(argv=None) -> int:
     manifest = curate(
         spark, args.sf_dir, args.out, epoch=args.epoch,
         pack=not args.no_pack, resume=args.resume,
-        stats_only=args.stats_only,
+        stats_only=args.stats_only, strip_spans=args.strip_spans,
     )
     print(json.dumps(manifest))
     return 0
