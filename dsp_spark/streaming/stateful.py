@@ -889,3 +889,170 @@ def session_close_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+# --- streaming sub-document span dedup (gram-witness Bloom) ---------------
+
+SPAN_WITNESS_SCHEMA = "shard int, doc_id bigint, pos int, witnessed boolean"
+_SPAN_BLOOM_STATE = "words array<bigint>, n bigint"
+
+
+def gram_anchor_positions(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, doc_id, pos, gram) anchors — the stream-safe explode of
+    the batch span machinery's anchor step (operators/dedup.py
+    dup_span_intervals): one anchor per token position whose G-token
+    run starts there; anchors hash to a gram shard so the same gram
+    always consults the same state."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), toks.alias("_l")
+    )
+    g = gram
+    gpos = (
+        base.where(F.size("_l") >= g)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(_l) - {g} + 1), "
+                    f"i -> struct(i AS pos, array_join(slice(_l, i, {g}), ' ') AS gram))"
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.col("z.pos").cast("int").alias("pos"),
+            F.col("z.gram").alias("gram"),
+        )
+    )
+    return gpos.select(
+        F.pmod(F.xxhash64("gram"), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
+        "pos",
+        "gram",
+    )
+
+
+def _span_witness_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """Per gram-shard Bloom over 8-gram anchors: a doc's anchors are
+    judged against the bitset AS OF the doc's arrival (docs process in
+    doc_id order; a doc's grams are all checked BEFORE any of them is
+    inserted, so a within-doc repeat never self-flags), then inserted.
+    NEVER a false negative — a gram truly seen in an earlier doc is
+    always flagged — and false positives at the classic Bloom rate
+    only ever flag an anchor early, so the downstream span merge
+    over-covers, never under-covers: admission-filter semantics, the
+    safe direction for dedup. State is the fixed 8 KB bitset per shard
+    forever, the property that lets sub-document dedup run on an
+    unbounded ingest stream."""
+    (shard,) = key
+    if state.exists:
+        words, n = [int(w) for w in state.get[0]], int(state.get[1])
+    else:
+        words, n = [0] * (_BLOOM_M // 63 + 1), 0
+    pdfs = list(batches)
+    out_doc, out_pos, out_seen = [], [], []
+    if pdfs:
+        allp = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["doc_id", "pos"], kind="mergesort"
+        )
+        for doc_id, grp in allp.groupby("doc_id", sort=True):
+            probed = [
+                (int(p), _bloom_probes(str(g)))
+                for p, g in zip(grp["pos"], grp["gram"])
+            ]
+            # check the whole doc first...
+            for pos, probes in probed:
+                seen = all(words[p // 63] >> (p % 63) & 1 for p in probes)
+                out_doc.append(int(doc_id))
+                out_pos.append(pos)
+                out_seen.append(bool(seen))
+            # ...then insert its grams for every LATER doc
+            for _pos, probes in probed:
+                if not all(words[p // 63] >> (p % 63) & 1 for p in probes):
+                    n += 1
+                for p in probes:
+                    words[p // 63] |= 1 << (p % 63)
+    state.update((words, n))
+    if out_doc:
+        yield pd.DataFrame(
+            {
+                "shard": shard,
+                "doc_id": out_doc,
+                "pos": out_pos,
+                "witnessed": out_seen,
+            }
+        )
+
+
+def span_witness_stream(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming SUB-DOCUMENT dedup on the ingest path: the bounded-
+    state gram-witness twin of the batch span family (dup_span_
+    intervals / dedup_span_strip / dedup_segments_corpus). Every
+    arriving doc emits one verdict per G-gram anchor position:
+    witnessed=true means the anchor's gram was (probably) seen in an
+    earlier document, so the position belongs to a cross-document
+    duplicated span — the consumer merges witnessed positions into
+    islands (the same gaps-and-islands rule as the batch strip) and
+    strips or down-weights them on arrival, without ever joining the
+    corpus against itself.
+
+    First-arrival semantics (the streaming analogue of the batch
+    min-doc_id rule): the first doc carrying a gram is NOT flagged;
+    every later carrier is. With doc_id-ordered arrival this matches
+    the batch witness exactly up to Bloom false positives, which only
+    ever ADD coverage (no false negatives) — parity-tested across
+    micro-batch splits in tests/test_span_witness_stream.py.
+
+    State: one fixed 8 KB bitset per gram shard, forever — an exact
+    gram set would grow with the corpus (~1 entry per corpus token);
+    the Bloom admits an unbounded stream at O(shards x 8 KB).
+    """
+    anchors = gram_anchor_positions(
+        docs, id_col=id_col, text_col=text_col, gram=gram, n_shards=n_shards
+    )
+    return anchors.groupBy("shard").applyInPandasWithState(
+        _span_witness_fn,
+        outputStructType=SPAN_WITNESS_SCHEMA,
+        stateStructType=_SPAN_BLOOM_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def span_witness_batch(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    gram: int = 8,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Exact batch twin of span_witness_stream: an anchor is witnessed
+    iff its gram occurs in some SMALLER doc_id (one window over the
+    gram key — at 100 TB, partition by xxhash64(gram) so only 8-byte
+    keys shuffle). The stream may additionally flag Bloom false
+    positives; it may never miss one of these."""
+    anchors = gram_anchor_positions(
+        docs, id_col=id_col, text_col=text_col, gram=gram, n_shards=n_shards
+    )
+    w = W.partitionBy("gram")
+    return anchors.withColumn(
+        "witnessed", F.min("doc_id").over(w) < F.col("doc_id")
+    ).select("shard", "doc_id", "pos", "witnessed")

@@ -136,6 +136,7 @@ from dsp_spark.streaming.stateful import (
     near_dup_candidates_stream,
     quantile_histogram_stream,
     session_close_stream,
+    span_witness_stream,
 )
 
 
@@ -216,6 +217,11 @@ _FAMILIES = {
     "lsh_near_dup": (
         _doc_frames,
         lambda s: near_dup_candidates_stream(s, id_col="doc_id", text_col="text"),
+        "append",
+    ),
+    "span_witness": (
+        _doc_frames,
+        lambda s: span_witness_stream(s, id_col="doc_id", text_col="text"),
         "append",
     ),
     "session_close": (
