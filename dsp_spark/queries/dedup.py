@@ -1048,3 +1048,112 @@ def dedup_span_strip(spark, sf_dir):
         F.col("tokens_removed").cast("bigint").alias("tokens_removed"),
         F.md5(F.col("text")).alias("stripped_md5"),
     )
+
+
+@register(
+    "dup_span_rate_by_source",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, CAST(z.pos AS INTEGER) AS pos, z.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l) - {_SPAN_G} + 2),
+                            i -> {{'pos': i,
+                                   'gram': array_to_string(l[i:i+{_SPAN_G}-1], ' ')}})) AS z
+              FROM tk WHERE len(l) >= {_SPAN_G})
+    ),
+    dupg AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gpos GROUP BY gram)
+        WHERE nd >= 2
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM gpos
+        WHERE gram IN (SELECT gram FROM dupg)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {_SPAN_G} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island,
+               pos
+        FROM isl
+    ),
+    cov AS (
+        SELECT doc_id,
+               CAST(SUM(span_len) AS BIGINT) AS n_dup_tokens
+        FROM (SELECT doc_id, island,
+                     MAX(pos) + {_SPAN_G} - 1 - MIN(pos) + 1 AS span_len
+              FROM spans GROUP BY doc_id, island)
+        GROUP BY doc_id
+    )
+    SELECT tk.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN COALESCE(c.n_dup_tokens, 0) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup_spans,
+           CAST(SUM(len(tk.l)) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE(c.n_dup_tokens, 0)) AS BIGINT) AS n_dup_tokens,
+           round(SUM(COALESCE(c.n_dup_tokens, 0)) /
+                 CAST(NULLIF(SUM(len(tk.l)), 0) AS DOUBLE), 6) AS dup_rate
+    FROM tk LEFT JOIN cov c USING (doc_id)
+    GROUP BY tk.source
+    """,
+    doc="Duplicated-span coverage rolled up to SOURCE grain — the "
+    "dashboard that decides whether a source needs `--strip-spans` "
+    "(tools/curate.py) before training: per source, how many docs "
+    "carry any cross-document duplicated >=8-token run, and what "
+    "fraction of the source's tokens sit inside such runs (a "
+    "boilerplate-heavy crawl reads 30%+ here while whole-doc dedup "
+    "sees nothing). Same dup_span_intervals core as the per-doc audit "
+    "and the strip transform (all three CANNOT disagree on what a "
+    "span is); one extra source-grain partial agg on the doc-grain "
+    "coverage — the corpus shuffles exactly as often as the per-doc "
+    "measure. The rate is one double division of exact bigint sums "
+    "at round(6).",
+)
+def dup_span_rate_by_source(spark, sf_dir):
+    G = _SPAN_G
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("l"),
+    )
+    iv = dd.dup_span_intervals(
+        d.select("doc_id", "text"), "doc_id", "text", gram=G
+    )
+    cov = (
+        iv.select("doc_id", (F.col("e") - F.col("s") + 1).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").cast("bigint").alias("n_dup_tokens"))
+    )
+    j = tk.join(cov, "doc_id", "left").select(
+        "source",
+        F.size("l").cast("bigint").alias("n_tok"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint").alias("n_dup"),
+    )
+    ntok = F.sum("n_tok")
+    ndup = F.sum("n_dup")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_dup_spans"),
+        ntok.cast("bigint").alias("n_tokens"),
+        ndup.cast("bigint").alias("n_dup_tokens"),
+        F.round(ndup / F.nullif(ntok.cast("double"), F.lit(0.0)), 6).alias(
+            "dup_rate"
+        ),
+    )

@@ -391,3 +391,75 @@ def dq_schema_drift(spark, sf_dir):
             | (F.col("nulls_a") != F.col("nulls_b"))
         ).alias("drifted"),
     )
+
+
+@register(
+    "text_encoding_audit",
+    """
+    WITH x AS (
+        SELECT source,
+               length(text) AS n_chars_m,
+               length(text) - length(regexp_replace(text,
+                   '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS ctrl,
+               length(text) - length(regexp_replace(text,
+                   '[^\\x00-\\x7F]', '', 'g')) AS non_ascii,
+               length(text) - length(replace(text, chr(65533), '')) AS repl
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_control,
+           CAST(SUM(CASE WHEN repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_replacement,
+           CAST(SUM(non_ascii) AS BIGINT) AS non_ascii_chars,
+           CAST(SUM(n_chars_m) AS BIGINT) AS total_chars,
+           round(SUM(non_ascii) / CAST(NULLIF(SUM(n_chars_m), 0) AS DOUBLE), 6)
+               AS non_ascii_ratio
+    FROM x GROUP BY source
+    """,
+    doc="Encoding-health audit per source — the mojibake gate a crawl "
+    "ingest runs before any text operator trusts the bytes: docs "
+    "containing C0 control characters (tab/newline/CR excluded — "
+    "legitimate whitespace), docs containing U+FFFD replacement "
+    "characters (the scar a lossy transcode leaves), and the "
+    "non-ASCII character ratio per source (a sudden jump on an "
+    "ASCII-dominant source means the upstream changed encodings; on a "
+    "CJK source it is the norm — which is why the ratio reports per "
+    "source, never globally). One scan, three regex counts computed "
+    "scan-side (JVM/RE2 — character classes chosen to behave "
+    "identically on both engines, pinned by the driver hash), one "
+    "source-grain partial agg; text never shuffles. The ratio is one "
+    "double division of exact bigint sums at round(6).",
+)
+def text_encoding_audit(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    ctrl = n - F.length(
+        F.regexp_replace("text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    )
+    non_ascii = n - F.length(F.regexp_replace("text", "[^\\x00-\\x7F]", ""))
+    repl = n - F.length(F.regexp_replace("text", "�", ""))
+    x = d.select(
+        "source",
+        n.alias("n_chars_m"),
+        ctrl.alias("ctrl"),
+        non_ascii.alias("non_ascii"),
+        repl.alias("repl"),
+    )
+    total = F.sum("n_chars_m")
+    na = F.sum("non_ascii")
+    return x.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("ctrl") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_control"),
+        F.sum(F.when(F.col("repl") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_replacement"),
+        na.cast("bigint").alias("non_ascii_chars"),
+        total.cast("bigint").alias("total_chars"),
+        F.round(na / F.nullif(total.cast("double"), F.lit(0.0)), 6).alias(
+            "non_ascii_ratio"
+        ),
+    )
