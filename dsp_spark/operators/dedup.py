@@ -739,6 +739,14 @@ def strip_dup_spans(
         (F.col("n_tokens") - F.size("_kept")).cast("int").alias("tokens_removed"),
         F.array_join("_kept", " ").alias("_stripped"),
     )
+    if set(df.columns) <= {id_col, text_col}:
+        # nothing else to carry: skip the corpus-sized join back
+        return stripped.select(
+            F.col("_sid").alias(id_col),
+            "n_tokens",
+            "tokens_removed",
+            F.col("_stripped").alias(text_col),
+        )
     return (
         df.drop(text_col)
         .join(stripped.withColumnRenamed("_sid", id_col), id_col, "inner")
