@@ -423,10 +423,11 @@ def _calibration_probe(spark) -> dict:
 
     Sizes are FROZEN: changing them breaks cross-round normalization
     (the probe is the denominator of queries_normalized). Both probes
-    report best-of-5 (r7 judged the best-of-3 reading ~1.5x-granular —
-    0.6 vs 1.0 s across runs is too coarse a divisor for 0.2-0.5 s
-    entries; more reps of the SAME pinned job tighten the minimum
-    without breaking cross-round comparability) and the Spark probe
+    report a longer best-of (r7 judged the best-of-3 reading
+    ~1.5x-granular — 0.6 vs 1.0 s across runs is too coarse a divisor
+    for 0.2-0.5 s entries; more reps of the SAME pinned job tighten
+    the minimum without breaking cross-round comparability: CPU
+    best-of-5, Spark best-of-10) and the Spark probe
     also reports its observed spread (worst/best - 1) so the artifact
     itself says how trustworthy the normalized column is. NOTE for
     cross-round reads: r8 also added 4 warmups (cold-JIT bias fix), a
@@ -458,16 +459,19 @@ def _calibration_probe(spark) -> dict:
             )
         )
 
-    # 6 warmups, not 2: the probe runs ONCE per process, and on a fresh
-    # JVM the first ~10 executions sit in the C2-compilation window —
-    # measured (idle host) best-of-5 after 2 warmups reads 0.64 where
-    # the steady state is 0.50, a 28% cold bias that WAS the r7
-    # "probe is ~1.5x-granular" caveat. 6 warmups + 5 reps puts the
-    # best rep at steady state for ~3 s of extra probe time.
-    for _ in range(6):
+    # 10 warmups + best-of-10, not 2+3: the probe runs ONCE per
+    # process, and on a fresh JVM the first ~10 executions sit in the
+    # C2-compilation window — measured (idle host) best-of-3 after 2
+    # warmups reads 0.64 where the steady state is ~0.50, a 28% cold
+    # bias that WAS the r7 "probe is ~1.5x-granular" caveat; individual
+    # steady-state reps still fluctuate ~±20% (GC, 32-thread
+    # scheduling), so the minimum needs 10 draws to stabilize.
+    # Measured r8: best-of-10 after 10 warmups agrees to 4.9% across 3
+    # fresh processes (BENCH_NOTES), for ~13 s of probe time.
+    for _ in range(10):
         job().write.format("noop").mode("overwrite").save()
     reps: list[float] = []
-    for _ in range(5):
+    for _ in range(10):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         job().write.format("noop").mode("overwrite").save()
