@@ -1157,3 +1157,77 @@ def dup_span_rate_by_source(spark, sf_dir):
             "dup_rate"
         ),
     )
+
+
+_BIT_EQ = " + ".join(
+    f"(CASE WHEN sa.mh{i} % 2 = sb.mh{i} % 2 THEN 1 ELSE 0 END)"
+    for i in range(8)
+)
+
+
+@register(
+    "dedup_bbit_minhash_est",
+    f"""
+    WITH {_LSH_CTES}
+    SELECT p.id_a, p.id_b,
+           CAST({_SIG_EQ} AS BIGINT) AS full_matches,
+           CAST({_SIG_EQ} AS DOUBLE) / 8 AS est_jaccard_full,
+           CAST({_BIT_EQ} AS BIGINT) AS bit_matches,
+           GREATEST(0.0, 2 * (CAST({_BIT_EQ} AS DOUBLE) / 8) - 1)
+               AS est_jaccard_b1
+    FROM pairs p
+    JOIN sig sa ON p.id_a = sa.doc_id
+    JOIN sig sb ON p.id_b = sb.doc_id
+    """,
+    doc="b-bit MinHash (Li & Koenig, 2010) at b=1: store only the "
+    "LOWEST bit of each minhash — 64x less signature storage than the "
+    "64-bit slots — and recover Jaccard with the unbiased estimator "
+    "R = 2*P - 1 (for highly similar pairs; P = matching-bit fraction, "
+    "clamped at 0): a random unrelated pair matches each bit with "
+    "probability 1/2, so P concentrates at (1+R)/2. Emitted per LSH "
+    "candidate pair NEXT TO the full-width estimate from the same 8 "
+    "hashes — the storage-vs-accuracy audit a deployment runs before "
+    "switching its billion-doc signature store to packed bits (at 100 "
+    "TB the signature table is itself TB-scale at 64 bits/slot; 1-bit "
+    "slots make it GB-scale and the bitwise compare XOR+popcount). "
+    "Same banding/pair generator as the dedup family "
+    "(lsh_pairs_from_signatures — layouts cannot diverge); signatures "
+    "computed once and joined on the candidate fringe only. All "
+    "doubles are exact-int divisions by 8 and exact *2-1 arithmetic — "
+    "bit-for-bit cross-engine.",
+)
+def dedup_bbit_minhash_est(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(
+        d, "doc_id", "text", n_hashes=8, k=5
+    ).localCheckpoint()
+    pairs = dd.lsh_pairs_from_signatures(sig, "doc_id", n_hashes=8, bands=2)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)],
+    )
+    full = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    bits = sum(
+        (F.col(f"a{i}") % 2 == F.col(f"b{i}") % 2).cast("int")
+        for i in range(8)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            full.cast("bigint").alias("full_matches"),
+            (full.cast("double") / 8).alias("est_jaccard_full"),
+            bits.cast("bigint").alias("bit_matches"),
+            F.greatest(
+                F.lit(0.0), 2 * (bits.cast("double") / 8) - 1
+            ).alias("est_jaccard_b1"),
+        )
+    )

@@ -585,3 +585,121 @@ def dataset_shuffle_order(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "mixture_budget_allocation",
+    """
+    WITH counts AS (
+        SELECT lang,
+               CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS avail
+        FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, avail,
+               CAST(FLOOR(sqrt(CAST(avail AS DOUBLE)) * 1000) AS BIGINT) AS wq
+        FROM counts
+    ),
+    tot AS (
+        SELECT CAST(SUM(avail) // 2 AS BIGINT) AS budget,
+               CAST(SUM(wq) AS BIGINT) AS wsum
+        FROM w
+    ),
+    a1 AS (
+        SELECT lang, avail, wq,
+               LEAST(avail, budget * wq // NULLIF(wsum, 0)) AS alloc1,
+               budget * wq // NULLIF(wsum, 0) AS target
+        FROM w CROSS JOIN tot
+    ),
+    r AS (
+        SELECT CAST((SELECT budget FROM tot) - SUM(alloc1) AS BIGINT)
+                   AS leftover,
+               CAST(SUM(avail - alloc1) AS BIGINT) AS cap
+        FROM a1
+    )
+    SELECT lang,
+           avail AS avail_tokens,
+           wq AS weight_q,
+           CAST(COALESCE(target, 0) AS BIGINT) AS target_tokens,
+           CAST(LEAST(avail,
+                      alloc1 + leftover * (avail - alloc1)
+                                 // NULLIF(cap, 0)) AS BIGINT)
+               AS alloc_tokens,
+           round(CAST(LEAST(avail,
+                            alloc1 + leftover * (avail - alloc1)
+                                       // NULLIF(cap, 0)) AS DOUBLE)
+                 / NULLIF(CAST(target AS DOUBLE), 0), 6) AS fill_ratio
+    FROM a1 CROSS JOIN r
+    """,
+    doc="Mixture BUDGET allocator — the planning step between "
+    "mixture_temperature_weights and an actual sampling run: split a "
+    "fixed token budget (half the corpus, so capping really occurs) "
+    "across languages by temperature weight (alpha=0.5 on token "
+    "mass), cap each language at its available tokens, then "
+    "redistribute the capped surplus proportional to remaining "
+    "capacity — ONE unrolled waterfall round, the same "
+    "oracle-checkable unrolling as embedding_kmeans_iterate. "
+    "Determinism: weights are quantized to integers "
+    "(floor(sqrt*1000)) BEFORE any sum, so every aggregate is an "
+    "order-independent bigint sum and every division integer DIV — "
+    "no order-dependent double accumulation anywhere; the only "
+    "doubles are sqrt (IEEE-exact) and the final single-division "
+    "fill_ratio at round(6). The *1000 quantization keeps "
+    "budget*wq < 2^63 up to ~7e10 corpus tokens; at larger scales "
+    "drop the multiplier (coarser weights, same algebra). Lang-grain "
+    "tiny tables throughout — one corpus scan, two scalar broadcasts.",
+)
+def mixture_budget_allocation(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
+    counts = d.groupBy("lang").agg(
+        F.sum(ntok).cast("bigint").alias("avail")
+    )
+    # the lang table feeds BOTH the budget scalar and the allocation;
+    # materialize the (≤langs)-row aggregate once so the corpus
+    # tokenize+scan never runs twice
+    w = counts.select(
+        "lang",
+        "avail",
+        F.floor(F.sqrt(F.col("avail").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("wq"),
+    ).localCheckpoint(eager=True)
+    tot = w.agg(
+        F.expr("CAST(SUM(avail) DIV 2 AS BIGINT)").alias("budget"),
+        F.sum("wq").cast("bigint").alias("wsum"),
+    )
+    a1 = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "avail",
+        "wq",
+        "budget",
+        F.expr("budget * wq DIV NULLIF(wsum, 0)").alias("target"),
+        F.least(
+            F.col("avail"), F.expr("budget * wq DIV NULLIF(wsum, 0)")
+        ).alias("alloc1"),
+    )
+    r = a1.agg(
+        (F.first("budget") - F.sum("alloc1")).cast("bigint").alias("leftover"),
+        F.sum(F.col("avail") - F.col("alloc1")).cast("bigint").alias("cap"),
+    )
+    final_alloc = F.least(
+        F.col("avail"),
+        F.col("alloc1")
+        + F.expr("leftover * (avail - alloc1) DIV NULLIF(cap, 0)"),
+    )
+    return a1.crossJoin(F.broadcast(r)).select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.col("wq").alias("weight_q"),
+        F.coalesce("target", F.lit(0)).cast("bigint").alias("target_tokens"),
+        final_alloc.cast("bigint").alias("alloc_tokens"),
+        F.round(
+            final_alloc.cast("double")
+            / F.nullif(F.col("target").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fill_ratio"),
+    )

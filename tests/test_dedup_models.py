@@ -411,3 +411,48 @@ def test_strip_dup_spans_preserves_other_columns(spark):
     assert rows[2].text == "tail2 x y" and rows[2].tokens_removed == 8
     assert rows[3].text == "unique words only here now"
     assert rows[3].tokens_removed == 0 and rows[3].n_tokens == 5
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 19, 83])
+def test_span_strip_randomized_vs_python_model(spark, seed):
+    """strip_dup_spans vs the brute-force model on randomized corpora
+    (seeded): small vocab + short docs force heavy anchor overlap,
+    island merging across interleaved spans, docs below G, and
+    within-doc repeats — the geometry the sf corpus doesn't reach."""
+    import random
+    from collections import defaultdict
+
+    from dsp_spark.operators.dedup import strip_dup_spans
+
+    G = 8
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab => dense collisions
+    docs = []
+    for d in range(25):
+        n = rng.randrange(0, 30)  # includes len < G and empty docs
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    toks = {d: [w for w in t.split() if w] for d, t in docs}
+    gram_docs = defaultdict(set)
+    for d, l in toks.items():
+        for i in range(len(l) - G + 1):
+            gram_docs[" ".join(l[i : i + G])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, l in toks.items():
+        covered = set()
+        for i in range(len(l) - G + 1):
+            if " ".join(l[i : i + G]) in dup:
+                covered.update(range(i, i + G))
+        kept = [t for i, t in enumerate(l) if i not in covered]
+        want[d] = (len(l), len(covered), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens_removed, r.text)
+        for r in strip_dup_spans(df, "doc_id", "text", gram=G).collect()
+    }
+    assert got == want
