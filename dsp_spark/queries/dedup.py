@@ -1231,3 +1231,71 @@ def dedup_bbit_minhash_est(spark, sf_dir):
             ).alias("est_jaccard_b1"),
         )
     )
+
+
+@register(
+    "doc_self_repeat_strip",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS seg_no,
+               array_to_string(w[(i*{_SEG_WORDS}+1):(i*{_SEG_WORDS}+{_SEG_WORDS})], ' ') AS segment
+        FROM tk, UNNEST(range(CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT))) AS r(i)
+    ),
+    ranked AS (
+        SELECT doc_id, seg_no, segment,
+               row_number() OVER (PARTITION BY doc_id, segment
+                                  ORDER BY seg_no) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_segments,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN segment END,
+                                   ' ' ORDER BY seg_no), ''))
+               AS stripped_md5
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="WITHIN-document repetition strip at the fixed 10-word segment "
+    "grain of dedup_segments_corpus — the Gopher/C4 self-repetition "
+    "step that text_repetition_stats only measures: a doc that "
+    "repeats its own paragraph (retry artifacts, templated sections, "
+    "scraper loops) keeps the FIRST occurrence of each distinct "
+    "segment and drops the rest; cross-document occurrences are the "
+    "span family's job, this is the per-doc complement (the two "
+    "compose: self-strip first shrinks what the corpus-wide gram "
+    "explode must hash). Emits per doc the segment count, surviving "
+    "count, and the md5 of the kept segments in original order — the "
+    "same content-verification contract as dedup_span_strip, so a "
+    "one-segment drift anywhere fails the driver hash. Plan: one "
+    "scan-side segment explode (never shuffles text beyond the "
+    "doc-keyed agg), one (doc, segment)-partitioned window, one "
+    "doc-grain agg.",
+)
+def doc_self_repeat_strip(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", r"\s+")
+    n = _SEG_WORDS
+    segs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(float(n))).cast("int") - 1),
+        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    )
+    e = d.select("doc_id", F.posexplode(segs).alias("seg_no", "segment"))
+    win = W.partitionBy("doc_id", "segment").orderBy("seg_no")
+    ranked = e.withColumn("rn", F.row_number().over(win))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept_segments"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(CASE WHEN rn = 1 THEN struct(seg_no, segment) END)), "
+                "p -> p.segment), ' ')"
+            )
+        ).alias("stripped_md5"),
+    )

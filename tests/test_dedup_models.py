@@ -456,3 +456,50 @@ def test_span_strip_randomized_vs_python_model(spark, seed):
         for r in strip_dup_spans(df, "doc_id", "text", gram=G).collect()
     }
     assert got == want
+
+
+def test_doc_self_repeat_strip_planted(spark):
+    """Planted self-repetition: a doc repeating its own 10-word segment
+    keeps exactly the first occurrence; the md5 content-verifies the
+    kept byte stream; a doc with no repeats round-trips unchanged."""
+    import hashlib
+
+    from dsp_spark.queries.dedup import doc_self_repeat_strip
+
+    seg = " ".join(f"s{i}" for i in range(10))     # exactly one segment
+    other = " ".join(f"o{i}" for i in range(10))
+    docs = [
+        (1, f"{seg} {other} {seg} {seg}"),          # segs: A B A A -> A B
+        (2, f"{other} {seg}"),                      # no self-repeat
+        (3, "short tail"),                          # sub-segment doc
+    ]
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept_segments, r.stripped_md5)
+        for r in doc_self_repeat_strip_df(spark, docs).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (4, 2, md5(f"{seg} {other}"))
+    assert got[2] == (2, 2, md5(f"{other} {seg}"))
+    assert got[3] == (1, 1, md5("short tail"))
+
+
+def doc_self_repeat_strip_df(spark, docs):
+    """Run the catalog builder against an in-memory documents table via
+    a temp parquet dir (the builder reads `documents.parquet`)."""
+    import tempfile
+
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="selfrep-")
+    pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s0"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+    ).to_parquet(f"{tmp}/documents.parquet")
+    from dsp_spark.queries.dedup import doc_self_repeat_strip
+
+    return doc_self_repeat_strip(spark, tmp)
