@@ -752,3 +752,70 @@ def strip_dup_spans(
         .join(stripped.withColumnRenamed("_sid", id_col), id_col, "inner")
         .withColumnRenamed("_stripped", text_col)
     )
+
+
+def strip_self_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seg_words: int = 10,
+) -> DataFrame:
+    """WITHIN-document repetition strip at fixed ``seg_words``-word
+    segment grain (the Gopher/C4 self-repetition step): each document
+    keeps the FIRST occurrence of each of its distinct segments and
+    drops the rest — retry artifacts, templated sections, scraper
+    loops. Cross-document repeats are strip_dup_spans' job; running
+    this FIRST shrinks what the corpus-wide gram explode must hash.
+
+    Returns ``df`` with ``text_col`` REPLACED by the kept segments in
+    original order (single-space joined — segment-grain transform,
+    original whitespace is not preserved) plus ``n_segments`` and
+    ``segments_removed`` columns; all other columns pass through.
+
+    Scale: one scan-side segment explode, one (doc, segment)-
+    partitioned window, one doc-keyed agg + join back — text shuffles
+    once, keyed by its own doc.
+    """
+    from pyspark.sql import Window as W
+
+    w = F.split(F.col(text_col), r"\s+")
+    n = seg_words
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(w) / F.lit(float(n))).cast("int") - 1
+        ),
+        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    )
+    e = df.select(F.col(id_col).alias("_sid"), segs.alias("_segs")).select(
+        "_sid", F.posexplode("_segs").alias("seg_no", "segment")
+    )
+    win = W.partitionBy("_sid", "segment").orderBy("seg_no")
+    ranked = e.withColumn("rn", F.row_number().over(win))
+    agg = ranked.groupBy("_sid").agg(
+        F.count("*").cast("int").alias("n_segments"),
+        (
+            F.count("*")
+            - F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("segments_removed"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(CASE WHEN rn = 1 THEN struct(seg_no, segment) END)), "
+            "p -> p.segment), ' ')"
+        ).alias("_stripped"),
+    )
+    if set(df.columns) <= {id_col, text_col}:
+        # nothing else to carry: skip the corpus-sized join back
+        return agg.select(
+            F.col("_sid").alias(id_col),
+            "n_segments",
+            "segments_removed",
+            F.col("_stripped").alias(text_col),
+        )
+    return (
+        df.drop(text_col)
+        .join(agg.withColumnRenamed("_sid", id_col), id_col, "inner")
+        .withColumnRenamed("_stripped", text_col)
+    )

@@ -1277,25 +1277,17 @@ def dedup_bbit_minhash_est(spark, sf_dir):
 )
 def doc_self_repeat_strip(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    w = F.split("text", r"\s+")
-    n = _SEG_WORDS
-    segs = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(w) / F.lit(float(n))).cast("int") - 1),
-        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    # shared core with the curate --strip-self-repeats stage
+    # (operators/dedup.py strip_self_repeats — audit and transform
+    # cannot disagree on segment layout or keep rule)
+    out = dd.strip_self_repeats(
+        d.select("doc_id", "text"), "doc_id", "text", seg_words=_SEG_WORDS
     )
-    e = d.select("doc_id", F.posexplode(segs).alias("seg_no", "segment"))
-    win = W.partitionBy("doc_id", "segment").orderBy("seg_no")
-    ranked = e.withColumn("rn", F.row_number().over(win))
-    return ranked.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_segments"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+    return out.select(
+        "doc_id",
+        F.col("n_segments").cast("bigint").alias("n_segments"),
+        (F.col("n_segments") - F.col("segments_removed"))
         .cast("bigint")
         .alias("n_kept_segments"),
-        F.md5(
-            F.expr(
-                "array_join(transform(array_sort("
-                "collect_list(CASE WHEN rn = 1 THEN struct(seg_no, segment) END)), "
-                "p -> p.segment), ' ')"
-            )
-        ).alias("stripped_md5"),
+        F.md5(F.col("text")).alias("stripped_md5"),
     )

@@ -182,6 +182,9 @@ def test_curate_strip_spans_stage(spark, sf_dir, tmp_path):
     out = str(tmp_path / "cur_strip")
     m = curate(spark, sf_dir, out, pack=False, strip_spans=True)
     assert m["span_tokens_removed"] is not None and m["span_tokens_removed"] >= 0
+    # the within-doc self-repeat strip runs first and reports too
+    assert m["self_segments_removed"] is not None
+    assert m["self_segments_removed"] >= 0
 
     back = spark.read.parquet(out)
     # idempotence: re-measuring dup spans on the stripped survivors

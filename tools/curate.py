@@ -251,9 +251,20 @@ def curate(
     # against its own dropped near-dups; what remains flagged is true
     # cross-family boilerplate). Same operator the dedup_span_strip
     # catalog entry drives, so the stage is driver-evidenced. n_chars
-    # is recomputed because the text changed.
+    # is recomputed because the text changed. The WITHIN-doc
+    # self-repeat strip runs FIRST (its segments_removed shrink what
+    # the corpus-wide gram explode must hash — and a doc repeating its
+    # own boilerplate should not count as a cross-doc witness twice).
     span_tokens_removed = None
+    self_segments_removed = None
     if strip_spans:
+        selfst = dd.strip_self_repeats(kept_n, "doc_id", "text", seg_words=10)
+        self_segments_removed = int(
+            selfst.agg(
+                F.coalesce(F.sum("segments_removed"), F.lit(0))
+            ).collect()[0][0]
+        )
+        kept_n = selfst.drop("n_segments", "segments_removed")
         stripped = dd.strip_dup_spans(kept_n, "doc_id", "text", gram=8)
         stripped = stripped.withColumn(
             "n_chars", F.length("text").cast("long")
@@ -284,6 +295,7 @@ def curate(
         "after_containment": n_contain,
         "after_decontam": n_decontam,
         "span_tokens_removed": span_tokens_removed,
+        "self_segments_removed": self_segments_removed,
         "splits": by_split,
         "out": out_dir,
     }
@@ -426,9 +438,10 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--strip-spans", action="store_true",
-        help="after dedup/decontam, strip cross-document duplicated "
-        "token spans (>= 8 tokens) from the surviving text — the "
-        "Lee-et-al exact-substring APPLY step (dedup_span_strip)",
+        help="after dedup/decontam, strip WITHIN-doc repeated segments "
+        "(doc_self_repeat_strip) then cross-document duplicated token "
+        "spans (>= 8 tokens) from the surviving text — the Lee-et-al "
+        "exact-substring APPLY step (dedup_span_strip)",
     )
     args = p.parse_args(argv)
 
