@@ -463,3 +463,54 @@ def text_encoding_audit(spark, sf_dir):
             "non_ascii_ratio"
         ),
     )
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ), grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             COUNT(*) AS k
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+    FROM grp GROUP BY k
+    """,
+    doc="k-anonymity audit (Sweeney) over the quasi-identifier tuple "
+    "(nation, market segment, $1000 account-balance band): group sizes "
+    "k, how many equivalence classes and customers sit at each k, and "
+    "which k values fall below the k=5 re-identification threshold — "
+    "the privacy gate a curation pipeline runs before releasing "
+    "user-derived training data. The banding uses floor(x/1000.0) on "
+    "the raw double (1000 is a power-of-10 exactly representable; the "
+    "single IEEE division then floor is bit-identical across engines). "
+    "At 100 TB: one partial-aggregating scan to QI-group grain, then a "
+    "k-grain re-aggregate whose cardinality is bounded by max group "
+    "size, not data size.",
+)
+def privacy_k_anonymity_audit(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias(
+            "bal_band"
+        ),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("k")
+    )
+    return grp.groupBy(F.col("k").cast("bigint").alias("k")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_customers"),
+        F.max(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("int")
+        .alias("at_risk"),
+    )

@@ -1096,3 +1096,62 @@ def customer_order_gap_stats(spark, sf_dir):
             F.sum("gap_days").cast("double") / F.count("gap_days")
         ).alias("avg_gap_days"),
     )
+
+
+@register(
+    "join_key_skew_audit",
+    """
+    WITH melted AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS keyv FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ), cnt AS (
+      SELECT key_col, keyv, COUNT(*) AS c FROM melted GROUP BY 1, 2
+    ), ranked AS (
+      SELECT key_col, keyv, c,
+             ROW_NUMBER() OVER (PARTITION BY key_col
+                                ORDER BY c DESC, keyv ASC) AS rnk
+      FROM cnt
+    )
+    SELECT key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS total_rows,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT)
+             AS top10_rows,
+           CAST(MAX(c) * COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS skew_x_avg
+    FROM ranked GROUP BY key_col
+    """,
+    doc="Join-key skew diagnostic — the audit you run BEFORE choosing a "
+    "join strategy at 100 TB: per candidate join column of the fact "
+    "table, the key cardinality, the hottest key's row count, the mass "
+    "held by the top-10 keys, and max/avg skew (max_rows x n_keys / "
+    "total, an exact integer product over one double division). "
+    "skew_x_avg >> 1 is the signal to salt or let AQE split that join. "
+    "Spark melts all three key columns in ONE scan via stack() (the "
+    "oracle's UNION ALL shape, 3 scans, is semantically identical); "
+    "counts collapse map-side so the only full-size exchange is the "
+    "(key_col, key)-grain reduce.",
+)
+def join_key_skew_audit(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").selectExpr(
+        "stack(3, 'l_orderkey', l_orderkey,"
+        " 'l_partkey', l_partkey,"
+        " 'l_suppkey', l_suppkey) AS (key_col, keyv)"
+    )
+    cnt = li.groupBy("key_col", "keyv").agg(F.count("*").alias("c"))
+    wr = W.partitionBy("key_col").orderBy(F.desc("c"), F.asc("keyv"))
+    ranked = cnt.withColumn("rnk", F.row_number().over(wr))
+    return ranked.groupBy("key_col").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_rows"),
+        F.sum(F.when(F.col("rnk") <= 10, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("top10_rows"),
+        (
+            (F.max("c") * F.count("*")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("skew_x_avg"),
+    )

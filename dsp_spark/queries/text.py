@@ -1528,3 +1528,55 @@ def text_ngram_topk_per_lang(spark, sf_dir):
         .where(F.col("rnk") <= 10)
         .select("lang", "bigram", F.col("n").cast("bigint").alias("n"), "rnk")
     )
+
+
+@register(
+    "vocab_oov_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT 16
+      )
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+    doc="Vocabulary-coverage / OOV-rate audit per source: build the "
+    "top-16 word vocabulary from corpus frequency (ties broken "
+    "alphabetically, so the cut is deterministic), then measure what "
+    "fraction of each source's token occurrences falls outside it — "
+    "the fixed-vocab analogue of tokenizer fertility, and the number "
+    "that tells you which sources a frozen vocab under-serves. At "
+    "100 TB: token counts collapse map-side to word grain (vocab-sized, "
+    "not corpus-sized), the vocab is a 16-row broadcast, and the "
+    "corpus side is one scan + explode feeding a broadcast hash join "
+    "— no token-grain shuffle anywhere.",
+)
+def vocab_oov_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.expr(_SPARK_TOKS)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(16)
+        .select(F.col("tok").alias("vtok"))
+    )
+    j = toks.join(F.broadcast(vocab), toks["tok"] == vocab["vtok"], "left")
+    oov = F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total_tokens"),
+        oov.cast("bigint").alias("oov_tokens"),
+        (oov.cast("double") / F.count("*").cast("double")).alias("oov_rate"),
+    )

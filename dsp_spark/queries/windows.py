@@ -1370,3 +1370,150 @@ def orders_open_backlog_daily(spark, sf_dir):
         "n_closed",
         F.sum("net").over(W.orderBy("day")).cast("bigint").alias("backlog"),
     )
+
+
+@register(
+    "events_ewma_last16",
+    """
+    WITH last16 AS (
+      SELECT user_id, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           MAX(ts) AS last_ts,
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS DOUBLE)
+             / CAST(SUM(CAST(1 AS BIGINT) << (16 - rn)) AS DOUBLE)
+             AS ewma_cents
+    FROM last16 WHERE rn <= 16
+    GROUP BY user_id
+    """,
+    doc="Per-user exponentially-weighted recency score (half-life = one "
+    "event) over each user's last 16 events — the batch twin of a "
+    "streaming decayed counter. Exact across engines by construction: "
+    "weights are integer powers of two (shiftleft, no float pow), the "
+    "numerator/denominator are BIGINT sums of cents x weight, and the "
+    "single double division at the end is IEEE-identical on both "
+    "engines. At 100 TB the row_number window is partitioned by "
+    "user_id (never global) and the rn<=16 filter bounds per-user "
+    "state before the one per-user reduce.",
+)
+def events_ewma_last16(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    cents = (dec("value") * 100).cast("bigint")
+    x = (
+        ev.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 16)
+    )
+    # python-side F.shiftleft needs a literal bit count; the SQL form
+    # takes a column expression
+    wt = F.expr("shiftleft(CAST(1 AS BIGINT), 16 - rn)")
+    return x.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.max("ts").alias("last_ts"),
+        (
+            F.sum(F.col("cents") * wt).cast("double")
+            / F.sum(wt).cast("double")
+        ).alias("ewma_cents"),
+    )
+
+
+@register(
+    "events_resample_locf_audit",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             date_trunc('hour', ts) AS hour,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), hv AS (
+      SELECT user_id, hour, cents AS obs_cents FROM (
+        SELECT user_id, hour, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(MIN(hour), MAX(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM ev GROUP BY user_id
+    ), filled AS (
+      SELECT g.user_id, g.hour, hv.obs_cents,
+             LAST_VALUE(hv.obs_cents IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS fill_cents
+      FROM grid g LEFT JOIN hv
+        ON g.user_id = hv.user_id AND g.hour = hv.hour
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN obs_cents IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_observed,
+           CAST(SUM(CASE WHEN obs_cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gap_filled,
+           CAST(SUM(fill_cents) AS BIGINT) AS filled_cents_sum
+    FROM filled GROUP BY user_id
+    """,
+    doc="Regular-grid resampling with last-observation-carried-forward "
+    "(TimescaleDB locf / Pandas asfreq-ffill shape): per user, an "
+    "hourly grid from the first to the last observed hour, each gap "
+    "hour filled with the most recent hourly closing value, then "
+    "audited per user (grid size, observed vs filled hours, checksum "
+    "of the filled series in exact cents). The grid never has leading "
+    "NULLs because it starts at an observed hour. Grid rows = users x "
+    "span-hours — independent of event count, so at 100 TB the "
+    "sequence() explode is generated (no shuffle) and the only "
+    "data-grain exchanges are the per-(user,hour) reduce and the "
+    "user-partitioned fill window; nothing is globally sorted.",
+)
+def events_resample_locf_audit(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        (dec("value") * 100).cast("bigint").alias("cents"),
+    )
+    wlast = W.partitionBy("user_id", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hv = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("cents").alias("obs_cents"))
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    wfill = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = grid.join(hv, ["user_id", "hour"], "left").withColumn(
+        "fill_cents", F.last("obs_cents", ignorenulls=True).over(wfill)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum(F.when(F.col("obs_cents").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_observed"),
+        F.sum(F.when(F.col("obs_cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gap_filled"),
+        F.sum("fill_cents").cast("bigint").alias("filled_cents_sum"),
+    )
