@@ -1291,3 +1291,117 @@ def doc_self_repeat_strip(spark, sf_dir):
         .alias("n_kept_segments"),
         F.md5(F.col("text")).alias("stripped_md5"),
     )
+
+
+@register(
+    "corpus_novelty_decay",
+    """
+    WITH dg AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> md5(array_to_string(tk[i:i+2], ' ')))) AS gram
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+            FROM documents)
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id
+    ), novel AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+      FROM (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+      GROUP BY first_doc
+    ), mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+    SELECT (p.doc_id * 10) // mx.m AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS gram_occurrences,
+           CAST(SUM(COALESCE(n.n_novel, 0)) AS BIGINT) AS novel_grams,
+           CAST(SUM(COALESCE(n.n_novel, 0)) AS DOUBLE)
+             / CAST(SUM(p.n_grams) AS BIGINT) AS novelty_rate
+    FROM per_doc p LEFT JOIN novel n ON p.doc_id = n.doc_id, mx
+    GROUP BY 1
+    """,
+    doc="Corpus novelty-decay curve: split the corpus into 10 "
+    "arrival-order buckets (doc_id deciles via exact integer division "
+    "against max+1 — no global NTILE) and measure, per bucket, what "
+    "fraction of its distinct token-3-grams had never been seen in "
+    "any earlier document. The declining curve is the scaling-laws "
+    "signal for when additional scrape stops adding information and "
+    "dedup/curation should tighten. Gram first-occurrence is a "
+    "gram-grain MIN aggregate (map-side combining); novel counts "
+    "re-aggregate at doc grain and join doc-grain totals, so nothing "
+    "is quadratic and no window is global. At 100 TB the gram table "
+    "is the big relation; it partial-aggregates before its one "
+    "shuffle, and the bucket rollup is 10 rows.",
+)
+def corpus_novelty_decay(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(tk) - 2, 1)), "
+        "i -> md5(concat_ws(' ', slice(tk, i, 3)))))"
+    )
+    dg = (
+        d.select("doc_id", F.expr("split(text, '\\\\s+')").alias("tk"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    per_doc = dg.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    novel = (
+        dg.groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    joined = (
+        per_doc.join(novel, "doc_id", "left")
+        .join(F.broadcast(mx))
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+    )
+    return joined.groupBy(
+        F.expr("(doc_id * 10) DIV m").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("gram_occurrences"),
+        F.sum("n_novel").cast("bigint").alias("novel_grams"),
+        (
+            F.sum("n_novel").cast("double")
+            / F.sum("n_grams").cast("bigint")
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    """
+    WITH fs AS (
+      SELECT DISTINCT md5(text) AS h, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+    FROM fs a JOIN fs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source duplicate-flow matrix: for every unordered "
+    "source pair, how many exact content fingerprints they share — "
+    "the 'who scraped whom' audit that decides which source to keep "
+    "when dedup_survivors picks winners. The self-join runs on the "
+    "DISTINCT (hash, source) relation (bounded by duplicate mass, "
+    "not corpus size) and both sides hash-partition on the "
+    "fingerprint, so the join is co-located; source < source keeps "
+    "each pair once. Output is at most |sources|^2/2 rows.",
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    fs = d.select(F.md5("text").alias("h"), "source").distinct()
+    a = fs.alias("a")
+    b = fs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
+    )

@@ -1580,3 +1580,97 @@ def vocab_oov_by_source(spark, sf_dir):
         oov.cast("bigint").alias("oov_tokens"),
         (oov.cast("double") / F.count("*").cast("double")).alias("oov_rate"),
     )
+
+
+@register(
+    "text_bm25_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(ln((CAST(s.n_docs - df.df AS DOUBLE) + 0.5)
+                      / (CAST(df.df AS DOUBLE) + 0.5) + 1.0), 8)
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / s.avgdl))
+               AS bm25
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, bm25, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, term, bm25,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY bm25 DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="Okapi BM25 (k1=1.2, b=0.75, the Lucene-default +1 idf floor): "
+    "top-3 scoring terms per document — the retrieval scorer behind "
+    "search-based decontamination and RAG corpus indexing. "
+    "Determinism: the one transcendental (ln of the idf ratio) is "
+    "rounded to 8 decimals the moment it is computed (same pattern as "
+    "text_bigram_lm_score); every other op is IEEE double arithmetic "
+    "on identical expression trees, so ranks and scores hash-match "
+    "across engines. At 100 TB the df and corpus-stats tables are "
+    "vocabulary-sized broadcasts, tf/dl collapse map-side at "
+    "(doc, term) / doc grain, and the top-3 window is doc-partitioned.",
+)
+def text_bm25_top_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        8,
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf
+                * (F.col("tf").cast("double") * F.lit(2.2))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + (F.lit(0.75) * F.col("dl").cast("double"))
+                        / F.col("avgdl")
+                    )
+                )
+            ).alias("bm25"),
+        )
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "bm25", "rnk")
+    )

@@ -1517,3 +1517,124 @@ def events_resample_locf_audit(spark, sf_dir):
         .alias("n_gap_filled"),
         F.sum("fill_cents").cast("bigint").alias("filled_cents_sum"),
     )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, COUNT(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Consecutive-day activity streaks per user via the classic "
+    "gaps-and-islands anchor (day minus per-user row_number is "
+    "constant within a run of consecutive days): streak count, "
+    "longest streak, total active days. All date/int arithmetic, "
+    "bit-exact. Day-grain distinct collapses the event stream before "
+    "any window, and every window is user-partitioned — at 100 TB the "
+    "heavy relation shrinks to users x active-days in the first "
+    "exchange and nothing touches event grain again.",
+)
+def events_activity_streaks(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    isl = days.withColumn(
+        "anchor", F.expr("date_sub(day, CAST(row_number() OVER "
+                         "(PARTITION BY user_id ORDER BY day) AS INT))")
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("n_active_days"),
+    )
+
+
+@register(
+    "events_user_lifecycle_states",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), seq AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ), mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+    states AS (
+      SELECT wk, CASE WHEN prev_wk IS NULL THEN 'new'
+                      WHEN prev_wk = wk - 7 THEN 'retained'
+                      ELSE 'resurrected' END AS state
+      FROM seq
+      UNION ALL
+      SELECT wk + 7 AS wk, 'churned' AS state
+      FROM seq, mx
+      WHERE (next_wk IS NULL OR next_wk > wk + 7) AND wk + 7 <= mx.max_wk
+    )
+    SELECT wk, state, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM states GROUP BY 1, 2
+    """,
+    doc="Weekly growth accounting (the new / retained / resurrected / "
+    "churned ledger): per user-week, classify by the gap to the "
+    "previous active week; churn events are emitted into the week "
+    "AFTER the last active one (capped at the corpus max week so no "
+    "phantom future rows). Pure date arithmetic on the distinct "
+    "(user, week) relation — one event-grain distinct, then "
+    "user-partitioned lag/lead and a week x 4-state rollup. The "
+    "week-grain output is bounded by calendar, not data.",
+)
+def events_user_lifecycle_states(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    active = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), F.lit("new"))
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    churned = (
+        seq.join(F.broadcast(mx))
+        .where(
+            (
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.date_add("wk", 7))
+            )
+            & (F.date_add("wk", 7) <= F.col("max_wk"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("state"))
+    )
+    return (
+        active.unionByName(churned)
+        .groupBy("wk", "state")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
