@@ -1056,3 +1056,101 @@ def span_witness_batch(
     return anchors.withColumn(
         "witnessed", F.min("doc_id").over(w) < F.col("doc_id")
     ).select("shard", "doc_id", "pos", "witnessed")
+
+
+# --- streaming EWMA (last-16 exponential recency score) ------------------
+
+_EWMA_K = 16
+_EWMA_STATE_SCHEMA = (
+    "ts_us array<bigint>, eids array<bigint>, cents array<bigint>"
+)
+EWMA_SCHEMA = (
+    "user_id bigint, n_used bigint, last_ts timestamp, ewma_cents double"
+)
+
+
+def _ewma_of(buf: list[tuple[int, int, int]]) -> float:
+    """EWMA over a DESC-(ts, event_id)-sorted buffer of <= K rows.
+
+    Integer power-of-two weights (most recent row gets 2^(K-1)); the
+    single float division at the end is the identical IEEE op the batch
+    entry (queries/windows.py:events_ewma_last16) performs, so values
+    are bit-equal across stream / batch / DuckDB."""
+    num = 0
+    den = 0
+    for rn, (_ts, _eid, c) in enumerate(buf, start=1):
+        w = 1 << (_EWMA_K - rn)
+        num += c * w
+        den += w
+    return float(num) / float(den)
+
+
+def _ewma_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        ts_us, eids, cents = state.get
+        buf = [tuple(map(int, r)) for r in zip(ts_us, eids, cents)]
+    else:
+        buf = []
+    for pdf in batches:
+        for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            buf.append(
+                (int(ts.value) // 1000, int(eid), round(float(v) * 100))
+            )
+    # keep only the K most recent by event time (late arrivals merge
+    # correctly: order is by (ts, event_id), not arrival)
+    buf.sort(key=lambda r: (r[0], r[1]), reverse=True)
+    del buf[_EWMA_K:]
+    state.update(
+        ([r[0] for r in buf], [r[1] for r in buf], [r[2] for r in buf])
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_used": len(buf),
+                "last_ts": pd.Timestamp(buf[0][0] * 1000),
+                "ewma_cents": _ewma_of(buf),
+            }
+        ]
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user exponential recency score: bounded state (the
+    K=16 most recent (ts, event_id, cents) triples per user — O(K) per
+    key on unbounded keys), one updated score row emitted per key per
+    micro-batch. Online twin of the catalog entry events_ewma_last16;
+    parity is pinned in tests/test_streaming.py."""
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def ewma_last16_batch(events: DataFrame) -> DataFrame:
+    """Batch twin on an arbitrary events DataFrame — same expression
+    tree as the catalog entry (queries/windows.py:events_ewma_last16)."""
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    x = (
+        events.select("user_id", "ts", "event_id", cents.alias("cents"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _EWMA_K)
+    )
+    wt = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_EWMA_K} - rn)")
+    return x.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.max("ts").alias("last_ts"),
+        (
+            F.sum(F.col("cents") * wt).cast("double")
+            / F.sum(wt).cast("double")
+        ).alias("ewma_cents"),
+    )

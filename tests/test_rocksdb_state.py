@@ -133,6 +133,7 @@ import pytest
 from dsp_spark.streaming.stateful import (
     SESSION_GAP_S,
     approx_distinct_stream,
+    ewma_stream,
     near_dup_candidates_stream,
     quantile_histogram_stream,
     session_close_stream,
@@ -203,7 +204,37 @@ def _session_frames():
     return frames
 
 
+def _ewma_frames():
+    import random
+
+    rng = random.Random(53)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                t0 + pd.Timedelta(minutes=eid),
+                rng.randrange(5),
+                round(rng.uniform(0, 400), 2),
+            )
+        )
+    frames = [
+        pd.DataFrame(
+            rows[i * 100 : (i + 1) * 100],
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        for i in range(3)
+    ]
+    return frames
+
+
 _FAMILIES = {
+    "ewma_last16": (
+        _ewma_frames,
+        ewma_stream,
+        "append",
+    ),
     "hll_distinct": (
         _kv_frames,
         lambda s: approx_distinct_stream(s, key_col="k", item_col="item"),

@@ -778,3 +778,108 @@ def test_stream_stream_left_outer_join_with_watermarks(spark, sf_dir, tmp_path):
 
     assert (got["n"], got["matched"]) == (exp["n"], exp["matched"])
     assert got["n"] > got["matched"] > 0
+
+
+def _ewma_stream_final(spark, pdf, src, out, ck, n_files):
+    """Run ewma_stream over pdf split into n_files micro-batches; return
+    {user_id: (n_used, last_ts, ewma_cents)} from each user's LAST
+    emitted state row (max last_ts, then max n_used)."""
+    from dsp_spark.streaming.stateful import ewma_stream
+
+    src.mkdir()
+    step = -(-len(pdf) // n_files)
+    for i in range(n_files):
+        part = pdf.iloc[i * step:(i + 1) * step]
+        if len(part):
+            part.to_parquet(src / f"f{i}.parquet", coerce_timestamps="us")
+    batch_df = spark.createDataFrame(pdf)
+    stream = spark.readStream.schema(batch_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {}
+    for r in spark.read.parquet(str(out)).collect():
+        cur = final.get(r.user_id)
+        key = (r.last_ts, r.n_used)
+        if cur is None or key > (cur[1], cur[0]):
+            final[r.user_id] = (r.n_used, r.last_ts, r.ewma_cents)
+    return final
+
+
+def _ewma_testdata():
+    import pandas as pd
+
+    rng = __import__("random").Random(11)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for u in range(6):
+        for _ in range(rng.randint(3, 40)):
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(minutes=eid),
+                    u,
+                    round(rng.uniform(0, 500), 2),
+                )
+            )
+            eid += 1
+    return pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+
+
+def test_ewma_stream_matches_batch_twin(spark, tmp_path):
+    """Final streamed EWMA state must bit-equal the batch twin, across
+    micro-batch boundaries (state carries the last-16 buffer)."""
+    from dsp_spark.streaming.stateful import ewma_last16_batch
+
+    pdf = _ewma_testdata()
+    want = {
+        r.user_id: (r.n_used, r.last_ts, r.ewma_cents)
+        for r in ewma_last16_batch(spark.createDataFrame(pdf)).collect()
+    }
+    got = _ewma_stream_final(
+        spark, pdf, tmp_path / "src", tmp_path / "out", tmp_path / "ck", 2
+    )
+    assert got == want and len(want) == 6
+
+
+def test_ewma_stream_invariant_under_microbatch_split(spark, tmp_path):
+    """Replaying the same rows as 5 micro-batches instead of 2 must
+    leave every user's final state identical (bounded-state merge is
+    arrival-order independent given event-time ordering)."""
+    pdf = _ewma_testdata()
+    a = _ewma_stream_final(
+        spark, pdf, tmp_path / "s2", tmp_path / "o2", tmp_path / "c2", 2
+    )
+    b = _ewma_stream_final(
+        spark, pdf, tmp_path / "s5", tmp_path / "o5", tmp_path / "c5", 5
+    )
+    assert a == b
+
+
+def test_ewma_batch_twin_matches_catalog_entry(spark, sf_dir):
+    """The standalone batch twin and the driver-checked catalog entry
+    are the same function of the events table."""
+    from dsp_spark import catalog
+    from dsp_spark.session import read_table
+    from dsp_spark.streaming.stateful import ewma_last16_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    twin = {
+        r.user_id: (r.n_used, r.last_ts, r.ewma_cents)
+        for r in ewma_last16_batch(ev).collect()
+    }
+    entry = catalog.entries()["events_ewma_last16"]
+    got = {
+        r.user_id: (r.n_used, r.last_ts, r.ewma_cents)
+        for r in entry.fn(spark, sf_dir).collect()
+    }
+    assert twin == got and len(got) > 0
