@@ -895,3 +895,136 @@ def embedding_dim_median_mad(spark, sf_dir):
             / 2000000.0
         ).alias("mad_val"),
     )
+
+
+@register(
+    "embedding_int8_quant_error",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, label, qv,
+             list_max(list_transform(qv, x -> abs(x))) AS maxabs,
+             len(qv) AS d
+      FROM v
+    ), errs AS (
+      SELECT vec_id, label, maxabs, d,
+             CASE WHEN maxabs = 0 THEN 0 ELSE
+               list_sum(list_transform(qv, x ->
+                 abs(127 * abs(x)
+                     - ((2 * 127 * abs(x) + maxabs) // (2 * maxabs))
+                       * maxabs)))
+             END AS sum_e,
+             CASE WHEN maxabs = 0 THEN 0 ELSE
+               list_max(list_transform(qv, x ->
+                 abs(127 * abs(x)
+                     - ((2 * 127 * abs(x) + maxabs) // (2 * maxabs))
+                       * maxabs)))
+             END AS max_e,
+             CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(len(list_filter(qv, x ->
+                 ((2 * 127 * abs(x) + maxabs) // (2 * maxabs)) = 127))
+                 AS BIGINT)
+             END AS n_full_scale
+      FROM m
+    ), per_vec AS (
+      SELECT label, vec_id, max_e, n_full_scale, maxabs,
+             CASE WHEN maxabs = 0 THEN 0.0 ELSE
+               CAST(sum_e AS DOUBLE) / CAST(127 * maxabs * d AS DOUBLE)
+             END AS mean_rel,
+             CASE WHEN maxabs = 0 THEN 0.0 ELSE
+               CAST(max_e AS DOUBLE) / CAST(127 * maxabs AS DOUBLE)
+             END AS max_rel
+      FROM errs
+    ), ranked AS (
+      SELECT label, mean_rel, max_rel, n_full_scale,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY mean_rel, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM per_vec
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN mean_rel END)
+             AS med_mean_rel_err,
+           MAX(max_rel) AS max_rel_err,
+           CAST(SUM(n_full_scale) AS BIGINT) AS saturated_codes
+    FROM ranked GROUP BY label
+    """,
+    doc="Symmetric int8 quantization calibration audit (the error side "
+    "of ann_int8_topk): per label, the median per-vector mean relative "
+    "reconstruction error, the worst per-element relative error, and "
+    "how many codes hit full scale. All-integer error algebra: values "
+    "quantize to 1e-6 fixed point, the int8 code is round-to-nearest "
+    "via (2*127*|q| + maxabs) DIV (2*maxabs) on non-negative ints "
+    "(identical truncation on both engines), and the residual "
+    "|127*q - code*maxabs| stays in exact int64; the only float ops "
+    "are two final single divisions, and the median is rank-discrete "
+    "(no interpolation to diverge). Array-fold arithmetic runs "
+    "scan-side with zero element-grain shuffle; the label rollup and "
+    "label-partitioned rank window are the only exchanges.",
+)
+def embedding_int8_quant_error(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    em = t(spark, sf_dir, "embeddings")
+    code = "((2 * 127 * abs(x) + maxabs) DIV (2 * maxabs))"
+    e_term = f"abs(127 * abs(x) - {code} * maxabs)"
+    errs = (
+        em.selectExpr(
+            "vec_id",
+            "label",
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+            " * 1000000) AS BIGINT)) AS qv",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "qv",
+            "array_max(transform(qv, x -> abs(x))) AS maxabs",
+            "size(qv) AS d",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "maxabs",
+            "d",
+            f"CASE WHEN maxabs = 0 THEN 0L ELSE aggregate(qv, 0L,"
+            f" (acc, x) -> acc + {e_term}) END AS sum_e",
+            f"CASE WHEN maxabs = 0 THEN 0L ELSE array_max("
+            f"transform(qv, x -> {e_term})) END AS max_e",
+            f"CASE WHEN maxabs = 0 THEN 0L ELSE CAST(size("
+            f"filter(qv, x -> {code} = 127)) AS BIGINT)"
+            f" END AS n_full_scale",
+        )
+    )
+    per_vec = errs.selectExpr(
+        "label",
+        "vec_id",
+        "n_full_scale",
+        "CASE WHEN maxabs = 0 THEN 0.0 ELSE CAST(sum_e AS DOUBLE)"
+        " / CAST(127 * maxabs * d AS DOUBLE) END AS mean_rel",
+        "CASE WHEN maxabs = 0 THEN 0.0 ELSE CAST(max_e AS DOUBLE)"
+        " / CAST(127 * maxabs AS DOUBLE) END AS max_rel",
+    )
+    wl = W.partitionBy("label")
+    ranked = per_vec.select(
+        "label",
+        "mean_rel",
+        "max_rel",
+        "n_full_scale",
+        F.row_number().over(wl.orderBy("mean_rel", "vec_id")).alias("rn"),
+        F.count("*").over(wl).alias("n"),
+    )
+    return ranked.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("mean_rel"))
+        ).alias("med_mean_rel_err"),
+        F.max("max_rel").alias("max_rel_err"),
+        F.sum("n_full_scale").cast("bigint").alias("saturated_codes"),
+    )

@@ -1638,3 +1638,185 @@ def events_user_lifecycle_states(spark, sf_dir):
         .groupBy("wk", "state")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "events_attribution_linear_milli",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM events
+    ), purchases AS (
+      SELECT user_id, grp - 1 AS conv FROM seq WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, grp AS conv, event_type, ts, event_id
+      FROM seq WHERE event_type <> 'purchase'
+    ), paths AS (
+      SELECT t.event_type,
+             COUNT(*) OVER (PARTITION BY t.user_id, t.conv) AS k,
+             ROW_NUMBER() OVER (PARTITION BY t.user_id, t.conv
+                                ORDER BY t.ts DESC, t.event_id DESC)
+               AS rdesc
+      FROM purchases p
+      JOIN touches t ON p.user_id = t.user_id AND p.conv = t.conv
+    ), credits AS (
+      SELECT event_type,
+             (1000 // k)
+               + CASE WHEN rdesc = 1 THEN 1000 % k ELSE 0 END AS credit
+      FROM paths
+      UNION ALL
+      SELECT 'none' AS event_type, 1000 AS credit
+      FROM purchases p
+      LEFT JOIN (SELECT DISTINCT user_id, conv FROM touches) t
+        ON p.user_id = t.user_id AND p.conv = t.conv
+      WHERE t.user_id IS NULL
+    )
+    SELECT event_type AS attributed_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credited,
+           CAST(SUM(credit) AS BIGINT) AS milli_credits
+    FROM credits GROUP BY 1
+    """,
+    doc="Linear multi-touch attribution with integer-exact milli-credit "
+    "apportionment: every purchase distributes exactly 1000 "
+    "milli-credits equally across the non-purchase touches since the "
+    "user's previous purchase (floor(1000/k) each, remainder to the "
+    "most recent touch — the same largest-remainder discipline as "
+    "mixture_budget_allocation, so credits always conserve to "
+    "1000 x conversions with zero float ops). Touch-free purchases "
+    "credit 'none'. Complements events_attribution_last_touch: path "
+    "segmentation is a purchase-counting running sum, the path join is "
+    "user-co-partitioned, and all windows are user-bounded.",
+)
+def events_attribution_linear_milli(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    seq = e.select("user_id", "event_type", "ts", "event_id", grp.alias("grp"))
+    purchases = seq.where(F.col("event_type") == "purchase").select(
+        "user_id", (F.col("grp") - 1).alias("conv")
+    )
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("grp").alias("conv"), "event_type", "ts", "event_id"
+    )
+    joined = purchases.join(touches, ["user_id", "conv"])
+    wk = W.partitionBy("user_id", "conv")
+    paths = joined.select(
+        "event_type",
+        F.count("*").over(wk).alias("k"),
+        F.row_number()
+        .over(wk.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rdesc"),
+    )
+    credit = F.expr("1000 DIV k") + F.when(
+        F.col("rdesc") == 1, F.expr("1000 % k")
+    ).otherwise(0)
+    credited = paths.select("event_type", credit.alias("credit"))
+    unmatched = (
+        purchases.join(
+            touches.select("user_id", "conv").distinct(),
+            ["user_id", "conv"],
+            "left_anti",
+        )
+        .select(
+            F.lit("none").alias("event_type"), F.lit(1000).alias("credit")
+        )
+    )
+    return (
+        credited.unionByName(unmatched)
+        .groupBy(F.col("event_type").alias("attributed_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_credited"),
+            F.sum("credit").cast("bigint").alias("milli_credits"),
+        )
+    )
+
+
+@register(
+    "events_bounce_rate_by_type",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), ordered AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM numbered
+    ), sessions AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+             COUNT(*) AS n_events
+      FROM ordered GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+    FROM sessions GROUP BY entry_type
+    """,
+    doc="Bounce rate by session entry type: 30-min-gap sessionization "
+    "(identical segmentation to events_sessionize), each session "
+    "keyed by its FIRST event's type (rank-1 row on the (ts, event_id) "
+    "total order — deterministic under microsecond ties), then the "
+    "share of single-event sessions per entry type. The "
+    "product-analytics number that says which entry point loses "
+    "users immediately. One user-partitioned window pass, one "
+    "session-grain aggregate, one type-grain rollup.",
+)
+def events_bounce_rate_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > GAP_US), 1
+    ).otherwise(0)
+    sessions = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "session_id").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == 1, F.col("event_type"))
+            ).alias("entry_type"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sessions.groupBy("entry_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        (bounces.cast("double") / F.count("*").cast("double")).alias(
+            "bounce_rate"
+        ),
+    )
