@@ -703,3 +703,50 @@ def mixture_budget_allocation(spark, sf_dir):
             6,
         ).alias("fill_ratio"),
     )
+
+
+@register(
+    "corpus_curriculum_phases",
+    """
+    WITH scored AS (
+      SELECT source, doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ), phased AS (
+      SELECT source, doc_id, n_tokens,
+             NTILE(4) OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS phase
+      FROM scored
+    )
+    SELECT source, CAST(phase AS INTEGER) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM phased GROUP BY source, phase
+    """,
+    doc="Length-based curriculum scheduling (Bengio et al. curriculum "
+    "learning: present short/easy examples first): within each source, "
+    "docs rank into 4 phases by token count (doc_id tiebreak keeps the "
+    "cut deterministic), and the phase manifest reports per-phase "
+    "document and token budgets — what a trainer's data loader "
+    "consumes phase by phase. NTILE runs PARTITIONED by source (never "
+    "global); at 100 TB swap the exact within-source rank for the "
+    "two-phase bounded-window helper the zorder entry uses, or bucket "
+    "by fixed token thresholds — the manifest shape is unchanged.",
+)
+def corpus_curriculum_phases(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        "doc_id",
+        F.expr("size(split(text, '\\\\s+'))").alias("n_tokens"),
+    )
+    wp = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    phased = scored.withColumn("phase", F.ntile(4).over(wp).cast("int"))
+    return phased.groupBy("source", "phase").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )

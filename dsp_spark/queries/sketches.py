@@ -1028,3 +1028,93 @@ def embedding_int8_quant_error(spark, sf_dir):
         F.max("max_rel").alias("max_rel_err"),
         F.sum("n_full_scale").cast("bigint").alias("saturated_codes"),
     )
+
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+
+@register(
+    "heavy_hitters_cms_audit",
+    f"""
+    WITH keyed AS (
+      SELECT user_id FROM events
+    ), rows_ AS (
+      SELECT j FROM (VALUES (0), (1), (2), (3)) AS r(j)
+    ), hashed AS (
+      SELECT k.user_id, r.j,
+             ('0x' || substr(md5(r.j || ':' || k.user_id), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket
+      FROM keyed k CROSS JOIN rows_ r
+    ), counters AS (
+      SELECT j, bucket, COUNT(*) AS c FROM hashed GROUP BY j, bucket
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM keyed GROUP BY user_id
+    ), probes AS (
+      SELECT e.user_id, e.exact_n, MIN(c.c) AS est_n
+      FROM exact e
+      CROSS JOIN rows_ r
+      JOIN counters c
+        ON c.j = r.j
+       AND c.bucket = ('0x' || substr(md5(r.j || ':' || e.user_id), 1, 8))
+                        ::BIGINT % {_CMS_W}
+      GROUP BY e.user_id, e.exact_n
+    )
+    SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - exact_n AS BIGINT) AS overestimate
+    FROM probes
+    ORDER BY exact_n DESC, user_id ASC LIMIT 20
+    """,
+    doc="Count-Min sketch audit (Cormode-Muthukrishnan, d=4 x w=256, "
+    "md5-derived row hashes): build the counter matrix from the event "
+    "stream, then for the top-20 hottest keys compare the CMS point "
+    "estimate (min over rows of the key's bucket counters) against the "
+    "exact count — CMS never underestimates, and the overestimate "
+    "column is the collision-induced bias a capacity plan must absorb. "
+    "Completes the sketch family next to Misra-Gries and the log "
+    "histogram. The counter matrix is d*w = 1024 cells regardless of "
+    "data size (map-side combining to cell grain); probes join the "
+    "exact key counts to 4 broadcast-sized counter rows each, and the "
+    "top-20 cut is a TakeOrdered (per-partition top-k then a 20-row "
+    "merge — no global window even at billions of keys). Streaming "
+    "twin shape: the counter matrix is trivially mergeable across "
+    "micro-batches (cellwise sum).",
+)
+def heavy_hitters_cms_audit(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id")
+    rows_ = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+    hashed = ev.crossJoin(F.broadcast(rows_)).select(
+        "user_id", "j", bucket.alias("bucket")
+    )
+    counters = hashed.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probes = (
+        exact.crossJoin(F.broadcast(rows_))
+        .select("user_id", "exact_n", "j", bucket.alias("bucket"))
+        .join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        probes.select(
+            "user_id",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("est_n").cast("bigint").alias("est_n"),
+            (F.col("est_n") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
