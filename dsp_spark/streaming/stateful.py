@@ -1154,3 +1154,65 @@ def ewma_last16_batch(events: DataFrame) -> DataFrame:
             / F.sum(wt).cast("double")
         ).alias("ewma_cents"),
     )
+
+
+# --- streaming Count-Min sketch (mergeable counter matrix) ----------------
+
+CMS_D = 4
+CMS_W = 256
+_CMS_STATE_SCHEMA = "counters array<bigint>"
+CMS_SCHEMA = "shard int, j int, bucket int, c bigint"
+
+
+def _cms_bucket(j: int, key: str) -> int:
+    """Row-j bucket for a key — MUST match the batch entry
+    (queries/sketches.py:heavy_hitters_cms_audit): first 8 hex chars of
+    md5('j:key'), mod W."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:8]
+    return int(h, 16) % CMS_W
+
+
+def _cms_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (shard,) = key
+    counters = list(state.get[0]) if state.exists else [0] * (CMS_D * CMS_W)
+    for pdf in batches:
+        for k in pdf["key"]:
+            for j in range(CMS_D):
+                counters[j * CMS_W + _cms_bucket(j, str(k))] += 1
+    state.update((counters,))
+    out = [
+        {"shard": shard, "j": j, "bucket": b, "c": counters[j * CMS_W + b]}
+        for j in range(CMS_D)
+        for b in range(CMS_W)
+        if counters[j * CMS_W + b]
+    ]
+    yield pd.DataFrame(out)
+
+
+def cms_stream(df: DataFrame, *, key_col: str, n_shards: int = 8) -> DataFrame:
+    """Streaming Count-Min sketch: per shard (hash-partitioned keys so
+    no single task owns the stream), a d x w counter matrix lives in
+    state (fixed 4*256 cells per shard — bounded regardless of key
+    cardinality) and the non-zero cells are re-emitted each
+    micro-batch. Shard matrices merge by cellwise sum — the mergeable-
+    summaries property — so the global sketch is one tiny rollup of
+    the final per-shard emissions. Batch twin: the counter matrix of
+    queries/sketches.py:heavy_hitters_cms_audit; parity pinned in
+    tests/test_cms_stream.py."""
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.crc32(F.col(key_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _cms_fn,
+        outputStructType=CMS_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

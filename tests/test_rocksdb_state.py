@@ -133,6 +133,7 @@ import pytest
 from dsp_spark.streaming.stateful import (
     SESSION_GAP_S,
     approx_distinct_stream,
+    cms_stream,
     ewma_stream,
     near_dup_candidates_stream,
     quantile_histogram_stream,
@@ -230,6 +231,11 @@ def _ewma_frames():
 
 
 _FAMILIES = {
+    "cms_counters": (
+        _kv_frames,
+        lambda s: cms_stream(s, key_col="item"),
+        "update",
+    ),
     "ewma_last16": (
         _ewma_frames,
         ewma_stream,
