@@ -265,3 +265,97 @@ def scd2_point_in_time_join(spark, sf_dir):
         F.col("d.state").alias("state_at_purchase"),
         F.col("d.valid_from").alias("state_since"),
     )
+
+
+@register(
+    "cdc_changelog_net_effect",
+    """
+    WITH log AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             ts, event_id
+      FROM events
+    ), ordered AS (
+      SELECT user_id, op, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM log
+    ), folded AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN op END) AS first_op,
+             MAX(CASE WHEN rn = n THEN op END) AS last_op,
+             MAX(CASE WHEN rn = n THEN cents END) AS last_cents,
+             MAX(n) AS n_changes
+      FROM ordered GROUP BY user_id
+    )
+    SELECT user_id, first_op, last_op,
+           CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+                WHEN first_op = 'I' THEN 'I'
+                WHEN last_op = 'D' THEN 'D'
+                ELSE 'U' END AS net_op,
+           CASE WHEN last_op <> 'D' THEN last_cents END
+             AS net_value_cents,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM folded
+    """,
+    doc="Changelog compaction (the Debezium -> lakehouse-MERGE "
+    "pre-stage): fold each key's ordered I/U/D change sequence into "
+    "ONE net operation — I..D cancels to NONE, I..U stays an insert "
+    "carrying the last image, U/D-origin sequences net to update or "
+    "delete. Events map deterministically (signup=I, error=D, "
+    "else U; payload = exact cents). Applying the net row per key "
+    "downstream is equivalent to replaying the whole log — this is "
+    "what turns an O(changes) MERGE into an O(keys) one at 100 TB. "
+    "One user-partitioned window pass + one per-key fold; no "
+    "self-joins, no global windows.",
+)
+def cdc_changelog_net_effect(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = W.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        op.alias("op"),
+        cents.alias("cents"),
+        F.row_number()
+        .over(w.orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    folded = ordered.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("op"))).alias("first_op"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("op"))).alias(
+            "last_op"
+        ),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("cents"))).alias(
+            "last_cents"
+        ),
+        F.max("n").alias("n_changes"),
+    )
+    net = (
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE"
+        )
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+    )
+    return folded.select(
+        "user_id",
+        "first_op",
+        "last_op",
+        net.alias("net_op"),
+        F.when(F.col("last_op") != "D", F.col("last_cents")).alias(
+            "net_value_cents"
+        ),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

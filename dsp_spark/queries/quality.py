@@ -514,3 +514,55 @@ def privacy_k_anonymity_audit(spark, sf_dir):
         .cast("int")
         .alias("at_risk"),
     )
+
+
+@register(
+    "dq_benford_totalprice",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                               * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders
+      WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0
+    ), tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT d.digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS observed_p,
+           round(ln(1.0 + 1.0 / d.digit) / ln(10.0), 8) AS benford_p
+    FROM digits d CROSS JOIN tot t
+    GROUP BY d.digit
+    """,
+    doc="Benford's-law first-significant-digit audit on order totals — "
+    "the forensic-accounting DQ check for fabricated or truncated "
+    "monetary data: observed first-digit shares vs the Benford "
+    "expectation log10(1 + 1/d). The digit comes from the exact cents "
+    "integer rendered as a string (no float log10 for digit "
+    "extraction); the expectation's ln ratio is rounded to 8 decimals "
+    "at the source per the house libm rule. One scan to a 9-row "
+    "aggregate with a broadcast scalar total.",
+)
+def dq_benford_totalprice(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    digits = o.select(cents.alias("c")).where(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.join(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.count("*").cast("double") / F.max("n")).alias("observed_p"),
+            F.round(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                / F.log(F.lit(10.0)),
+                8,
+            ).alias("benford_p"),
+        )
+    )
