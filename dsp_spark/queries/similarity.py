@@ -985,3 +985,91 @@ def ann_pq_recall(spark, sf_dir):
         F.count("pq_vec").alias("n_hits"),
         (F.count("pq_vec").cast("double") / 10).alias("recall_at_10"),
     )
+
+
+@register(
+    "embedding_cluster_purity",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    s AS (SELECT vec_id AS seed_id, emb AS sv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT e.vec_id, e.label, s.seed_id,
+               round(list_dot_product(e.emb, s.sv) /
+                     (sqrt(list_dot_product(e.emb, e.emb)) *
+                      sqrt(list_dot_product(s.sv, s.sv))), 6) AS sim
+        FROM e, s
+    ), assigned AS (
+        SELECT vec_id, label, seed_id AS centroid_id FROM (
+          SELECT vec_id, label, seed_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, seed_id) AS rn
+          FROM scored
+        ) WHERE rn = 1
+    ), lc AS (
+        SELECT centroid_id, label, COUNT(*) AS c
+        FROM assigned GROUP BY 1, 2
+    ), ranked AS (
+        SELECT centroid_id, label, c,
+               ROW_NUMBER() OVER (PARTITION BY centroid_id
+                                  ORDER BY c DESC, label ASC) AS rn,
+               SUM(c) OVER (PARTITION BY centroid_id) AS n
+        FROM lc
+    )
+    SELECT centroid_id,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           CAST(MAX(CASE WHEN rn = 1 THEN label END) AS INTEGER)
+             AS top_label,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+             AS top_label_n,
+           CAST(MAX(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / MAX(n)
+             AS purity
+    FROM ranked GROUP BY centroid_id
+    """,
+    doc="Cluster-label purity audit: assign every vector to its nearest "
+    "of the 10 deterministic seed centroids (identical assignment rule "
+    "to embedding_kmeans_assign — broadcast centroids, zero corpus "
+    "shuffle), then per cluster report size, majority label, and "
+    "purity — the quick external-validity check that says whether "
+    "embedding clusters track labels before anyone trusts "
+    "semantic-dedup or topic-balance decisions built on them. The "
+    "post-assignment windows run on the (centroid x label) relation, "
+    "bounded by K x |labels|, never data grain.",
+)
+def embedding_cluster_purity(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("seed_id"), "embedding"
+    )
+    assigned = sim.assign_nearest_centroid(
+        e, seeds, centroid_id_col="seed_id"
+    ).select("vec_id", "centroid_id")
+    labeled = assigned.join(e.select("vec_id", "label"), "vec_id")
+    lc = labeled.groupBy("centroid_id", "label").agg(
+        F.count("*").alias("c")
+    )
+    wc = W.partitionBy("centroid_id")
+    ranked = lc.select(
+        "centroid_id",
+        "label",
+        "c",
+        F.row_number()
+        .over(wc.orderBy(F.desc("c"), F.asc("label")))
+        .alias("rn"),
+        F.sum("c").over(wc).alias("n"),
+    )
+    return ranked.groupBy("centroid_id").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.max(F.when(F.col("rn") == 1, F.col("label")))
+        .cast("int")
+        .alias("top_label"),
+        F.max(F.when(F.col("rn") == 1, F.col("c")))
+        .cast("bigint")
+        .alias("top_label_n"),
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).cast("double")
+            / F.max("n")
+        ).alias("purity"),
+    )
