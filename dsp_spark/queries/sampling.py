@@ -750,3 +750,58 @@ def corpus_curriculum_phases(spark, sf_dir):
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+_SHUF_SHARD2_DUCK = (
+    f"{smp.hash_int_sql('doc_id', salt='ep2|')} % {_SHUF_SHARDS}"
+)
+
+
+@register(
+    "shuffle_epoch_divergence",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST({_SHUF_SHARD_DUCK} AS INTEGER) AS shard_e1,
+             CAST({_SHUF_SHARD2_DUCK} AS INTEGER) AS shard_e2
+      FROM documents
+    )
+    SELECT shard_e1,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shard_e1 = shard_e2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_same_shard,
+           CAST(SUM(CASE WHEN shard_e1 = shard_e2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS same_rate
+    FROM keyed GROUP BY shard_e1
+    """,
+    doc="Epoch-shuffle decorrelation audit: compare each doc's shard "
+    "address under the epoch-1 and epoch-2 salts (the "
+    "dataset_shuffle_order mechanism — same salted_md5_sql home, so "
+    "this audits exactly what the dataloader runs). A healthy "
+    "re-shuffle leaves ~1/shards of each shard in place; a same_rate "
+    "near 1.0 means the salt isn't reaching the hash and epochs would "
+    "replay the same order — the silent-failure mode of deterministic "
+    "shuffles. One narrow scan, one 8-row aggregate, zero shuffles "
+    "beyond the rollup.",
+)
+def shuffle_epoch_divergence(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s1 = F.expr(
+        f"{smp.hash_int_sql('doc_id', salt='ep1|', dialect='spark')}"
+        f" % {_SHUF_SHARDS}"
+    ).cast("int")
+    s2 = F.expr(
+        f"{smp.hash_int_sql('doc_id', salt='ep2|', dialect='spark')}"
+        f" % {_SHUF_SHARDS}"
+    ).cast("int")
+    keyed = d.select(s1.alias("shard_e1"), s2.alias("shard_e2"))
+    same = F.sum(
+        F.when(F.col("shard_e1") == F.col("shard_e2"), 1).otherwise(0)
+    )
+    return keyed.groupBy("shard_e1").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        same.cast("bigint").alias("n_same_shard"),
+        (same.cast("double") / F.count("*").cast("double")).alias(
+            "same_rate"
+        ),
+    )

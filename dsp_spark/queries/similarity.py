@@ -1073,3 +1073,151 @@ def embedding_cluster_purity(spark, sf_dir):
             / F.max("n")
         ).alias("purity"),
     )
+
+
+@register(
+    "embedding_label_margin",
+    """
+    WITH cells AS (
+      SELECT vec_id, label, CAST(generate_subscripts(embedding, 1)
+               AS INTEGER) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS v6
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, pos,
+             CASE WHEN SUM(v6) < 0
+                  THEN -(abs(SUM(v6)) // (COUNT(*) * 1000))
+                  ELSE abs(SUM(v6)) // (COUNT(*) * 1000) END AS c3
+      FROM cells GROUP BY label, pos
+    ), cnorm AS (
+      SELECT clabel, SUM(c3 * c3) AS cn2 FROM cent GROUP BY clabel
+    ), vnorm AS (
+      SELECT vec_id, SUM(v6 * v6) AS vn2 FROM cells GROUP BY vec_id
+    ), dots AS (
+      SELECT c.vec_id, c.label, ct.clabel, SUM(c.v6 * ct.c3) AS dot
+      FROM cells c JOIN cent ct ON c.pos = ct.pos
+      GROUP BY 1, 2, 3
+    ), sims AS (
+      SELECT d.label, d.clabel,
+             CAST(round(CAST(d.dot AS DOUBLE)
+                        / (sqrt(CAST(v.vn2 AS DOUBLE))
+                           * sqrt(CAST(n.cn2 AS DOUBLE))), 6)
+                  AS DECIMAL(12,6)) AS sim
+      FROM dots d
+      JOIN vnorm v ON d.vec_id = v.vec_id
+      JOIN cnorm n ON d.clabel = n.clabel
+    ), pairmeans AS (
+      SELECT label, clabel, COUNT(*) AS n,
+             CAST(SUM(sim) AS DOUBLE) / COUNT(*) AS mean_sim
+      FROM sims GROUP BY label, clabel
+    ), ranked AS (
+      SELECT label, clabel, n, mean_sim,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY
+               CASE WHEN clabel = label THEN 1 ELSE 0 END,
+               mean_sim DESC, clabel ASC) AS rnk
+      FROM pairmeans
+    )
+    SELECT label,
+           CAST(MAX(CASE WHEN clabel = label THEN n END) AS BIGINT)
+             AS n_vecs,
+           MAX(CASE WHEN clabel = label THEN mean_sim END) AS intra_sim,
+           CAST(MAX(CASE WHEN rnk = 1 THEN clabel END) AS INTEGER)
+             AS rival_label,
+           MAX(CASE WHEN rnk = 1 THEN mean_sim END) AS rival_sim,
+           MAX(CASE WHEN clabel = label THEN mean_sim END)
+             - MAX(CASE WHEN rnk = 1 THEN mean_sim END) AS margin
+    FROM ranked GROUP BY label
+    """,
+    doc="Label-separation margin for the embedding space: mean cosine "
+    "of each class to its own prototype vs its closest rival class — "
+    "margin <= 0 means the space cannot separate those labels and any "
+    "semantic-dedup or topic-balance decision built on it is noise. "
+    "All-integer geometry: cells quantize to 1e-6 fixed point (FLOOR, "
+    "no tie rule), prototypes live in 1e-3 units via an explicit "
+    "sign-split truncating division (Spark DIV truncates, DuckDB // "
+    "floors — the CASE makes both truncate), every dot/norm is an "
+    "exact BIGINT sum, and cosines round to 6 decimals before the "
+    "order-independent DECIMAL mean. The pos-join side broadcasts the "
+    "640-row prototype table, so the corpus explodes once and never "
+    "self-joins; rival ranking runs on the labels x labels relation.",
+)
+def embedding_label_margin(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("v").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("v6"),
+    )
+    cent = cells.groupBy(
+        F.col("label").alias("clabel"), "pos"
+    ).agg(
+        F.expr(
+            "CASE WHEN SUM(v6) < 0"
+            " THEN -(abs(SUM(v6)) DIV (COUNT(*) * 1000))"
+            " ELSE abs(SUM(v6)) DIV (COUNT(*) * 1000) END"
+        ).alias("c3")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(F.col("c3") * F.col("c3")).alias("cn2")
+    )
+    vnorm = cells.groupBy("vec_id").agg(
+        F.sum(F.col("v6") * F.col("v6")).alias("vn2")
+    )
+    dots = (
+        cells.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("v6") * F.col("c3")).alias("dot"))
+    )
+    sims = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "label",
+            "clabel",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("vn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("sim"),
+        )
+    )
+    pairmeans = sims.groupBy("label", "clabel").agg(
+        F.count("*").alias("n"),
+        (F.sum("sim").cast("double") / F.count("*")).alias("mean_sim"),
+    )
+    wr = W.partitionBy("label").orderBy(
+        F.when(F.col("clabel") == F.col("label"), 1).otherwise(0),
+        F.desc("mean_sim"),
+        F.asc("clabel"),
+    )
+    ranked = pairmeans.withColumn("rnk", F.row_number().over(wr))
+    intra = F.max(
+        F.when(F.col("clabel") == F.col("label"), F.col("mean_sim"))
+    )
+    rival = F.max(F.when(F.col("rnk") == 1, F.col("mean_sim")))
+    return ranked.groupBy("label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("n")))
+        .cast("bigint")
+        .alias("n_vecs"),
+        intra.alias("intra_sim"),
+        F.max(F.when(F.col("rnk") == 1, F.col("clabel")))
+        .cast("int")
+        .alias("rival_label"),
+        rival.alias("rival_sim"),
+        (intra - rival).alias("margin"),
+    )

@@ -1674,3 +1674,56 @@ def text_bm25_top_terms(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "bm25", "rnk")
     )
+
+
+@register(
+    "text_unigram_entropy_by_lang",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), tc AS (
+      SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), lt AS (
+      SELECT lang, SUM(c) AS n, COUNT(*) AS vocab FROM tc GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(MAX(l.n) AS BIGINT) AS n_tokens,
+           CAST(MAX(l.vocab) AS BIGINT) AS vocab_size,
+           -(CAST(SUM(CAST(t.c AS DECIMAL(20,0))
+                      * CAST(round(ln(CAST(t.c AS DOUBLE) / l.n), 8)
+                             AS DECIMAL(12,8))) AS DOUBLE)
+             / MAX(l.n)) AS entropy_nats
+    FROM tc t JOIN lt l ON t.lang = l.lang
+    GROUP BY t.lang
+    """,
+    doc="Unigram entropy per language, H = -sum p ln p — the lexical-"
+    "diversity number behind language-mix and tokenizer-budget "
+    "decisions (a language whose corpus entropy is far below its "
+    "peers is repetitive scrape, not coverage). Engine-exact via the "
+    "house rounded-log DECIMAL-sum rule: each ln(p) rounds to 8 "
+    "decimals at the source, is multiplied by the exact integer count "
+    "in DECIMAL, and the order-independent DECIMAL sum is divided by "
+    "n once at emit. Token counts collapse map-side to (lang, word) "
+    "grain — vocabulary-sized, not corpus-sized — before any join.",
+)
+def text_unigram_entropy_by_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.expr(_SPARK_TOKS)).alias("tok"))
+    tc = tok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    lt = tc.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count("*").alias("vocab")
+    )
+    j = tc.join(F.broadcast(lt), "lang")
+    lp = F.round(F.log(F.col("c").cast("double") / F.col("n")), 8).cast(
+        "decimal(12,8)"
+    )
+    return j.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.max("vocab").cast("bigint").alias("vocab_size"),
+        (
+            -(
+                F.sum(F.col("c").cast("decimal(20,0)") * lp).cast("double")
+                / F.max("n")
+            )
+        ).alias("entropy_nats"),
+    )
