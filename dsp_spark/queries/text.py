@@ -1590,7 +1590,7 @@ def vocab_oov_by_source(spark, sf_dir):
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
     ), dl AS (
-      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
     ), stats AS (
       SELECT COUNT(*) AS n_docs,
              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
@@ -1632,7 +1632,9 @@ def text_bm25_top_terms(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # doc length from the tf relation (vocab-bounded), not a second
+    # corpus-scale explode
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
