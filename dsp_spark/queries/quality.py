@@ -566,3 +566,142 @@ def dq_benford_totalprice(spark, sf_dir):
             ).alias("benford_p"),
         )
     )
+
+
+@register(
+    "dq_iqr_outlier_fences",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), ranked AS (
+      SELECT priority, cents,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY cents, cents) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM c
+    ), quart AS (
+      SELECT priority,
+             MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN cents END) AS q1c,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN cents END) AS q3c,
+             MAX(n) AS n
+      FROM ranked GROUP BY priority
+    )
+    SELECT c.priority,
+           CAST(MAX(q.n) AS BIGINT) AS n_orders,
+           MAX(q.q1c) / 100.0 AS q1,
+           MAX(q.q3c) / 100.0 AS q3,
+           CAST(SUM(CASE WHEN 2 * c.cents < 5 * q.q1c - 3 * q.q3c
+                           OR 2 * c.cents > 5 * q.q3c - 3 * q.q1c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN quart q ON c.priority = q.priority
+    GROUP BY c.priority
+    """,
+    doc="Tukey-fence outlier audit per order priority: rank-discrete "
+    "quartiles (type-1, value at ceil(q*n) — no interpolation formula "
+    "to diverge across engines) and 1.5-IQR fences evaluated entirely "
+    "in doubled integer cents (2x < 5*q1 - 3*q3 IS x < q1 - 1.5*IQR "
+    "cleared of fractions). The DQ staple that flags fat-finger "
+    "monetary rows before they poison downstream aggregates. One "
+    "priority-partitioned rank pass + one fence scan joined to a "
+    "5-row quartile table.",
+)
+def dq_iqr_outlier_fences(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wp = W.partitionBy("priority")
+    ranked = c.select(
+        "priority",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "cents")).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    quart = ranked.groupBy("priority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("q1c"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("q3c"),
+        F.max("n").alias("n"),
+    )
+    j = c.join(F.broadcast(quart), "priority")
+    out_pred = (2 * F.col("cents") < 5 * F.col("q1c") - 3 * F.col("q3c")) | (
+        2 * F.col("cents") > 5 * F.col("q3c") - 3 * F.col("q1c")
+    )
+    return j.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (F.max("q1c") / 100.0).alias("q1"),
+        (F.max("q3c") / 100.0).alias("q3"),
+        F.sum(F.when(out_pred, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "source_lang_independence_cells",
+    """
+    WITH o AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), rt AS (SELECT source, SUM(n) AS row_n FROM o GROUP BY source),
+    ct AS (SELECT lang, SUM(n) AS col_n FROM o GROUP BY lang),
+    tot AS (SELECT SUM(n) AS grand FROM o)
+    SELECT o.source, o.lang,
+           CAST(o.n AS BIGINT) AS n,
+           CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.grand AS expected,
+           (o.n - CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.grand)
+             * (o.n - CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.grand)
+             / (CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.grand)
+             AS chi2_contrib
+    FROM o
+    JOIN rt ON o.source = rt.source
+    JOIN ct ON o.lang = ct.lang
+    CROSS JOIN tot
+    """,
+    doc="Chi-square independence cells for the source x language "
+    "contingency table: observed counts, expected counts under "
+    "independence (exact integer product over one division), and each "
+    "cell's chi2 contribution — the audit that says whether language "
+    "mix is a property of the corpus or of specific sources (a "
+    "prerequisite for per-source language balancing). Per-cell "
+    "emission keeps every float op a fixed per-row tree (no "
+    "order-dependent global sum); the marginals are tiny broadcast "
+    "rollups of the one (source, lang) aggregate.",
+)
+def source_lang_independence_cells(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    rt = o.groupBy("source").agg(F.sum("n").alias("row_n"))
+    ct = o.groupBy("lang").agg(F.sum("n").alias("col_n"))
+    tot = o.agg(F.sum("n").alias("grand"))
+    j = (
+        o.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .join(F.broadcast(tot))
+    )
+    e = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("grand")
+    return j.select(
+        "source",
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        e.alias("expected"),
+        ((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2_contrib"),
+    )

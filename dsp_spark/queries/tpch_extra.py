@@ -839,3 +839,78 @@ def supplier_lead_time_stats(spark, sf_dir):
         (F.col("sd").cast("double") / F.col("n")).alias("avg_days"),
         F.col("d").cast("bigint").alias("p90_days"),
     )
+
+
+@register(
+    "part_type_unit_value_index",
+    """
+    WITH li AS (
+      SELECT p.p_type,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS yr,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100
+                  AS BIGINT) AS qty100
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), agg AS (
+      SELECT p_type, yr,
+             COUNT(*) AS n_lines,
+             SUM(cents) AS sum_cents,
+             SUM(qty100) AS sum_qty100
+      FROM li GROUP BY 1, 2
+    ), base AS (
+      SELECT p_type,
+             SUM(cents) AS b_cents,
+             SUM(qty100) AS b_qty100
+      FROM li WHERE yr = 1995 GROUP BY p_type
+    )
+    SELECT a.p_type, a.yr,
+           CAST(a.n_lines AS BIGINT) AS n_lines,
+           CAST(a.sum_cents AS DOUBLE) / a.sum_qty100 AS unit_value,
+           (CAST(a.sum_cents AS DOUBLE) / a.sum_qty100)
+             / (CAST(b.b_cents AS DOUBLE) / b.b_qty100) AS uv_index
+    FROM agg a JOIN base b ON a.p_type = b.p_type
+    """,
+    doc="Unit-value price index per part type (the trade-statistics "
+    "index: revenue per unit, each year relative to the 1995 base — "
+    "what a procurement dashboard tracks when true per-part price "
+    "relatives are unavailable). Numerators/denominators are exact "
+    "BIGINT cents and centi-units aggregated map-side to the "
+    "(type, year) grain; the index is three IEEE divisions in a fixed "
+    "tree. The part dimension broadcasts, so the only fact-side "
+    "exchange is the ~type x year rollup.",
+)
+def part_type_unit_value_index(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        li["l_partkey"] == p["p_partkey"],
+    ).select(
+        "p_type",
+        F.year("l_shipdate").cast("int").alias("yr"),
+        (dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        (dec("l_quantity") * 100).cast("bigint").alias("qty100"),
+    )
+    agg = j.groupBy("p_type", "yr").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("qty100").alias("sum_qty100"),
+    )
+    base = (
+        j.where(F.col("yr") == 1995)
+        .groupBy("p_type")
+        .agg(
+            F.sum("cents").alias("b_cents"),
+            F.sum("qty100").alias("b_qty100"),
+        )
+    )
+    uv = F.col("sum_cents").cast("double") / F.col("sum_qty100")
+    buv = F.col("b_cents").cast("double") / F.col("b_qty100")
+    return agg.join(F.broadcast(base), "p_type").select(
+        "p_type",
+        "yr",
+        "n_lines",
+        uv.alias("unit_value"),
+        (uv / buv).alias("uv_index"),
+    )
