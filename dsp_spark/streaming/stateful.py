@@ -1216,3 +1216,136 @@ def cms_stream(df: DataFrame, *, key_col: str, n_shards: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming CDC net-effect (changelog compaction on arrival) -----------
+
+_NET_STATE_SCHEMA = (
+    "first_op string, first_ts_us bigint, first_eid bigint,"
+    " last_op string, last_cents bigint,"
+    " last_ts_us bigint, last_eid bigint, n bigint"
+)
+NET_EFFECT_SCHEMA = (
+    "user_id bigint, first_op string, last_op string, net_op string,"
+    " net_value_cents bigint, n_changes bigint"
+)
+
+
+def _net_op(first_op: str, last_op: str) -> str:
+    if first_op == "I" and last_op == "D":
+        return "NONE"
+    if first_op == "I":
+        return "I"
+    if last_op == "D":
+        return "D"
+    return "U"
+
+
+def _net_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        (first_op, first_ts, first_eid, last_op, last_cents,
+         last_ts, last_eid, n) = state.get
+        first_op, last_op = str(first_op), str(last_op)
+        first_ts, first_eid = int(first_ts), int(first_eid)
+        last_cents, last_ts, last_eid, n = (
+            int(last_cents),
+            int(last_ts),
+            int(last_eid),
+            int(n),
+        )
+    else:
+        first_op = last_op = None
+        first_ts = first_eid = 0
+        last_cents = last_ts = last_eid = n = 0
+    rows = []
+    for pdf in batches:
+        for ts, eid, op, v in zip(
+            pdf["ts"], pdf["event_id"], pdf["op"], pdf["value"]
+        ):
+            rows.append(
+                (int(ts.value) // 1000, int(eid), str(op),
+                 round(float(v) * 100))
+            )
+    # both ends tracked by EVENT time, so a late-arriving row that is
+    # older than the current first (or newer than the current last)
+    # still lands in the right slot — matches the batch twin's
+    # (ts, event_id) window ordering exactly
+    for ts_us, eid, op, cents in rows:
+        if n == 0 or (ts_us, eid) < (first_ts, first_eid):
+            first_op, first_ts, first_eid = op, ts_us, eid
+        if n == 0 or (ts_us, eid) > (last_ts, last_eid):
+            last_op, last_cents, last_ts, last_eid = op, cents, ts_us, eid
+        n += 1
+    state.update(
+        (first_op, first_ts, first_eid, last_op, last_cents,
+         last_ts, last_eid, n)
+    )
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "first_op": first_op,
+                "last_op": last_op,
+                "net_op": _net_op(first_op, last_op),
+                "net_value_cents": None if last_op == "D" else last_cents,
+                "n_changes": n,
+            }
+        ]
+    )
+
+
+def cdc_net_effect_stream(changes: DataFrame) -> DataFrame:
+    """Streaming changelog compaction: per key, O(1) state (first op +
+    latest image) folds an unbounded I/U/D stream into the ONE net
+    operation a downstream MERGE applies — the ingest-path twin of the
+    batch entry queries/cdc.py:cdc_changelog_net_effect, which it
+    bit-matches after the final micro-batch (parity + split-invariance
+    in tests/test_streaming.py). Input: (user_id, ts, event_id, op,
+    value) rows; late arrivals fold correctly because the latest image
+    is chosen by event time, not arrival."""
+    return changes.select(
+        "user_id", "ts", "event_id", "op", "value"
+    ).groupBy("user_id").applyInPandasWithState(
+        _net_fn,
+        outputStructType=NET_EFFECT_SCHEMA,
+        stateStructType=_NET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# --- streaming k-anonymity monitor ----------------------------------------
+
+_KANON_STATE_SCHEMA = "k bigint"
+KANON_SCHEMA = "qi string, k bigint"
+
+
+def _kanon_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (qi,) = key
+    k = int(state.get[0]) if state.exists else 0
+    for pdf in batches:
+        k += len(pdf)
+    state.update((k,))
+    yield pd.DataFrame([{"qi": qi, "k": k}])
+
+
+def k_anonymity_stream(rows: DataFrame, qi_cols: list[str]) -> DataFrame:
+    """Streaming k-anonymity monitor: one bigint of state per
+    quasi-identifier equivalence class (bounded by QI-space
+    cardinality, not row count); every micro-batch re-emits the
+    class's current k so a release gate can alert the moment any
+    class's k crosses below threshold — the ingest-path twin of the
+    batch audit queries/quality.py:privacy_k_anonymity_audit."""
+    qi = F.concat_ws("|", *[F.col(c).cast("string") for c in qi_cols])
+    return rows.select(qi.alias("qi")).groupBy("qi").applyInPandasWithState(
+        _kanon_fn,
+        outputStructType=KANON_SCHEMA,
+        stateStructType=_KANON_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

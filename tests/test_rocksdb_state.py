@@ -133,8 +133,10 @@ import pytest
 from dsp_spark.streaming.stateful import (
     SESSION_GAP_S,
     approx_distinct_stream,
+    cdc_net_effect_stream,
     cms_stream,
     ewma_stream,
+    k_anonymity_stream,
     near_dup_candidates_stream,
     quantile_histogram_stream,
     session_close_stream,
@@ -230,7 +232,42 @@ def _ewma_frames():
     return frames
 
 
+def _cdc_frames_rdb():
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for eid in range(240):
+        rows.append(
+            (
+                eid,
+                t0 + pd.Timedelta(minutes=eid),
+                rng.randrange(6),
+                rng.choice(["I", "U", "U", "D"]),
+                round(rng.uniform(0, 200), 2),
+            )
+        )
+    return [
+        pd.DataFrame(
+            rows[i * 80 : (i + 1) * 80],
+            columns=["event_id", "ts", "user_id", "op", "value"],
+        )
+        for i in range(3)
+    ]
+
+
 _FAMILIES = {
+    "cdc_net_effect": (
+        _cdc_frames_rdb,
+        cdc_net_effect_stream,
+        "update",
+    ),
+    "k_anonymity": (
+        _kv_frames,
+        lambda s: k_anonymity_stream(s, ["k", "item"]),
+        "update",
+    ),
     "cms_counters": (
         _kv_frames,
         lambda s: cms_stream(s, key_col="item"),

@@ -883,3 +883,163 @@ def test_ewma_batch_twin_matches_catalog_entry(spark, sf_dir):
         for r in entry.fn(spark, sf_dir).collect()
     }
     assert twin == got and len(got) > 0
+
+
+def _cdc_frames(n_files, shuffle_seed=None):
+    """Synthetic I/U/D changelog; optionally shuffle arrival order to
+    exercise late-arrival folding."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(17)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for u in range(8):
+        for _ in range(rng.randint(1, 12)):
+            op = rng.choice(["I", "U", "U", "U", "D"])
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(minutes=eid),
+                    u,
+                    op,
+                    round(rng.uniform(0, 300), 2),
+                )
+            )
+            eid += 1
+    if shuffle_seed is not None:
+        random.Random(shuffle_seed).shuffle(rows)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "op", "value"]
+    )
+    step = -(-len(pdf) // n_files)
+    return pdf, [
+        pdf.iloc[i * step : (i + 1) * step]
+        for i in range(n_files)
+        if len(pdf.iloc[i * step : (i + 1) * step])
+    ]
+
+
+def _cdc_batch_net(spark, pdf):
+    """Batch fold with the cdc_changelog_net_effect rules on an
+    arbitrary (event_id, ts, user_id, op, value) frame."""
+    out = {}
+    for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+        cur = out.get(r.user_id)
+        cents = round(float(r.value) * 100)
+        if cur is None:
+            out[r.user_id] = [r.op, r.op, cents, 1]
+        else:
+            cur[1] = r.op
+            cur[2] = cents
+            cur[3] += 1
+    final = {}
+    for u, (first, last, cents, n) in out.items():
+        if first == "I" and last == "D":
+            net = "NONE"
+        elif first == "I":
+            net = "I"
+        elif last == "D":
+            net = "D"
+        else:
+            net = "U"
+        final[u] = (first, last, net, None if last == "D" else cents, n)
+    return final
+
+
+def _cdc_stream_final(spark, tmp_path, frames, schema_pdf):
+    from dsp_spark.streaming.stateful import cdc_net_effect_stream
+
+    src = tmp_path / "src"
+    src.mkdir(parents=True)
+    for i, part in enumerate(frames):
+        part.to_parquet(src / f"f{i}.parquet", coerce_timestamps="us")
+    schema = spark.createDataFrame(schema_pdf).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"cdcnet_{abs(hash(str(tmp_path))) % 10**9}"
+    q = (
+        cdc_net_effect_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {}
+    for r in spark.table(name).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_changes > cur[4]:
+            final[r.user_id] = (
+                r.first_op,
+                r.last_op,
+                r.net_op,
+                r.net_value_cents,
+                r.n_changes,
+            )
+    return final
+
+
+def test_cdc_net_effect_stream_matches_fold(spark, tmp_path):
+    pdf, frames = _cdc_frames(3)
+    got = _cdc_stream_final(spark, tmp_path, frames, pdf)
+    want = _cdc_batch_net(spark, pdf)
+    assert got == want and len(want) == 8
+
+
+def test_cdc_net_effect_stream_late_arrivals(spark, tmp_path):
+    """Shuffled arrival (rows out of event-time order across
+    micro-batches) must fold to the same net ops — first/last are
+    chosen by event time in state, not arrival."""
+    pdf, frames = _cdc_frames(4, shuffle_seed=99)
+    got = _cdc_stream_final(spark, tmp_path, frames, pdf)
+    want = _cdc_batch_net(spark, pdf)
+    assert got == want
+
+
+def test_k_anonymity_stream_matches_batch_counts(spark, tmp_path):
+    import pandas as pd
+
+    from dsp_spark.streaming.stateful import k_anonymity_stream
+
+    rng = __import__("random").Random(23)
+    rows = [
+        (rng.randrange(5), rng.choice(["A", "B", "C"]))
+        for _ in range(600)
+    ]
+    pdf = pd.DataFrame(rows, columns=["nat", "seg"])
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pdf.iloc[i * 200 : (i + 1) * 200].to_parquet(src / f"f{i}.parquet")
+    schema = spark.createDataFrame(pdf).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = "kanon_t"
+    q = (
+        k_anonymity_stream(stream, ["nat", "seg"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {}
+    for r in spark.table(name).collect():
+        final[r.qi] = max(final.get(r.qi, 0), r.k)
+    want = pdf.groupby(["nat", "seg"]).size()
+    assert len(final) == len(want)
+    for (nat, seg), k in want.items():
+        assert final[f"{nat}|{seg}"] == k
