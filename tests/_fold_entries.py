@@ -1,0 +1,90 @@
+"""The round-8 fold entries re-expressed over an arbitrary events
+DataFrame (the catalog entries bind to a sf_dir; model tests need the
+same expression trees on generated frames). Kept in one place so the
+tests and the catalog cannot drift: the catalog functions are these,
+applied to read_table(...)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def cdc_net_effect(ev):
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    w = W.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        op.alias("op"),
+        cents.alias("cents"),
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    folded = ordered.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("op"))).alias("first_op"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("op"))).alias("last_op"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("cents"))).alias(
+            "last_cents"
+        ),
+        F.max("n").alias("n_changes"),
+    )
+    net = (
+        F.when((F.col("first_op") == "I") & (F.col("last_op") == "D"), "NONE")
+        .when(F.col("first_op") == "I", "I")
+        .when(F.col("last_op") == "D", "D")
+        .otherwise("U")
+    )
+    return folded.select(
+        "user_id",
+        "first_op",
+        "last_op",
+        net.alias("net_op"),
+        F.when(F.col("last_op") != "D", F.col("last_cents")).alias(
+            "net_value_cents"
+        ),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )
+
+
+def attribution_linear(ev):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id", grp.alias("grp")
+    )
+    purchases = seq.where(F.col("event_type") == "purchase").select(
+        "user_id", (F.col("grp") - 1).alias("conv")
+    )
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("grp").alias("conv"), "event_type", "ts", "event_id"
+    )
+    joined = purchases.join(touches, ["user_id", "conv"])
+    wk = W.partitionBy("user_id", "conv")
+    paths = joined.select(
+        "event_type",
+        F.count("*").over(wk).alias("k"),
+        F.row_number()
+        .over(wk.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rdesc"),
+    )
+    credit = F.expr("1000 DIV k") + F.when(
+        F.col("rdesc") == 1, F.expr("1000 % k")
+    ).otherwise(0)
+    credited = paths.select("event_type", credit.alias("credit"))
+    unmatched = purchases.join(
+        touches.select("user_id", "conv").distinct(),
+        ["user_id", "conv"],
+        "left_anti",
+    ).select(F.lit("none").alias("event_type"), F.lit(1000).alias("credit"))
+    return (
+        credited.unionByName(unmatched)
+        .groupBy(F.col("event_type").alias("attributed_type"))
+        .agg(F.sum("credit").cast("long").alias("milli_credits"))
+    )
