@@ -181,3 +181,55 @@ def doc_fim_split(spark, sf_dir):
             F.expr("substring(text, CAST(c2 + 1 AS INT), CAST(n - c2 AS INT))")
         ).alias("suffix_md5"),
     )
+
+
+@register(
+    "doc_truncation_loss",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    ), caps AS (
+      SELECT cap FROM (VALUES (64), (128), (256)) AS c(cap)
+    )
+    SELECT c.cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_tokens > c.cap THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_truncated,
+           CAST(SUM(LEAST(d.n_tokens, c.cap)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(GREATEST(d.n_tokens - c.cap, 0)) AS BIGINT)
+             AS tokens_lost,
+           CAST(SUM(LEAST(d.n_tokens, c.cap)) AS DOUBLE)
+             / CAST(SUM(d.n_tokens) AS BIGINT) AS kept_rate
+    FROM d CROSS JOIN caps c
+    GROUP BY c.cap
+    """,
+    doc="Context-length truncation loss: for each candidate sequence "
+    "cap, how many documents overflow and what fraction of corpus "
+    "tokens survives a hard truncate — the number that picks the "
+    "packing length before doc_pack_sequences spends the compute. One "
+    "narrow scan crossed with a 3-row literal cap table (broadcast), "
+    "integer min/max algebra, a 3-row rollup; at 100 TB the doc-grain "
+    "relation partial-aggregates map-side per cap.",
+)
+def doc_truncation_loss(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        F.expr("size(split(text, '\\\\s+'))").alias("n_tokens")
+    )
+    caps = spark.createDataFrame([(64,), (128,), (256,)], "cap int")
+    j = d.crossJoin(F.broadcast(caps))
+    kept = F.sum(F.least(F.col("n_tokens"), F.col("cap")))
+    return j.groupBy("cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens") > F.col("cap"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_truncated"),
+        kept.cast("bigint").alias("tokens_kept"),
+        F.sum(F.greatest(F.col("n_tokens") - F.col("cap"), F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_lost"),
+        (kept.cast("double") / F.sum("n_tokens").cast("bigint")).alias(
+            "kept_rate"
+        ),
+    )

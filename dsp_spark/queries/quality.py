@@ -705,3 +705,57 @@ def source_lang_independence_cells(spark, sf_dir):
         e.alias("expected"),
         ((F.col("n") - e) * (F.col("n") - e) / e).alias("chi2_contrib"),
     )
+
+
+@register(
+    "privacy_l_diversity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM customer
+    ), grp AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS k,
+             COUNT(DISTINCT bal_band) AS l
+      FROM qi GROUP BY 1, 2
+    )
+    SELECT CAST(l AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(CASE WHEN l < 3 THEN 1 ELSE 0 END AS INTEGER) AS at_risk
+    FROM grp GROUP BY l
+    """,
+    doc="l-diversity audit (Machanavajjhala et al.): with the balance "
+    "band as the SENSITIVE attribute and (nation, segment) as the "
+    "quasi-identifiers, how many distinct sensitive values each "
+    "equivalence class contains — k-anonymity alone "
+    "(privacy_k_anonymity_audit) cannot stop an attacker when every "
+    "member of a class shares one sensitive value, which is exactly "
+    "the l=1 row here. Classes histogram by l with the l<3 "
+    "homogeneity flag. One QI-grain aggregate (distinct-count partial "
+    "per class) and an l-grain rollup bounded by the sensitive "
+    "domain, not data size.",
+)
+def privacy_l_diversity_audit(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k"),
+        F.countDistinct("bal_band").alias("l"),
+    )
+    return grp.groupBy(F.col("l").cast("bigint").alias("l")).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_customers"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("int")
+        .alias("at_risk"),
+    )

@@ -1729,3 +1729,64 @@ def text_unigram_entropy_by_lang(spark, sf_dir):
             )
         ).alias("entropy_nats"),
     )
+
+
+@register(
+    "tokens_per_doc_gini",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len({_DUCK_TOKS}) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(i * n_tokens) - (MAX(n) + 1) * SUM(n_tokens)
+                AS DOUBLE)
+             / (MAX(n) * SUM(n_tokens)) AS gini
+    FROM ranked GROUP BY source
+    """,
+    doc="Token-mass Gini coefficient per source (G = (2*sum(i*x_i) - "
+    "(n+1)*sum(x)) / (n*sum(x)) over length-ranked docs): how "
+    "concentrated a source's token budget is in its longest documents "
+    "— a high-Gini source's 'coverage' is really a few giants, which "
+    "changes both sampling and packing strategy. The rank runs "
+    "PARTITIONED by source (doc_id tiebreak), every sum is exact "
+    "BIGINT, and the single division happens at emit. At 100 TB the "
+    "within-source rank is the usual two-phase bounded-window shape; "
+    "the formula needs only (rank x value) products, no pairwise "
+    "|x_i - x_j| expansion.",
+)
+def tokens_per_doc_gini(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr("size(split(text, '\\\\s+'))").alias("n_tokens"),
+    )
+    wp = W.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(wp.orderBy("n_tokens", "doc_id")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("n_tokens"))
+                - (F.max("n") + 1) * F.sum("n_tokens")
+            ).cast("double")
+            / (F.max("n") * F.sum("n_tokens"))
+        ).alias("gini"),
+    )
