@@ -88,3 +88,42 @@ def attribution_linear(ev):
         .groupBy(F.col("event_type").alias("attributed_type"))
         .agg(F.sum("credit").cast("long").alias("milli_credits"))
     )
+
+
+def lifecycle_states(ev):
+    uw = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    active = seq.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), F.lit("new"))
+        .when(F.col("prev_wk") == F.date_sub("wk", 7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    churned = (
+        seq.join(F.broadcast(mx))
+        .where(
+            (
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.date_add("wk", 7))
+            )
+            & (F.date_add("wk", 7) <= F.col("max_wk"))
+        )
+        .select(
+            F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("state")
+        )
+    )
+    return (
+        active.unionByName(churned)
+        .groupBy("wk", "state")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

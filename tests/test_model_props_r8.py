@@ -158,3 +158,83 @@ def test_fold_helpers_pin_to_catalog_entries(spark, sf_dir):
         .collect()
     }
     assert c == d and c
+
+
+WEEKSET = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 6)),  # (user, week index)
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+def _lifecycle_model(pairs):
+    """Growth-accounting ledger over distinct (user, week) actives."""
+    per = {}
+    for u, w in pairs:
+        per.setdefault(u, set()).add(w)
+    max_w = max(w for _, w in pairs)
+    ledger = {}
+
+    def add(w, state):
+        ledger[(w, state)] = ledger.get((w, state), 0) + 1
+
+    for u, weeks in per.items():
+        ws = sorted(weeks)
+        for i, w in enumerate(ws):
+            if i == 0:
+                add(w, "new")
+            elif ws[i - 1] == w - 1:
+                add(w, "retained")
+            else:
+                add(w, "resurrected")
+            nxt = ws[i + 1] if i + 1 < len(ws) else None
+            if (nxt is None or nxt > w + 1) and w + 1 <= max_w:
+                add(w + 1, "churned")
+    return ledger
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(WEEKSET)
+def test_lifecycle_states_match_model(spark, pairs):
+    import tests._fold_entries as fe
+
+    # one event per active (user, week): Monday noon of week w
+    base = dt.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows = [
+        (i, base + dt.timedelta(weeks=w), u, "click", 1.0)
+        for i, (u, w) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    got = {}
+    week0 = dt.date(2024, 1, 1)
+    for r in fe.lifecycle_states(df).collect():
+        wk_idx = (r.wk - week0).days // 7
+        got[(wk_idx, r.state)] = r.n_users
+    assert got == _lifecycle_model(pairs)
+
+
+def test_lifecycle_fold_pins_to_catalog_entry(spark, sf_dir):
+    import tests._fold_entries as fe
+    from dsp_spark import catalog
+    from dsp_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    a = {
+        (r.wk, r.state): r.n_users
+        for r in fe.lifecycle_states(ev).collect()
+    }
+    b = {
+        (r.wk, r.state): r.n_users
+        for r in catalog.entries()["events_user_lifecycle_states"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert a == b and a
