@@ -18,12 +18,39 @@ last-seen-per-key state => state size is O(#keys), not O(#events).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+_C01 = Decimal("0.01")
+
+
+def _cents_decimal(v: float) -> int:
+    """``CAST(v AS DECIMAL(12,2)) * 100`` exactly as Spark evaluates it.
+
+    Spark's double->decimal cast goes through BigDecimal.valueOf(double)
+    — the double's SHORTEST decimal representation (Double.toString),
+    identical to Python's str(float) — then setScale(2, HALF_UP). A
+    plain Python ``round(v*100)`` is HALF_EVEN on the inexact double
+    product and diverges on inputs with >2 decimal places (2.675 ->
+    267 instead of 268), which would break the bit-equality contract
+    between the streaming ops and their batch twins."""
+    return int(Decimal(str(float(v))).quantize(_C01, ROUND_HALF_UP) * 100)
+
+
+def _cents_round(v: float) -> int:
+    """``F.round(v * 100)`` exactly: Spark rounds the double PRODUCT via
+    BigDecimal.valueOf(v*100).setScale(0, HALF_UP). Differs from
+    _cents_decimal when the product's shortest repr crosses .5 (e.g.
+    v=0.005 -> product 0.5 -> 1 here, while Python round() gives 0)."""
+    return int(
+        Decimal(str(float(v) * 100)).quantize(Decimal("1"), ROUND_HALF_UP)
+    )
+
 
 GAP_SCHEMA = "client_id bigint, gap_start bigint, gap_end bigint, missed bigint"
 _STATE_SCHEMA = "last_seq bigint"
@@ -236,7 +263,7 @@ def _z_fn(
     # event-time order inside the batch: state must evolve as if rows
     # arrived one at a time (matches the batch twin's window ordering)
     for _ts, eid, v in sorted(rows, key=lambda r: (r[0], r[1])):
-        v_cents = round(float(v) * 100)
+        v_cents = _cents_round(v)  # batch twin uses F.round(value*100)
         z = _zscore_point(n, s, s2, v_cents)
         if z is not None and abs(z) >= _Z_THRESHOLD:
             out.append(
@@ -1097,7 +1124,7 @@ def _ewma_fn(
     for pdf in batches:
         for ts, eid, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
             buf.append(
-                (int(ts.value) // 1000, int(eid), round(float(v) * 100))
+                (int(ts.value) // 1000, int(eid), _cents_decimal(v))
             )
     # keep only the K most recent by event time (late arrivals merge
     # correctly: order is by (ts, event_id), not arrival)
@@ -1267,7 +1294,7 @@ def _net_fn(
         ):
             rows.append(
                 (int(ts.value) // 1000, int(eid), str(op),
-                 round(float(v) * 100))
+                 _cents_decimal(v))
             )
     # both ends tracked by EVENT time, so a late-arriving row that is
     # older than the current first (or newer than the current last)
@@ -1323,15 +1350,29 @@ _KANON_STATE_SCHEMA = "k bigint"
 KANON_SCHEMA = "qi string, k bigint"
 
 
+def _qi_display(key: tuple) -> str:
+    """Injective display encoding of a QI tuple: NULL -> the sentinel
+    ``\\N`` (unreachable by escaping: any real value's backslashes are
+    doubled first, so a literal value ``\\N`` renders as ``\\\\N``),
+    ``\\`` -> ``\\\\``, ``|`` -> ``\\|``, joined on ``|``. Distinct
+    tuples therefore always render to distinct strings."""
+    parts = []
+    for v in key:
+        if v is None:
+            parts.append("\\N")
+        else:
+            parts.append(str(v).replace("\\", "\\\\").replace("|", "\\|"))
+    return "|".join(parts)
+
+
 def _kanon_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
-    (qi,) = key
     k = int(state.get[0]) if state.exists else 0
     for pdf in batches:
         k += len(pdf)
     state.update((k,))
-    yield pd.DataFrame([{"qi": qi, "k": k}])
+    yield pd.DataFrame([{"qi": _qi_display(key), "k": k}])
 
 
 def k_anonymity_stream(rows: DataFrame, qi_cols: list[str]) -> DataFrame:
@@ -1340,9 +1381,15 @@ def k_anonymity_stream(rows: DataFrame, qi_cols: list[str]) -> DataFrame:
     cardinality, not row count); every micro-batch re-emits the
     class's current k so a release gate can alert the moment any
     class's k crosses below threshold — the ingest-path twin of the
-    batch audit queries/quality.py:privacy_k_anonymity_audit."""
-    qi = F.concat_ws("|", *[F.col(c).cast("string") for c in qi_cols])
-    return rows.select(qi.alias("qi")).groupBy("qi").applyInPandasWithState(
+    batch audit queries/quality.py:privacy_k_anonymity_audit.
+
+    State is keyed on the RAW QI columns (multi-column groupBy), never
+    a string concatenation: ``concat_ws`` silently drops NULLs and
+    doesn't escape its delimiter, so ('A', NULL) / (NULL, 'A') or
+    pipe-bearing values would merge into one class and over-report k —
+    exactly the failure a privacy gate must not have. The ``qi`` output
+    column is a display-only injective encoding (see _qi_display)."""
+    return rows.select(*qi_cols).groupBy(*qi_cols).applyInPandasWithState(
         _kanon_fn,
         outputStructType=KANON_SCHEMA,
         stateStructType=_KANON_STATE_SCHEMA,

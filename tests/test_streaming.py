@@ -783,7 +783,11 @@ def test_stream_stream_left_outer_join_with_watermarks(spark, sf_dir, tmp_path):
 def _ewma_stream_final(spark, pdf, src, out, ck, n_files):
     """Run ewma_stream over pdf split into n_files micro-batches; return
     {user_id: (n_used, last_ts, ewma_cents)} from each user's LAST
-    emitted state row (max last_ts, then max n_used)."""
+    emitted state row, selected by MICRO-BATCH id (foreachBatch tags
+    every emission with its epoch). Inferring recency from
+    (last_ts, n_used) is ambiguous: a late arrival that lands inside a
+    full last-16 buffer changes ewma_cents without moving either, and
+    the stale emission could win the max."""
     from dsp_spark.streaming.stateful import ewma_stream
 
     src.mkdir()
@@ -796,10 +800,15 @@ def _ewma_stream_final(spark, pdf, src, out, ck, n_files):
     stream = spark.readStream.schema(batch_df.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(str(src))
+
+    def _sink(df, epoch_id):
+        df.withColumn("batch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(str(out))
+
     q = (
         ewma_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", str(out))
+        .writeStream.foreachBatch(_sink)
         .option("checkpointLocation", str(ck))
         .trigger(availableNow=True)
         .start()
@@ -808,10 +817,9 @@ def _ewma_stream_final(spark, pdf, src, out, ck, n_files):
     final = {}
     for r in spark.read.parquet(str(out)).collect():
         cur = final.get(r.user_id)
-        key = (r.last_ts, r.n_used)
-        if cur is None or key > (cur[1], cur[0]):
-            final[r.user_id] = (r.n_used, r.last_ts, r.ewma_cents)
-    return final
+        if cur is None or r.batch_id > cur[0]:
+            final[r.user_id] = (r.batch_id, r.n_used, r.last_ts, r.ewma_cents)
+    return {u: v[1:] for u, v in final.items()}
 
 
 def _ewma_testdata():
