@@ -555,6 +555,144 @@ def connected_components(
     )
 
 
+def lsh_new_edges(
+    docs: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    bands: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """LSH candidate pairs involving >= 1 NEW doc — the edge delta an
+    ingest batch contributes to the near-dup graph.
+
+    ``new_nodes`` (one ``id_col`` column) is the ingest batch's ids.
+    Its band rows BROADCAST against the full band table (the
+    lsh_cross_pairs shape): the corpus side is map-side only — never
+    shuffled, never self-joined — so candidate generation is O(new-side
+    bucket membership), not O(corpus). New-new pairs fall out of the
+    same join because the new docs are part of the corpus band table;
+    base-base pairs can never appear (one side is always new), which is
+    what makes incremental folding sound: a deterministic banding
+    scheme yields identical base-base pairs every release, so the only
+    edges the base run hasn't already seen all touch a new doc.
+
+    At production scale the corpus band table is the PERSISTED index
+    (signatures are per-doc and immutable); here it is derived in-plan
+    because a catalog entry must be a pure function of the tables.
+    Returns (id_a < id_b) distinct pairs.
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes=n_hashes, k=k)
+    # materialized once: this IS the persisted band index of the real
+    # pipeline — without it the probe side and the batch-filter side
+    # would each re-scan the corpus text and recompute signatures
+    all_bands = _bands_of(sig, id_col, n_hashes=n_hashes, bands=bands).localCheckpoint(
+        eager=True
+    )
+    new_bands = all_bands.join(
+        F.broadcast(new_nodes.select(id_col)), id_col, "semi"
+    )
+    a, b = all_bands.alias("a"), new_bands.alias("b")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+        .distinct()
+    )
+
+
+def incremental_components(
+    state: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Fold an ingest batch's near-dup edges into a PERSISTED cluster
+    assignment without recontracting the base graph.
+
+    ``state`` is the previous release's (id, component) table, where
+    component = min id in the component (connected_components'
+    invariant). ``new_nodes`` are the batch's ids (disjoint from
+    state). ``new_edges`` are candidate pairs each touching >= 1 new
+    doc (lsh_new_edges). Work is proportional to the NEW edge set:
+
+    1. Contract — map each new edge's endpoints through the persisted
+       labels (base doc -> its cluster label, new doc -> itself). Base
+       clusters become super-nodes; edges internal to one base cluster
+       vanish as self-loops.
+    2. Union — connected components over the contracted edges ONLY
+       (bounded union-find rounds on O(new edges) input). A new doc
+       bridging two base clusters merges their super-nodes here.
+    3. Rewrite — the resulting (old label -> new label) mapping
+       touches only clusters adjacent to the batch; every other row's
+       assignment is carried through unchanged.
+
+    Labels stay = min id over the merged component (min over mins), so
+    the result is bit-identical to a full recompute over base + new —
+    the equivalence the catalog oracle checks with a recursive-CTE
+    transitive closure on the unioned edge set.
+    """
+    lab_a = state.select(
+        F.col(id_col).alias("id_a"), F.col("component").alias("la")
+    )
+    lab_b = state.select(
+        F.col(id_col).alias("id_b"), F.col("component").alias("lb")
+    )
+    contracted = (
+        new_edges.join(lab_a, "id_a", "left")
+        .join(lab_b, "id_b", "left")
+        .select(
+            F.coalesce("la", F.col("id_a")).alias("u"),
+            F.coalesce("lb", F.col("id_b")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("id_a"),
+            F.greatest("u", "v").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = (
+        contracted.select(F.col("id_a").alias("node"))
+        .union(contracted.select("id_b"))
+        .distinct()
+    )
+    upd = (
+        connected_components(touched, contracted, "node")
+        .where(F.col("node") != F.col("component"))  # identity rows are no-ops
+        .select(F.col("node").alias("old"), F.col("component").alias("new"))
+        .localCheckpoint(eager=True)
+    )
+    base_out = (
+        state.join(upd, state["component"] == upd["old"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("new", "component").alias("component"),
+        )
+    )
+    new_out = (
+        new_nodes.select(id_col)
+        .join(upd, new_nodes[id_col] == upd["old"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("new", F.col(id_col)).alias("component"),
+        )
+    )
+    return base_out.unionByName(new_out)
+
+
 def verify_pairs(
     docs: DataFrame,
     pairs: DataFrame,

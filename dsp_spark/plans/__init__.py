@@ -1,5 +1,6 @@
 from dsp_spark.plans.inspect import (  # noqa: F401
     count_exchanges,
+    count_scans,
     formatted,
     has_broadcast_join,
     has_reused_exchange,

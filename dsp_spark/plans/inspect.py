@@ -58,6 +58,26 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) (?:Exchange|BroadcastExchange)\b", plan))
 
 
+def count_scans(df: DataFrame) -> int:
+    """Number of FILE-scan nodes (parquet/csv/json/orc/text, v1 `Scan`
+    or v2 `BatchScan`) in the plan — a reused subtree behind a
+    ReusedExchange counts once, matching what actually reads bytes.
+
+    This is the machine check for the "fewer corpus passes wins"
+    criterion BENCH_NOTES adjudicates plan trades by: at 100 TB a
+    second scan of the corpus costs more than an extra exchange of an
+    aggregated intermediate, so an unexplained scan-count increase is
+    a plan regression (enforced via PLAN_LOCK.json in
+    tools/scale_report.py)."""
+    plan = formatted(df)
+    return len(
+        re.findall(
+            r"\(\d+\) (?:Scan|BatchScan) (?:parquet|csv|json|orc|text)\b",
+            plan,
+        )
+    )
+
+
 def unpartitioned_windows(plan_or_df: DataFrame | str) -> list[str]:
     """Argument strings of Window nodes with an EMPTY partition spec.
 

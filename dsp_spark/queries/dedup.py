@@ -480,6 +480,61 @@ def dedup_incremental_new_docs(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_clusters_incremental",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.u
+    )
+    SELECT u AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY u
+    """,
+    doc="Incremental dedup-cluster MAINTENANCE: the previous release's "
+    "cluster assignment (base = even doc_ids, standing in for the "
+    "persisted state table) is updated with ONLY the new snapshot's LSH "
+    "edges (odd doc_ids = the ingest batch) — the cluster-level "
+    "companion to dedup_incremental_new_docs. New-edge endpoints are "
+    "contracted through the persisted labels, bounded union-find rounds "
+    "run over that contracted O(new-edges) graph (a new doc bridging "
+    "two base clusters merges them), and the resulting label mapping "
+    "rewrites only the touched clusters — the base pair graph is never "
+    "recontracted (operators/dedup.py:incremental_components). The "
+    "oracle is a recursive-CTE transitive closure over the FULL unioned "
+    "edge set: incremental maintenance must be bit-identical to a full "
+    "recompute, which holds because deterministic banding makes "
+    "base-base edges identical across releases, so every unseen edge "
+    "touches a new doc (candidate gen: corpus bands map-side vs a "
+    "BROADCAST of the batch's bands — the corpus never shuffles; "
+    "operators/dedup.py:lsh_new_edges).",
+)
+def dedup_clusters_incremental(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    new_ids = docs.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    # "persisted" state, rebuilt in-plan because a catalog entry is a
+    # pure function of the tables; checkpointed so the two label-join
+    # consumers in the fold don't re-run the base contraction
+    base_pairs = dd.minhash_lsh_pairs(
+        base, "doc_id", "text", n_hashes=8, bands=2, k=5
+    )
+    state = dd.connected_components(base, base_pairs, "doc_id").localCheckpoint(
+        eager=True
+    )
+    new_edges = dd.lsh_new_edges(
+        docs, new_ids, "doc_id", "text", n_hashes=8, bands=2, k=5
+    )
+    out = dd.incremental_components(state, new_ids, new_edges, "doc_id")
+    return out.select("doc_id", F.col("component").alias("cluster_id"))
+
+
 # --- containment / winnowing / rate rollup (round 4) ---------------------
 
 _CONT_INTER = (

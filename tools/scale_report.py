@@ -48,6 +48,13 @@ def compare_lock(old: dict, new: dict) -> list[str]:
                 f"{name}: global windows {o['global_windows']} -> "
                 f"{n['global_windows']}"
             )
+        # scan-count lock (r8 verdict ask #5): "fewer corpus passes
+        # wins" is how plan trades are adjudicated — an unexplained
+        # extra file scan is a regression even when exchanges are flat.
+        # A pre-r9 lock has no "scans" key; the first regenerate
+        # baselines it.
+        if o.get("scans") is not None and n["scans"] > o["scans"]:
+            regs.append(f"{name}: scans {o['scans']} -> {n['scans']}")
     return regs
 
 
@@ -92,6 +99,7 @@ def main() -> int:
                 gw,
                 len(plans.whole_stage_codegen_ids(df)),
                 n_global,
+                plans.count_scans(df),
             )
         )
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
@@ -110,18 +118,24 @@ def main() -> int:
             "ops); `UNBOUNDED` would be a data-grain single-task window, a\n"
             "scale bug the same test fails on. Shuffle counts are the\n"
             "invariant that survives a 1000x scale-up; row counts are not.\n\n"
-            "| entry | exchanges | bcast join | reuse | cartesian | global window | codegen stages |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "`scans` counts file-scan nodes (reused subtrees once): the\n"
+            "machine form of the 'fewer corpus passes wins' criterion —\n"
+            "unexplained increases fail the PLAN_LOCK gate like exchange\n"
+            "increases do.\n\n"
+            "| entry | exchanges | scans | bcast join | reuse | cartesian | global window | codegen stages |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write(
-                f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} | {r[6]} |\n"
+                f"| {r[0]} | {r[1]} | {r[8]} | {r[2]} | {r[3]} | {r[4]} | {r[5]} | {r[6]} |\n"
             )
         total = sum(r[1] for r in rows)
+        total_scans = sum(r[8] for r in rows)
         n_cartesian = sum(1 for r in rows if r[4])
         n_unbounded = sum(1 for r in rows if "UNBOUNDED" in r[5])
         f.write(
-            f"\n{len(rows)} entries, {total} exchanges total; "
+            f"\n{len(rows)} entries, {total} exchanges total, "
+            f"{total_scans} file scans total; "
             f"{n_cartesian} Cartesian products; "
             f"{n_unbounded} unbounded global windows.\n"
         )
@@ -149,6 +163,7 @@ def main() -> int:
                 "exchanges": r[1],
                 "bcast": r[2] == "y",
                 "global_windows": r[7],
+                "scans": r[8],
             }
             for r in rows
         },
