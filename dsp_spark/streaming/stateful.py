@@ -1396,3 +1396,153 @@ def k_anonymity_stream(rows: DataFrame, qi_cols: list[str]) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming linear multi-touch attribution ------------------------------
+
+ATTR_SCHEMA = (
+    "user_id bigint, conv bigint, attributed_type string, credit bigint"
+)
+_ATTR_STATE_SCHEMA = (
+    "ts_us array<bigint>, eids array<bigint>, types array<string>, "
+    "n_convs bigint"
+)
+
+
+def _attr_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        ts_l, eid_l, ty_l, n_convs = state.get
+        buf = [
+            (int(a), int(b), str(c)) for a, b, c in zip(ts_l, eid_l, ty_l)
+        ]
+        n_convs = int(n_convs)
+    else:
+        buf, n_convs = [], 0
+    rows: list[tuple] = []
+    for pdf in batches:
+        for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            rows.append((int(ts.value) // 1000, int(eid), str(et)))
+    # pending touches merge with the batch's rows and re-sort by EVENT
+    # time — within-batch arrival order never matters, and a touch
+    # arriving before its conversion's purchase (any interleaving
+    # across batches that preserves per-user touch-before-purchase
+    # order) lands in the right path
+    out: list[tuple] = []
+    touches: list[tuple] = []
+    for ts_us, eid, et in sorted(buf + rows):
+        if et == "purchase":
+            k = len(touches)
+            if k == 0:
+                out.append((user_id, n_convs, "none", 1000))
+            else:
+                base, rem = divmod(1000, k)
+                for i, (_t, _e, tty) in enumerate(touches):
+                    out.append(
+                        (
+                            user_id,
+                            n_convs,
+                            tty,
+                            base + (rem if i == k - 1 else 0),
+                        )
+                    )
+            n_convs += 1
+            touches = []
+        else:
+            touches.append((ts_us, eid, et))
+    state.update(
+        (
+            [t[0] for t in touches],
+            [t[1] for t in touches],
+            [t[2] for t in touches],
+            n_convs,
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "conv", "attributed_type", "credit"]
+        )
+
+
+def attribution_linear_stream(events: DataFrame) -> DataFrame:
+    """Streaming linear multi-touch attribution — the ingest-path twin
+    of the batch entry queries/windows.py:events_attribution_linear_milli.
+
+    State per user is the pending TOUCH buffer plus one conversion
+    counter (touches since the last purchase — O(path length), not
+    O(history); a purchase consumes and clears it). At each purchase
+    the operator emits integer-exact credit rows: floor(1000/k)
+    milli-credits per touch, remainder to the most recent touch by
+    (ts, event_id) — the same largest-remainder discipline as the
+    batch entry, so SUM(credit) == 1000 x conversions bit-exactly and
+    the per-type aggregate of the emitted rows equals the batch
+    entry's output (parity + split-invariance in
+    tests/test_streaming.py, both state providers in
+    tests/test_rocksdb_state.py).
+
+    Ordering contract: rows within a micro-batch arrive in any order
+    (state re-sorts by event time), and a touch may arrive any number
+    of batches before its purchase. The one arrival pattern that
+    diverges from batch is a touch arriving AFTER the purchase it
+    belongs to was already processed — credits are emissions, not
+    retractable state, so it rolls forward into the next conversion's
+    path (the standard streaming-attribution tradeoff; a watermark
+    reorder buffer would close it at the cost of delaying every
+    emission by the lateness bound)."""
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _attr_fn,
+        outputStructType=ATTR_SCHEMA,
+        stateStructType=_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def attribution_linear_batch(events: DataFrame) -> DataFrame:
+    """Batch twin on an arbitrary events DataFrame — same expression
+    tree as the catalog entry (queries/windows.py:
+    events_attribution_linear_milli); returns
+    (attributed_type, n_credited, milli_credits)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    grp = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    seq = events.select(
+        "user_id", "event_type", "ts", "event_id", grp.alias("grp")
+    )
+    purchases = seq.where(F.col("event_type") == "purchase").select(
+        "user_id", (F.col("grp") - 1).alias("conv")
+    )
+    touches = seq.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("grp").alias("conv"), "event_type", "ts", "event_id"
+    )
+    joined = purchases.join(touches, ["user_id", "conv"])
+    wk = W.partitionBy("user_id", "conv")
+    paths = joined.select(
+        "event_type",
+        F.count("*").over(wk).alias("k"),
+        F.row_number()
+        .over(wk.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rdesc"),
+    )
+    credit = F.expr("1000 DIV k") + F.when(
+        F.col("rdesc") == 1, F.expr("1000 % k")
+    ).otherwise(0)
+    credited = paths.select("event_type", credit.alias("credit"))
+    unmatched = purchases.join(
+        touches.select("user_id", "conv").distinct(),
+        ["user_id", "conv"],
+        "left_anti",
+    ).select(F.lit("none").alias("event_type"), F.lit(1000).alias("credit"))
+    return (
+        credited.unionByName(unmatched)
+        .groupBy(F.col("event_type").alias("attributed_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_credited"),
+            F.sum("credit").cast("bigint").alias("milli_credits"),
+        )
+    )

@@ -133,6 +133,7 @@ import pytest
 from dsp_spark.streaming.stateful import (
     SESSION_GAP_S,
     approx_distinct_stream,
+    attribution_linear_stream,
     cdc_net_effect_stream,
     cms_stream,
     ewma_stream,
@@ -257,7 +258,38 @@ def _cdc_frames_rdb():
     ]
 
 
+def _attr_frames_rdb():
+    import random
+
+    rng = random.Random(67)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                t0 + pd.Timedelta(minutes=eid),
+                rng.randrange(5),
+                rng.choice(
+                    ["click", "view", "view", "cart", "purchase", "purchase"]
+                ),
+            )
+        )
+    return [
+        pd.DataFrame(
+            rows[i * 100 : (i + 1) * 100],
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        for i in range(3)
+    ]
+
+
 _FAMILIES = {
+    "attribution_linear": (
+        _attr_frames_rdb,
+        attribution_linear_stream,
+        "append",
+    ),
     "cdc_net_effect": (
         _cdc_frames_rdb,
         cdc_net_effect_stream,

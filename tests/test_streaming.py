@@ -1051,3 +1051,141 @@ def test_k_anonymity_stream_matches_batch_counts(spark, tmp_path):
     assert len(final) == len(want)
     for (nat, seg), k in want.items():
         assert final[f"{nat}|{seg}"] == k
+
+
+# --- streaming linear attribution (r8 verdict ask #6) ----------------------
+
+
+def _attr_testdata(seed=61, n_users=6, n_events=400):
+    import pandas as pd
+
+    rng = __import__("random").Random(seed)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for eid in range(n_events):
+        rows.append(
+            (
+                eid,
+                base + pd.Timedelta(minutes=eid),
+                rng.randrange(n_users),
+                rng.choice(
+                    ["click", "view", "view", "cart", "purchase", "purchase"]
+                ),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+
+def _attr_stream_rows(spark, pdf, src, ck, n_files, *, shuffle_within=None):
+    """Run attribution_linear_stream over pdf split into n_files
+    CONTIGUOUS event-time micro-batches (the arrival contract: a touch
+    never lands after its purchase was processed); rows WITHIN a file
+    may be shuffled — state re-sorts by event time."""
+    import pandas as pd
+
+    from dsp_spark.streaming.stateful import attribution_linear_stream
+
+    src.mkdir()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    step = -(-len(pdf) // n_files)
+    for i in range(n_files):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        if shuffle_within is not None:
+            part = part.sample(frac=1.0, random_state=shuffle_within + i)
+        if len(part):
+            part.to_parquet(src / f"f{i}.parquet", coerce_timestamps="us")
+    schema = spark.createDataFrame(pdf).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    name = f"attr_{abs(hash(str(src))) % 10**9}"
+    q = (
+        attribution_linear_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return spark.table(name).collect()
+
+
+def _agg_credits(rows):
+    agg = {}
+    for r in rows:
+        n, s = agg.get(r.attributed_type, (0, 0))
+        agg[r.attributed_type] = (n + 1, s + r.credit)
+    return agg
+
+
+def test_attribution_stream_matches_batch_twin(spark, tmp_path):
+    """Per-type aggregate of the streamed credit rows bit-equals the
+    batch entry's expression tree over the same events."""
+    from dsp_spark.streaming.stateful import attribution_linear_batch
+
+    pdf = _attr_testdata()
+    rows = _attr_stream_rows(
+        spark, pdf, tmp_path / "src", tmp_path / "ck", 3
+    )
+    got = _agg_credits(rows)
+    want = {
+        r.attributed_type: (r.n_credited, r.milli_credits)
+        for r in attribution_linear_batch(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == want and len(want) >= 3
+
+
+def test_attribution_stream_conserves_milli_credits(spark, tmp_path):
+    """SUM(credit) == 1000 x conversions exactly — the integer-exact
+    largest-remainder contract, preserved across micro-batch splits."""
+    pdf = _attr_testdata(seed=97)
+    rows = _attr_stream_rows(
+        spark, pdf, tmp_path / "src", tmp_path / "ck", 4
+    )
+    n_purchases = int((pdf.event_type == "purchase").sum())
+    assert sum(r.credit for r in rows) == 1000 * n_purchases
+    # every conversion appears exactly once per (user, conv) pair
+    convs = {(r.user_id, r.conv) for r in rows}
+    assert len(convs) == n_purchases
+
+
+def test_attribution_stream_invariant_under_split_and_order(spark, tmp_path):
+    """2-batch vs 5-batch splits, with rows shuffled WITHIN each batch,
+    must emit identical credit multisets — within-batch arrival order
+    is re-sorted by event time in state."""
+    pdf = _attr_testdata(seed=13)
+    a = _attr_stream_rows(
+        spark, pdf, tmp_path / "s2", tmp_path / "c2", 2
+    )
+    b = _attr_stream_rows(
+        spark, pdf, tmp_path / "s5", tmp_path / "c5", 5, shuffle_within=7
+    )
+    key = lambda r: (r.user_id, r.conv, r.attributed_type, r.credit)
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_attribution_batch_twin_matches_catalog_entry(spark, sf_dir):
+    """The standalone batch twin and the driver-checked catalog entry
+    are the same function of the events table."""
+    from dsp_spark import catalog
+    from dsp_spark.session import read_table
+    from dsp_spark.streaming.stateful import attribution_linear_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    twin = {
+        r.attributed_type: (r.n_credited, r.milli_credits)
+        for r in attribution_linear_batch(ev).collect()
+    }
+    entry = {
+        r.attributed_type: (r.n_credited, r.milli_credits)
+        for r in catalog.queries()["events_attribution_linear_milli"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert twin == entry and len(entry) > 0
