@@ -167,6 +167,15 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "events_funnel_time_to_convert",
     "events_hourly_seasonality",
     "text_ngram_topk_per_lang",
+    # round-9 window: the r8 verdict's named oldest-r5 entries (ask #1)
+    # — float-emitting/sketch-heavy families that benefit most from a
+    # recheck — rank ahead of the module-order tail (which had been
+    # filling the r5 slots with low-risk relational q-queries)
+    "ann_index_persisted_topk",
+    "ann_recall_at_k",
+    "decontam_near_dup_eval",
+    "dataset_shuffle_order",
+    "events_funnel_conversion",
 )
 
 

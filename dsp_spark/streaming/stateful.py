@@ -1546,3 +1546,114 @@ def attribution_linear_batch(events: DataFrame) -> DataFrame:
             F.sum("credit").cast("bigint").alias("milli_credits"),
         )
     )
+
+
+# --- streaming funnel progression -------------------------------------------
+
+FUNNEL_SCHEMA = (
+    "user_id bigint, reached_view boolean, reached_click boolean, "
+    "reached_purchase boolean"
+)
+_FUNNEL_STATE_SCHEMA = "vt_us bigint, ct_us bigint, pt_us bigint"
+
+
+def _funnel_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        vt, ct, pt = state.get
+        vt = None if vt is None else int(vt)
+        ct = None if ct is None else int(ct)
+        pt = None if pt is None else int(pt)
+    else:
+        vt = ct = pt = None
+    rows: list[tuple] = []
+    for pdf in batches:
+        for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            rows.append((int(ts.value) // 1000, int(eid), str(et)))
+    # event-time order within the accumulated input: the first
+    # qualifying event in ascending order IS the min the batch twin's
+    # min-over-window computes
+    for ts_us, _eid, et in sorted(rows):
+        if et == "view":
+            if vt is None:
+                vt = ts_us
+        elif et == "click":
+            if ct is None and vt is not None and ts_us > vt:
+                ct = ts_us
+        elif et == "purchase":
+            if pt is None and ct is not None and ts_us > ct:
+                pt = ts_us
+    state.update((vt, ct, pt))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "reached_view": vt is not None,
+                "reached_click": ct is not None,
+                "reached_purchase": pt is not None,
+            }
+        ]
+    )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming view -> click -> purchase funnel progression — the
+    ingest-path twin of the catalog entry
+    queries/windows.py:events_funnel_conversion.
+
+    State is THREE bigints per user (first view ts, first
+    strictly-later click ts, first strictly-later purchase ts) —
+    O(1) per key on unbounded keys, re-emitted every micro-batch the
+    user appears in (update mode), so a conversion dashboard tracks
+    stage counts live. Ordering contract: rows within a micro-batch
+    arrive in any order (re-sorted by event time before folding); a
+    stage event arriving in a LATER batch than a same-stage event with
+    a smaller event time can't retro-lower an already-locked stage
+    (stage timestamps are write-once — the standard funnel-monitor
+    tradeoff; the batch entry is the retrospective truth). Parity +
+    split invariance in tests/test_streaming.py, both state providers
+    in tests/test_rocksdb_state.py."""
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def funnel_batch(events: DataFrame) -> DataFrame:
+    """Batch twin on an arbitrary events DataFrame — same expression
+    tree as the catalog entry events_funnel_conversion."""
+    w = W.partitionBy("user_id")
+    s1 = events.withColumn(
+        "vt", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "ct",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("vt")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "pt",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("ct")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.max(F.col("vt").isNotNull()).alias("reached_view"),
+        F.max(F.col("ct").isNotNull()).alias("reached_click"),
+        F.max(F.col("pt").isNotNull()).alias("reached_purchase"),
+    )

@@ -137,6 +137,7 @@ from dsp_spark.streaming.stateful import (
     cdc_net_effect_stream,
     cms_stream,
     ewma_stream,
+    funnel_stream,
     k_anonymity_stream,
     near_dup_candidates_stream,
     quantile_histogram_stream,
@@ -289,6 +290,11 @@ _FAMILIES = {
         _attr_frames_rdb,
         attribution_linear_stream,
         "append",
+    ),
+    "funnel_progression": (
+        _attr_frames_rdb,
+        funnel_stream,
+        "update",
     ),
     "cdc_net_effect": (
         _cdc_frames_rdb,

@@ -1189,3 +1189,97 @@ def test_attribution_batch_twin_matches_catalog_entry(spark, sf_dir):
         ).collect()
     }
     assert twin == entry and len(entry) > 0
+
+
+# --- streaming funnel progression ------------------------------------------
+
+
+def _funnel_stream_final(spark, pdf, src, ck, n_files):
+    """update-mode stream; per user keep the LAST emission (funnel
+    stage flags are monotone, so max over the booleans is the final
+    state — still asserted via batch-id tagging for rigor)."""
+    from dsp_spark.streaming.stateful import funnel_stream
+
+    src.mkdir()
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    step = -(-len(pdf) // n_files)
+    for i in range(n_files):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        if len(part):
+            part.to_parquet(src / f"f{i}.parquet", coerce_timestamps="us")
+    schema = spark.createDataFrame(pdf).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = src.parent / (src.name + "_out")
+
+    def _sink(df, epoch_id):
+        df.withColumn("batch_id", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(str(out))
+
+    q = (
+        funnel_stream(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    final = {}
+    for r in spark.read.parquet(str(out)).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.batch_id > cur[0]:
+            final[r.user_id] = (
+                r.batch_id,
+                r.reached_view,
+                r.reached_click,
+                r.reached_purchase,
+            )
+    return {u: v[1:] for u, v in final.items()}
+
+
+def test_funnel_stream_matches_batch_twin(spark, tmp_path):
+    from dsp_spark.streaming.stateful import funnel_batch
+
+    # sparse: ~7 events/user so some users stall mid-funnel
+    pdf = _attr_testdata(seed=29, n_users=40, n_events=300)
+    got = _funnel_stream_final(
+        spark, pdf, tmp_path / "src", tmp_path / "ck", 3
+    )
+    want = {
+        r.user_id: (r.reached_view, r.reached_click, r.reached_purchase)
+        for r in funnel_batch(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == want and len(want) >= 5
+    # the funnel must actually discriminate stages in this fixture
+    assert len(set(got.values())) >= 2
+
+
+def test_funnel_stream_invariant_under_split(spark, tmp_path):
+    pdf = _attr_testdata(seed=31)
+    a = _funnel_stream_final(spark, pdf, tmp_path / "s2", tmp_path / "c2", 2)
+    b = _funnel_stream_final(spark, pdf, tmp_path / "s5", tmp_path / "c5", 5)
+    assert a == b
+
+
+def test_funnel_batch_twin_matches_catalog_entry(spark, sf_dir):
+    from dsp_spark import catalog
+    from dsp_spark.session import read_table
+    from dsp_spark.streaming.stateful import funnel_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    twin = {
+        r.user_id: (r.reached_view, r.reached_click, r.reached_purchase)
+        for r in funnel_batch(ev).collect()
+    }
+    entry = {
+        r.user_id: (r.reached_view, r.reached_click, r.reached_purchase)
+        for r in catalog.queries()["events_funnel_conversion"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert twin == entry and len(entry) > 0
