@@ -280,6 +280,7 @@ _MODULE_ORDER = (
     "sketches",
     "graph",
     "layout",
+    "features",
 )
 
 
@@ -304,6 +305,7 @@ def _load_all() -> None:
         sketches,
         graph,
         layout,
+        features,
     )
 
     _LOADED = True

@@ -1,0 +1,449 @@
+"""ML feature-engineering and record-linkage catalog entries.
+
+The operations a feature store / entity-resolution pass runs next to
+the curation pipeline: leakage-safe target encoding, in-engine
+regression slopes, skyline (Pareto-front) extraction, and
+sorted-neighborhood blocking for fuzzy record linkage. The reference
+engine has none of these (no SQL/aggregation surface, SURVEY.md §2.4);
+they exist here because a training-data platform needs them at the
+same scale as the dedup/sampling layers.
+
+Determinism contract (queries/_util.py): all statistics accumulate as
+exact int64 cents or DECIMAL(38,0), and every emitted double is the
+identical expression evaluated on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dsp_spark.catalog import register
+from dsp_spark.queries._util import dec, t
+
+
+@register(
+    "feature_target_encoding_loo",
+    """
+    WITH j AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), s AS (
+        SELECT segment,
+               CAST(SUM(cents) AS BIGINT) AS seg_sum,
+               CAST(COUNT(*) AS BIGINT) AS seg_n
+        FROM j GROUP BY segment
+    )
+    SELECT j.o_orderkey, j.segment,
+           CAST(s.seg_sum - j.cents AS DOUBLE) / (s.seg_n - 1)
+               AS loo_enc_cents
+    FROM j JOIN s ON j.segment = s.segment
+    WHERE s.seg_n > 1
+    """,
+    doc="Leakage-safe leave-one-out target encoding of the customer "
+    "market segment against order value: each order's encoding is the "
+    "segment mean computed WITHOUT its own row ((sum - own)/(n-1)), "
+    "the standard trick that prevents the feature from memorizing its "
+    "own target. Sums are exact int64 cents, so the LOO double is the "
+    "identical division on both engines. Orders join the customer dim "
+    "(broadcast), the per-segment statistics table is a handful of "
+    "rows broadcast back — the fact table shuffles zero times.",
+)
+def feature_target_encoding_loo(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = j.groupBy("segment").agg(
+        F.sum("cents").cast("bigint").alias("seg_sum"),
+        F.count("*").cast("bigint").alias("seg_n"),
+    )
+    return (
+        j.join(F.broadcast(s), "segment")
+        .filter(F.col("seg_n") > 1)
+        .select(
+            "o_orderkey",
+            "segment",
+            (
+                (F.col("seg_sum") - F.col("cents")).cast("double")
+                / (F.col("seg_n") - 1)
+            ).alias("loo_enc_cents"),
+        )
+    )
+
+
+@register(
+    "part_price_qty_elasticity",
+    """
+    WITH j AS (
+        SELECT p.p_brand,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS DECIMAL(19,0)) AS x,
+               CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100
+                    AS DECIMAL(19,0)) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), s AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * x) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(x * y) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+        FROM j GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS qty_price_slope
+    FROM s
+    """,
+    doc="Per-brand OLS slope of quantity against line price (a crude "
+    "in-engine elasticity screen — negative slope means bigger-ticket "
+    "lines move fewer units). All four sufficient statistics "
+    "accumulate as exact DECIMAL(38,0) cents (a cent price squared "
+    "overflows int64 at scale; decimal does not), then the closed-form "
+    "slope is the identical double expression on both engines. One "
+    "broadcast part-dim join + one brand-keyed partial agg: the "
+    "lineitem scan never shuffles at data grain, output is 25 rows "
+    "regardless of corpus size.",
+)
+def part_price_qty_elasticity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        (dec("l_extendedprice") * 100).cast("decimal(19,0)").alias("x"),
+        (dec("l_quantity") * 100).cast("decimal(19,0)").alias("y"),
+    )
+    s = j.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x") * F.col("y"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select("p_brand", "n", slope.alias("qty_price_slope"))
+
+
+@register(
+    "parts_skyline_per_brand",
+    """
+    WITH d AS (
+        SELECT p_partkey, p_brand, p_size,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM part
+    ), g AS (
+        SELECT p_brand, price_cents, CAST(MAX(p_size) AS INTEGER) AS smax
+        FROM d GROUP BY p_brand, price_cents
+    ), r AS (
+        SELECT p_brand, price_cents, smax,
+               MAX(smax) OVER (PARTITION BY p_brand ORDER BY price_cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS run_prev
+        FROM g
+    )
+    SELECT d.p_partkey, d.p_brand, d.price_cents, d.p_size
+    FROM d
+    JOIN r ON d.p_brand = r.p_brand AND d.price_cents = r.price_cents
+    WHERE NOT (r.run_prev IS NOT NULL AND r.run_prev >= d.p_size)
+      AND NOT (r.smax > d.p_size)
+    """,
+    doc="Per-brand skyline (Pareto front) of parts on (cheaper price, "
+    "larger size): a part survives iff no same-brand part is <= its "
+    "price AND >= its size with one strict. Computed with the "
+    "O(n log n) sorted-sweep, not a self-join: collapse to per-(brand,"
+    "price) max-size rows, one running-max window over strictly "
+    "cheaper prices (rows are price-distinct so ROWS..1 PRECEDING is "
+    "exactly the strict set), then dominance is two integer "
+    "comparisons. groupBy, window, and join-back all share the brand "
+    "partitioning — one exchange of dim-sized data, no pair "
+    "enumeration anywhere, so the classic quadratic skyline blowup "
+    "cannot happen at any scale.",
+)
+def parts_skyline_per_brand(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    d = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        (dec("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    g = d.groupBy("p_brand", "price_cents").agg(
+        F.max("p_size").cast("int").alias("smax")
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "p_brand",
+        "price_cents",
+        "smax",
+        F.max("smax").over(w).alias("run_prev"),
+    )
+    dominated = (
+        F.col("run_prev").isNotNull() & (F.col("run_prev") >= F.col("p_size"))
+    ) | (F.col("smax") > F.col("p_size"))
+    return (
+        d.join(r, ["p_brand", "price_cents"])
+        .filter(~dominated)
+        .select("p_partkey", "p_brand", "price_cents", "p_size")
+    )
+
+
+@register(
+    "er_sorted_neighborhood_pairs",
+    """
+    WITH s AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               LEAD(c_custkey, 1) OVER w AS k1,
+               LEAD(c_name, 1) OVER w AS n1,
+               LEAD(c_custkey, 2) OVER w AS k2,
+               LEAD(c_name, 2) OVER w AS n2
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey)
+    ), pairs AS (
+        SELECT c_nationkey, c_custkey AS key_a, k1 AS key_b,
+               CAST(levenshtein(c_name, n1) AS INTEGER) AS lev_dist
+        FROM s WHERE k1 IS NOT NULL
+        UNION ALL
+        SELECT c_nationkey, c_custkey, k2,
+               CAST(levenshtein(c_name, n2) AS INTEGER)
+        FROM s WHERE k2 IS NOT NULL
+    )
+    SELECT c_nationkey, key_a, key_b, lev_dist
+    FROM pairs WHERE lev_dist <= 2
+    """,
+    doc="Sorted-neighborhood blocking for entity resolution: within "
+    "each nation block, sort customers by name and compare each row "
+    "only to its 2 successors (window w=3), keeping pairs with "
+    "Levenshtein distance <= 2 as merge candidates. The classic "
+    "alternative to LSH blocking (fuzzy_part_name_pairs) when records "
+    "have a sortable key: candidate count is w*n, never quadratic. "
+    "One window per nation partition — the sort is bounded per block, "
+    "never global — and edit distance is an exact integer on both "
+    "engines. At 100 TB the blocking key just gets finer (nation -> "
+    "name prefix) to bound partition width; the plan shape is "
+    "unchanged.",
+)
+def er_sorted_neighborhood_pairs(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    s = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.lead("c_custkey", 1).over(w).alias("k1"),
+        F.lead("c_name", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("k2"),
+        F.lead("c_name", 2).over(w).alias("n2"),
+    )
+
+    # one explode, not a 2-arm union: a union would duplicate the
+    # window subplan and rescan customer once per neighbor offset
+    arms = F.array(
+        *[
+            F.struct(
+                F.col(k).alias("key_b"),
+                F.levenshtein("c_name", n).cast("int").alias("lev_dist"),
+            )
+            for k, n in (("k1", "n1"), ("k2", "n2"))
+        ]
+    )
+    return (
+        s.select(
+            "c_nationkey",
+            F.col("c_custkey").alias("key_a"),
+            F.explode(arms).alias("p"),
+        )
+        .filter(F.col("p.key_b").isNotNull() & (F.col("p.lev_dist") <= 2))
+        .select(
+            "c_nationkey",
+            "key_a",
+            F.col("p.key_b").alias("key_b"),
+            F.col("p.lev_dist").alias("lev_dist"),
+        )
+    )
+
+
+@register(
+    "orders_interpurchase_km",
+    """
+    WITH g AS (
+        SELECT CAST(datediff('day',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+    ), d AS (
+        SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS d
+        FROM g WHERE gap_days IS NOT NULL GROUP BY gap_days
+    ), r AS (
+        SELECT gap_days, d,
+               CAST((SELECT SUM(d) FROM d) -
+                    COALESCE(SUM(d) OVER (ORDER BY gap_days
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+        FROM d
+    ), terms AS (
+        SELECT gap_days, d, n_risk,
+               CASE WHEN d < n_risk
+                    THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                    * 1e12) AS BIGINT)
+                    ELSE NULL END AS term_pico
+        FROM r
+    )
+    SELECT gap_days, d, n_risk,
+           CASE WHEN d = n_risk THEN 0.0
+                ELSE round(exp(CAST(CAST(SUM(term_pico) OVER
+                         (ORDER BY gap_days ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS DOUBLE) / 1e12), 9)
+           END AS survival
+    FROM terms
+    """,
+    doc="Kaplan-Meier survival curve of customer inter-purchase gaps "
+    "(days between consecutive orders) — the churn-model input: "
+    "S(t) = prod(1 - d_i/n_i) over gap days <= t. The multiplicative "
+    "recursion becomes a SUM of per-day ln(1-d/n) terms quantized to "
+    "exact pico-units, cumulated by window, exponentiated once at the "
+    "edge — order-independent and bit-equal across engines. The fact "
+    "scan collapses through (customer-partitioned lag) -> per-day "
+    "counts; the risk-set window runs over DISTINCT gap days (a few "
+    "hundred rows at any corpus size — an audited bounded global "
+    "window). The terminal day (d = n_risk) emits survival 0 exactly, "
+    "dodging ln(0).",
+)
+def orders_interpurchase_km(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    wc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wc))
+        .cast("bigint")
+        .alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    # materialize the ~1k-row distinct-day table once: the total and
+    # the risk-set window would otherwise each rescan orders
+    d = g.groupBy("gap_days").agg(
+        F.count("*").cast("bigint").alias("d")
+    ).localCheckpoint(eager=True)
+    # total gaps via 1-row broadcast; running death counts via the
+    # bounded distinct-day window
+    tot = d.agg(F.sum("d").cast("bigint").alias("total"))
+    wd = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, -1)
+    r = d.crossJoin(F.broadcast(tot)).select(
+        "gap_days",
+        "d",
+        (
+            F.col("total")
+            - F.coalesce(F.sum("d").over(wd), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(1.0 - frac) * 1e12).cast("bigint"),
+    )
+    terms = r.select("gap_days", "d", "n_risk", term.alias("term_pico"))
+    wcum = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, 0)
+    # exp() is only 1-ulp-accurate and libm != JVM Math.exp; round
+    # the emitted survival to 9 decimals so the edge is cross-engine
+    surv = F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum("term_pico").over(wcum).cast("bigint").cast("double")
+                / 1e12
+            ),
+            9,
+        )
+    )
+    return terms.select("gap_days", "d", "n_risk", surv.alias("survival"))
+
+
+@register(
+    "supplier_hhi_by_parttype",
+    """
+    WITH j AS (
+        SELECT p.p_type, l.l_suppkey,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ), tot AS (
+        SELECT p_type, CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM j GROUP BY p_type
+    ), terms AS (
+        SELECT j.p_type, tot.n_suppliers,
+               CAST(round((CAST(j.cents AS DOUBLE) / tot.total)
+                          * (CAST(j.cents AS DOUBLE) / tot.total) * 1e12)
+                    AS BIGINT) AS term_pico
+        FROM j JOIN tot ON j.p_type = tot.p_type
+    )
+    SELECT p_type, CAST(MAX(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(CAST(SUM(term_pico) AS BIGINT) AS DOUBLE) / 1e12 AS hhi
+    FROM terms GROUP BY p_type
+    """,
+    doc="Herfindahl-Hirschman supplier-concentration index per part "
+    "type (0..1; 1 = monopoly supplier) — the procurement-risk audit. "
+    "Squared revenue shares are identical doubles from exact cent "
+    "ratios, quantized to pico-units before the per-type sum. One "
+    "broadcast dim join feeding a (type,supplier)-grain partial agg, "
+    "then two type-keyed folds that reuse the same partitioning — the "
+    "fact scan shuffles once at supplier grain, output is one row per "
+    "type.",
+)
+def supplier_hhi_by_parttype(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    j = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+        # materialize the (type,supplier)-grain table (dictionary x dim
+        # rows) once: totals and terms would otherwise rescan lineitem
+        .localCheckpoint(eager=True)
+    )
+    tot = j.groupBy("p_type").agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("total")
+    term = F.round(share * share * 1e12).cast("bigint")
+    terms = j.join(tot, "p_type").select(
+        "p_type", "n_suppliers", term.alias("term_pico")
+    )
+    return terms.groupBy("p_type").agg(
+        F.max("n_suppliers").cast("bigint").alias("n_suppliers"),
+        (F.sum("term_pico").cast("bigint").cast("double") / 1e12).alias(
+            "hhi"
+        ),
+    )

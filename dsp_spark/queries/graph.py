@@ -128,3 +128,67 @@ def graph_degree_distribution(spark, sf_dir):
             F.max("degree").cast("bigint").alias("max_degree"),
         )
     )
+
+
+@register(
+    "graph_adamic_adar_pairs",
+    f"""
+    WITH {_LSH_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY u),
+    wedges AS (
+        SELECT e1.v AS w, e1.u AS a, e2.u AS b
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.v AND e1.u < e2.u
+    )
+    SELECT wg.a AS id_a, wg.b AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           CAST(SUM(CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)))
+                         AS BIGINT)) AS BIGINT) AS aa_micro
+    FROM wedges wg JOIN deg d ON wg.w = d.w
+    GROUP BY wg.a, wg.b
+    """,
+    doc="Adamic-Adar link prediction over the near-dup graph: for each "
+    "pair of documents sharing LSH-edge neighbors, sum 1/ln(deg(w)) "
+    "over common neighbors w — high scores predict missing duplicate "
+    "edges the banding narrowly missed (the recall-repair pass after "
+    "LSH). Each AA term is quantized to an exact integer micro-score "
+    "BEFORE summing (round of the identical per-node double), so the "
+    "aggregate is order-independent and bit-equal across engines — a "
+    "raw double sum would not be. Wedge enumeration is the posting-"
+    "list self-join on the shared neighbor (bounded by the degree "
+    "distribution the degree entry audits, never all-pairs), and "
+    "every common neighbor has deg >= 2 so ln() never hits zero. "
+    "One neighbor-keyed join + one pair-keyed partial agg.",
+)
+def graph_adamic_adar_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=2, k=5
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("w")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    e1 = edges.select(F.col("v").alias("w"), F.col("u").alias("a"))
+    e2 = edges.select(F.col("v").alias("w"), F.col("u").alias("b"))
+    wedges = e1.join(e2, "w").filter(F.col("a") < F.col("b"))
+    term = F.round(F.lit(1000000.0) / F.log(F.col("deg").cast("double"))).cast(
+        "bigint"
+    )
+    return (
+        wedges.join(deg, "w")
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.sum(term).cast("bigint").alias("aa_micro"),
+        )
+    )

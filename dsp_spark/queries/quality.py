@@ -759,3 +759,100 @@ def privacy_l_diversity_audit(spark, sf_dir):
         .cast("int")
         .alias("at_risk"),
     )
+
+
+@register(
+    "dq_psi_price_drift",
+    """
+    WITH b AS (
+        SELECT CAST(least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT) // 6000000, 9) AS INTEGER)
+                   AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS before
+        FROM orders
+    ), c AS (
+        SELECT bucket,
+               CAST(SUM(before) AS BIGINT) AS n_before,
+               CAST(COUNT(*) - SUM(before) AS BIGINT) AS n_after
+        FROM b GROUP BY bucket
+    ), tot AS (
+        SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+               CAST(SUM(n_after) AS BIGINT) AS ta
+        FROM c
+    ), shares AS (
+        SELECT c.bucket, c.n_before, c.n_after,
+               CAST(c.n_before + 1 AS DOUBLE) / (tot.tb + 10) AS p,
+               CAST(c.n_after + 1 AS DOUBLE) / (tot.ta + 10) AS q
+        FROM c, tot
+    ), terms AS (
+        SELECT bucket, n_before, n_after, p, q,
+               CAST(round((p - q) * ln(p / q) * 1e12) AS BIGINT)
+                   AS term_pico
+        FROM shares
+    )
+    SELECT bucket, n_before, n_after, p, q, term_pico,
+           CAST((SELECT CAST(SUM(term_pico) AS BIGINT) FROM terms)
+                AS DOUBLE) / 1e12 AS psi
+    FROM terms
+    """,
+    doc="Population Stability Index between pre- and post-1998 order "
+    "values over 10 fixed $60k price buckets — the standard drift "
+    "gate before a model retrain consumes a new snapshot (PSI > 0.2 "
+    "= investigate). Laplace +1 smoothing keeps every fixed bucket "
+    "defined; each bucket's PSI term is an identical double expression "
+    "quantized to exact pico-units BEFORE the total sum, so the "
+    "10-term aggregate is order-independent and bit-equal across "
+    "engines (a raw double sum would not be). One scan, one "
+    "bucket-keyed partial agg; the 10-row stats table cross-joins "
+    "back broadcast. Bucket edges are FIXED constants, so the 100 TB "
+    "run's schema and semantics match the test run's exactly.",
+)
+def dq_psi_price_drift(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    b = o.select(
+        F.least(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+                " div 6000000"
+            ),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+        )
+        .otherwise(0)
+        .alias("before"),
+    )
+    # materialize the 10-row bucket table once: totals, terms and the
+    # PSI sum would otherwise each rescan orders
+    c = b.groupBy("bucket").agg(
+        F.sum("before").cast("bigint").alias("n_before"),
+        (F.count("*") - F.sum("before")).cast("bigint").alias("n_after"),
+    ).localCheckpoint(eager=True)
+    # per-bucket smoothed shares need the totals: annotate via a 1-row
+    # broadcast cross join, never a global window over the fact
+    tots = c.agg(
+        F.sum("n_before").cast("bigint").alias("tb"),
+        F.sum("n_after").cast("bigint").alias("ta"),
+    )
+    j = c.crossJoin(F.broadcast(tots))
+    p = (F.col("n_before") + 1).cast("double") / (F.col("tb") + 10)
+    q = (F.col("n_after") + 1).cast("double") / (F.col("ta") + 10)
+    term = F.round((p - q) * F.log(p / q) * 1e12).cast("bigint")
+    terms = j.select(
+        "bucket", "n_before", "n_after",
+        p.alias("p"), q.alias("q"), term.alias("term_pico"),
+    )
+    psi = terms.agg(
+        F.sum("term_pico").cast("bigint").alias("psi_pico")
+    )
+    return terms.crossJoin(F.broadcast(psi)).select(
+        "bucket", "n_before", "n_after", "p", "q", "term_pico",
+        (F.col("psi_pico").cast("double") / 1e12).alias("psi"),
+    )

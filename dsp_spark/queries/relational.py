@@ -1241,3 +1241,56 @@ def fuzzy_part_name_pairs(spark, sf_dir):
             jac.alias("jaccard"),
         )
     )
+
+
+@register(
+    "orders_seasonal_index",
+    """
+    WITH m AS (
+        SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY month(o_orderdate)
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_months
+        FROM m
+    )
+    SELECT m.mon, m.n_orders,
+           CAST(m.cents AS DOUBLE) / 100 AS revenue,
+           CAST(m.cents AS DOUBLE) * tot.n_months / tot.total
+               AS seasonal_idx
+    FROM m, tot
+    """,
+    doc="Month-of-year seasonal index of order revenue (ratio-to-"
+    "overall-mean, the first step of classical seasonal "
+    "decomposition): index > 1 months run hot. The fact scan "
+    "collapses to <= 12 month rows in one partial-agg shuffle; the "
+    "1-row total is annotated back via broadcast cross join, never a "
+    "global window. Cent sums are exact ints, the index is the "
+    "identical double expression on both engines.",
+)
+def orders_seasonal_index(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("bigint")
+    # materialize the 12-row month table once: the total would
+    # otherwise rescan orders
+    m = o.groupBy(F.month("o_orderdate").cast("int").alias("mon")).agg(
+        F.sum(cents).cast("bigint").alias("cents"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    ).localCheckpoint(eager=True)
+    tot = m.agg(
+        F.sum("cents").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_months"),
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        "mon",
+        "n_orders",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (
+            F.col("cents").cast("double")
+            * F.col("n_months")
+            / F.col("total")
+        ).alias("seasonal_idx"),
+    )

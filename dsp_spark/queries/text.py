@@ -1790,3 +1790,58 @@ def tokens_per_doc_gini(spark, sf_dir):
             / (F.max("n") * F.sum("n_tokens"))
         ).alias("gini"),
     )
+
+
+@register(
+    "text_hapax_rate_by_source",
+    """
+    WITH toks AS (
+        SELECT source, lower(tok) AS tok
+        FROM (SELECT source,
+                     unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ), tc AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS ttr,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS hapax_rate
+    FROM tc GROUP BY source
+    """,
+    doc="Type-token ratio and hapax-legomena rate per source — the "
+    "lexical-richness screen next to unigram entropy: sources with "
+    "abnormally LOW hapax rate are template/boilerplate mills, "
+    "abnormally HIGH suggests OCR noise or ID-heavy spam; both get "
+    "routed to the quality filters. Same whitespace tokenizer as the "
+    "vocab/BPE entries (textops.tokens). Two-level integer aggregate: "
+    "the (source,token)-keyed count folds map-side so the shuffle "
+    "carries partial counts, the per-source reduce is type-grain; "
+    "ratios are exact-int divisions, identical on both engines.",
+)
+def text_hapax_rate_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source", F.explode(textops.tokens("text")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .select("source", F.lower("tok").alias("tok"))
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    hapax = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        (F.count("*").cast("double") / F.sum("cnt")).alias("ttr"),
+        (hapax.cast("double") / F.count("*")).alias("hapax_rate"),
+    )

@@ -1820,3 +1820,361 @@ def events_bounce_rate_by_type(spark, sf_dir):
             "bounce_rate"
         ),
     )
+
+
+@register(
+    "events_level_shift_detect",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), d AS (
+        SELECT event_type, hour_start, n,
+               CAST(s_cents AS DOUBLE) / n AS mean_cents,
+               LAG(CAST(s_cents AS DOUBLE) / n) OVER
+                   (PARTITION BY event_type ORDER BY hour_start)
+                   AS prev_mean_cents
+        FROM h
+    )
+    SELECT event_type, hour_start, n, prev_mean_cents, mean_cents,
+           abs(mean_cents - prev_mean_cents) AS shift_cents
+    FROM d
+    WHERE prev_mean_cents IS NOT NULL
+      AND abs(mean_cents - prev_mean_cents) > 9000.0
+    """,
+    doc="Level-shift (changepoint) detection on the per-type hourly "
+    "mean-value series: consecutive-hour mean deltas beyond a 90-dollar "
+    "threshold flag regime changes (the streaming-monitor alarm shape). "
+    "Means are exact-int cent sums over exact counts, so the double "
+    "ratio and the threshold comparison are bit-identical on both "
+    "engines. One (type,hour)-keyed partial agg — grain is hours x "
+    "types, independent of event count — then a per-type lag window "
+    "over that tiny series. At 100 TB the window input is still only "
+    "24*365 rows per type per year.",
+)
+def events_level_shift_detect(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    h = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.sum(cents).cast("bigint").alias("s_cents"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    mean = F.col("s_cents").cast("double") / F.col("n")
+    w = W.partitionBy("event_type").orderBy("hour_start")
+    d = h.select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.lag(mean).over(w).alias("prev_mean_cents"),
+        mean.alias("mean_cents"),
+    )
+    shift = F.abs(F.col("mean_cents") - F.col("prev_mean_cents"))
+    return d.filter(
+        F.col("prev_mean_cents").isNotNull() & (shift > 9000.0)
+    ).select(
+        "event_type", "hour_start", "n", "prev_mean_cents", "mean_cents",
+        shift.alias("shift_cents"),
+    )
+
+
+@register(
+    "events_acf_hourly",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, x,
+               LAG(x, 1) OVER w AS y1,
+               LAG(x, 2) OVER w AS y2,
+               LAG(x, 3) OVER w AS y3
+        FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ), pairs AS (
+        SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, x, y2 FROM lagged WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, x, y3 FROM lagged WHERE y3 IS NOT NULL
+    ), s AS (
+        SELECT event_type, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS acf
+    FROM s
+    """,
+    doc="Autocorrelation of the per-type hourly event-count series at "
+    "lags 1-3 (seasonality/persistence diagnostic before forecasting). "
+    "Counts are exact ints; all six sufficient statistics per "
+    "(type,lag) accumulate as int64 in one pass over the tiny hourly "
+    "series, and the Pearson expression is the identical double "
+    "formula on both engines (same shape as lineitem_numeric_corr). "
+    "The event-grain work is one (type,hour) partial-agg shuffle; the "
+    "lag window and the stats run on hours x types rows.",
+)
+def events_acf_hourly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w = W.partitionBy("event_type").orderBy("hr")
+    lagged = h.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("y1"),
+        F.lag("x", 2).over(w).alias("y2"),
+        F.lag("x", 3).over(w).alias("y3"),
+    )
+    # one explode, not a 3-arm union: a union would re-derive the
+    # hourly series (and rescan events) once per lag
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"), F.col(f"y{k}").alias("y")
+            )
+            for k in (1, 2, 3)
+        ]
+    )
+    pairs = (
+        lagged.select("event_type", "x", F.explode(arms).alias("p"))
+        .filter(F.col("p.y").isNotNull())
+        .select(
+            "event_type",
+            F.col("p.lag").alias("lag"),
+            "x",
+            F.col("p.y").alias("y"),
+        )
+    )
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        (num / den).alias("acf"),
+    )
+
+
+@register(
+    "events_interarrival_burstiness",
+    """
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DECIMAL(19,0)) AS gap
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(CAST(SUM(gap) AS DECIMAL(38,0)) AS DOUBLE) AS sg,
+               CAST(CAST(SUM(gap * gap) AS DECIMAL(38,0)) AS DOUBLE) AS sgg
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           sg / n_gaps / 1e6 AS mean_gap_s,
+           sqrt(sgg / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+               / (sg / n_gaps) AS cv,
+           (sqrt(sgg / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                - sg / n_gaps)
+           / (sqrt(sgg / n_gaps - (sg / n_gaps) * (sg / n_gaps))
+                + sg / n_gaps) AS burstiness
+    FROM s WHERE n_gaps >= 5
+    """,
+    doc="Per-user inter-arrival burstiness (Goh-Barabasi B = "
+    "(sigma-mu)/(sigma+mu)) and coefficient of variation over epoch-us "
+    "gaps: B near 0 = Poisson-like, near 1 = bursty bots, near -1 = "
+    "metronome schedulers. Gap sums and sums-of-squares accumulate as "
+    "exact DECIMAL(38,0) (a us gap squared overflows int64, decimal "
+    "does not), then every double is the identical expression on both "
+    "engines. One user-keyed window + one user-keyed agg that share a "
+    "single exchange; state per user is two decimals and a count, so "
+    "the profile scales to any event volume.",
+)
+def events_interarrival_burstiness(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = (us - F.lag(us).over(w)).cast("decimal(19,0)")
+    g = ev.select("user_id", gap.alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    s = g.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("decimal(38,0)").cast("double").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sgg"),
+    )
+    mu = F.col("sg") / F.col("n_gaps")
+    sigma = F.sqrt(F.col("sgg") / F.col("n_gaps") - mu * mu)
+    return s.filter(F.col("n_gaps") >= 5).select(
+        "user_id",
+        "n_gaps",
+        (mu / 1e6).alias("mean_gap_s"),
+        (sigma / mu).alias("cv"),
+        ((sigma - mu) / (sigma + mu)).alias("burstiness"),
+    )
+
+
+@register(
+    "events_cusum_alarm",
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s_cents
+        FROM events GROUP BY 1, 2
+    ), tgt AS (
+        SELECT event_type,
+               CAST(SUM(s_cents) AS BIGINT) // COUNT(*) AS target
+        FROM h GROUP BY event_type
+    ), p AS (
+        SELECT h.event_type, h.hour_start, h.s_cents,
+               CAST(SUM(h.s_cents - tgt.target) OVER w AS BIGINT) AS pre
+        FROM h JOIN tgt ON h.event_type = tgt.event_type
+        WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour_start
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, hour_start, s_cents,
+           CAST(pre - least(0, MIN(pre) OVER w2) AS BIGINT) AS cusum_cents,
+           pre - least(0, MIN(pre) OVER w2) > 200000 AS alarm
+    FROM p
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY hour_start
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="One-sided CUSUM changepoint monitor on the per-type hourly "
+    "revenue series, via the closed form: the recursive "
+    "S_i = max(0, S_{i-1} + d_i) equals P_i - min(P_0..P_i) for the "
+    "running sum P of deviations, so the 'iterative' control chart is "
+    "two stacked windows over the SAME partition key — no recursion, "
+    "no UDF, one exchange. Deviations are exact ints (hourly cent "
+    "sums minus the integer-floor per-type mean), so CUSUM values and "
+    "the alarm comparison are bit-equal across engines. Window input "
+    "is hours x types, independent of event volume; the streaming "
+    "twin (cusum_stream) folds the same recurrence with one (S, min) "
+    "pair of bigints per key.",
+)
+def events_cusum_alarm(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = (dec("value") * 100).cast("bigint")
+    # materialize the tiny hourly table once: target derivation and
+    # the join would otherwise each rescan events
+    h = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.sum(cents).cast("bigint").alias("s_cents")).localCheckpoint(
+        eager=True
+    )
+    tgt = h.groupBy("event_type").agg(
+        F.expr("CAST(sum(s_cents) AS BIGINT) div count(*)").alias("target")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    p = h.join(F.broadcast(tgt), "event_type").select(
+        "event_type",
+        "hour_start",
+        "s_cents",
+        F.sum(F.col("s_cents") - F.col("target"))
+        .over(w)
+        .cast("bigint")
+        .alias("pre"),
+    )
+    # S_i = P_i - min(0, min_{j<=i} P_j): the 0 is P_0, the empty
+    # prefix the ROWS frame cannot see
+    cusum = F.col("pre") - F.least(F.lit(0), F.min("pre").over(w))
+    return p.select(
+        "event_type",
+        "hour_start",
+        "s_cents",
+        cusum.cast("bigint").alias("cusum_cents"),
+        (cusum > 200000).alias("alarm"),
+    )
+
+
+@register(
+    "events_user_type_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ), u AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(round(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                                   * 1e9) AS BIGINT)) AS BIGINT) AS s_nano
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n AS n_events, n_types,
+           round(log2(CAST(n AS DOUBLE))
+                 - (CAST(s_nano AS DOUBLE) / 1e9) / n, 9) AS entropy_bits
+    FROM u
+    """,
+    doc="Per-user Shannon entropy of the event-type distribution — the "
+    "behavioral-predictability feature (low entropy = single-purpose "
+    "bots, high = diverse organic use). Each -p*log2(p) term is the "
+    "identical double on both engines (exact int count ratios), "
+    "computed via the sufficient-statistic identity "
+    "H = log2(n) - (sum c*log2(c))/n with each c*log2(c) term "
+    "quantized to exact nano-bits before the sum — order-independent, "
+    "bit-equal across engines, and ONE pass: the (user,type) count "
+    "folds map-side into the per-user fold with no join back. A "
+    "single-type user contributes c*log2(c) = n*log2(n) so H = 0 "
+    "exactly, no epsilon needed.",
+)
+def events_user_type_entropy(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # sufficient-statistic identity: H = log2(n) - (sum c*log2(c))/n;
+    # each c*log2(c) term quantizes to exact nano-bits before the sum,
+    # so no join back and only ONE pass over events
+    term = F.round(
+        F.col("c").cast("double") * F.log2(F.col("c").cast("double")) * 1e9
+    ).cast("bigint")
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(term).cast("bigint").alias("s_nano"),
+    )
+    return u.select(
+        F.col("user_id"),
+        F.col("n").alias("n_events"),
+        F.col("n_types"),
+        # log2 is 1-ulp libm-dependent; round the edge to 9 decimals
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - (F.col("s_nano").cast("double") / 1e9) / F.col("n"),
+            9,
+        ).alias("entropy_bits"),
+    )

@@ -1657,3 +1657,124 @@ def funnel_batch(events: DataFrame) -> DataFrame:
         F.max(F.col("ct").isNotNull()).alias("reached_click"),
         F.max(F.col("pt").isNotNull()).alias("reached_purchase"),
     )
+
+
+# --- streaming CUSUM control chart (calendar-bounded hour-sum state) -------
+
+CUSUM_SCHEMA = (
+    "event_type string, n_hours bigint, cusum_cents bigint, alarm boolean"
+)
+_CUSUM_STATE_SCHEMA = "hour_us array<bigint>, sums array<bigint>"
+_HOUR_US = 3_600_000_000
+
+
+def _make_cusum_fn(targets: dict[str, int], threshold: int):
+    """Build the stateful fold for cusum_stream.
+
+    State per key is the map {hour -> exact cent sum} (one bigint pair
+    per CALENDAR hour, independent of event volume); each emission
+    recomputes the one-sided CUSUM recurrence over the sorted hours,
+    so late arrivals into any past hour are folded correctly and the
+    final emission is bit-equal to the batch twin for every
+    micro-batch split."""
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            hour_us, sums = state.get
+            hours = dict(zip((int(h) for h in hour_us), (int(s) for s in sums)))
+        else:
+            hours = {}
+        for pdf in batches:
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                hu = (int(ts.value) // 1000) // _HOUR_US * _HOUR_US
+                hours[hu] = hours.get(hu, 0) + _cents_decimal(v)
+        target = int(targets.get(etype, 0))
+        s = 0
+        for hu in sorted(hours):
+            # the literal control-chart recurrence; equals the batch
+            # twin's prefix-min closed form
+            s = max(0, s + (hours[hu] - target))
+        ks = sorted(hours)
+        state.update((ks, [hours[k] for k in ks]))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_hours": len(hours),
+                    "cusum_cents": s,
+                    "alarm": s > threshold,
+                }
+            ]
+        )
+
+    return fn
+
+
+def cusum_stream(
+    events: DataFrame, targets: dict[str, int], threshold: int = 200000
+) -> DataFrame:
+    """Streaming one-sided CUSUM monitor per event_type: online twin of
+    the catalog entry events_cusum_alarm, with the entry's two-pass
+    data-derived target supplied as a calibration input (the standard
+    deployment: batch calibrates, stream monitors). State is one exact
+    cent sum per calendar hour per key — bounded by wall-clock time,
+    not event volume — and every emission refolds the recurrence over
+    completed hours, so late data lands in its true hour.
+    Parity vs cusum_batch is pinned in tests/test_cusum_stream.py."""
+    return (
+        events.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_cusum_fn(targets, threshold),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def cusum_batch(
+    spark, events: DataFrame, targets: dict[str, int], threshold: int = 200000
+) -> DataFrame:
+    """Batch twin: the catalog entry's closed form (running sum minus
+    min(0, running min)) with the same externally-supplied targets
+    (queries/windows.py:events_cusum_alarm derives them in-query)."""
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    h = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.sum(cents).cast("bigint").alias("s_cents"))
+    tdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in targets.items()],
+        "event_type string, target bigint",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    p = h.join(F.broadcast(tdf), "event_type", "left").select(
+        "event_type",
+        "hour_start",
+        F.sum(F.col("s_cents") - F.coalesce(F.col("target"), F.lit(0)))
+        .over(w)
+        .cast("bigint")
+        .alias("pre"),
+    )
+    cusum = F.col("pre") - F.least(F.lit(0), F.min("pre").over(w))
+    final = p.select(
+        "event_type", "hour_start", cusum.cast("bigint").alias("cusum_cents")
+    )
+    last = final.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.max_by("cusum_cents", "hour_start").alias("cusum_cents_last"),
+    )
+    return last.select(
+        "event_type",
+        "n_hours",
+        F.col("cusum_cents_last").alias("cusum_cents"),
+        (F.col("cusum_cents_last") > threshold).alias("alarm"),
+    )

@@ -87,6 +87,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     "events_cumulative_distinct_users": 1,  # day grain
     "events_journey_paths": 1,  # path dictionary (≤ |event_types|^3)
     "orders_open_backlog_daily": 1,  # calendar-day spine (~2.4k rows)
+    # risk-set + cumulative-hazard windows on DISTINCT gap days
+    # (bounded by the calendar span in days, ~1k rows at any corpus)
+    "orders_interpurchase_km": 2,
 }
 
 
