@@ -340,7 +340,20 @@ def main() -> None:
         # deadline entries DEGRADE to best-of-1 with no warmup for a
         # further half-budget before skipping — a degraded reading
         # beats a named absence.
-        budget = 545.0 * min(3.0, max(1.0, probe["probe_spark_sec"] / 0.60))
+        factor = min(3.0, max(1.0, probe["probe_spark_sec"] / 0.60))
+        budget = 545.0 * factor
+        # Guaranteed minimum isolated window (r9): the absolute budget
+        # is anchored at process start, so a sweep that overruns it
+        # (growing catalog x a contended host the <=1x clamp can't
+        # see) starved the isolated phase ENTIRELY — and past the hard
+        # deadline even the degrade path never fired, reproducing the
+        # r7 empty-column failure the budget was built to prevent.
+        # Anchor a floor at the sweep's END instead: at least 60s*f of
+        # degraded best-of-1 readings and 150s*f overall, bounding the
+        # overrun to ~2 min while never leaving the column empty. The
+        # early headline print and the in-sweep _write_full above keep
+        # a driver kill inside this window harmless.
+        t_iso = time.perf_counter()
         (
             full["queries_isolated"],
             full["isolated_skipped"],
@@ -350,8 +363,10 @@ def main() -> None:
             qs,
             top,
             sf_dir,
-            deadline=t_wall0 + budget,
-            hard_deadline=t_wall0 + 1.5 * budget,
+            deadline=max(t_wall0 + budget, t_iso + 60.0 * factor),
+            hard_deadline=max(
+                t_wall0 + 1.5 * budget, t_iso + 150.0 * factor
+            ),
         )
         full["isolated_budget_sec"] = round(budget, 1)
         _write_full(full)

@@ -1778,3 +1778,140 @@ def cusum_batch(
         F.col("cusum_cents_last").alias("cusum_cents"),
         (F.col("cusum_cents_last") > threshold).alias("alarm"),
     )
+
+
+# --- streaming PSI drift monitor (fixed-width bucket-count state) ----------
+
+PSI_SCHEMA = (
+    "event_type string, n_seen bigint, psi double, drifted boolean"
+)
+_PSI_STATE_SCHEMA = "counts array<bigint>"
+_PSI_BUCKETS = 10
+_PSI_BUCKET_CENTS = 1000  # $10 buckets over the events value range
+
+
+def _psi_bucket(cents: int) -> int:
+    b = cents // _PSI_BUCKET_CENTS
+    return _PSI_BUCKETS - 1 if b >= _PSI_BUCKETS else (0 if b < 0 else b)
+
+
+def _psi_of(live: list[int], ref: list[int]) -> float:
+    """Laplace-smoothed PSI between the live and reference bucket
+    counts — the same +1/(total+B) smoothing and pico-quantized terms
+    as the batch entry dq_psi_price_drift, so every emission is a
+    deterministic function of the exact integer counts."""
+    import math
+
+    tl = sum(live) + _PSI_BUCKETS
+    tr = sum(ref) + _PSI_BUCKETS
+    pico = 0
+    for lc, rc in zip(live, ref):
+        p = float(lc + 1) / tl
+        q = float(rc + 1) / tr
+        pico += math.floor((p - q) * math.log(p / q) * 1e12 + 0.5)
+    return pico / 1e12
+
+
+def _make_psi_fn(ref: dict[str, list[int]], threshold: float):
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            (counts,) = state.get
+            counts = [int(c) for c in counts]
+        else:
+            counts = [0] * _PSI_BUCKETS
+        for pdf in batches:
+            for v in pdf["value"]:
+                counts[_psi_bucket(_cents_decimal(v))] += 1
+        state.update((counts,))
+        if etype not in ref:
+            # no calibration -> no drift verdict (the batch twin's
+            # reference-keyed grid drops these types too)
+            return
+        psi = _psi_of(counts, ref[etype])
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_seen": sum(counts),
+                    "psi": psi,
+                    "drifted": psi > threshold,
+                }
+            ]
+        )
+
+    return fn
+
+
+def psi_stream(
+    events: DataFrame,
+    ref: dict[str, list[int]],
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Streaming Population-Stability-Index drift monitor per
+    event_type: the online deployment of the batch dq_psi_price_drift
+    gate — a batch calibration run supplies the reference bucket
+    counts, the stream accumulates live counts (TEN bigints of state
+    per key, independent of volume) and re-emits the smoothed PSI each
+    micro-batch. Counts are order-independent, so every emission —
+    not just the final one — is split- and late-arrival-invariant.
+    Parity vs psi_batch is pinned in tests/test_psi_stream.py."""
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_psi_fn(ref, threshold),
+            outputStructType=PSI_SCHEMA,
+            stateStructType=_PSI_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def psi_batch(
+    events: DataFrame, ref: dict[str, list[int]], threshold: float = 0.2
+) -> DataFrame:
+    """Batch twin: same buckets, smoothing, and pico-quantized terms
+    over the full frame, via the JVM expression path (no Python in the
+    scan). Reference counts join in as a broadcast literal table."""
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    b = F.least(
+        F.greatest(
+            (cents / _PSI_BUCKET_CENTS).cast("bigint"), F.lit(0)
+        ),
+        F.lit(_PSI_BUCKETS - 1),
+    )
+    live = (
+        events.select("event_type", b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("lc"))
+    )
+    spark = events.sparkSession
+    ref_rows = [
+        (k, i, int(c)) for k, vec in ref.items() for i, c in enumerate(vec)
+    ]
+    rdf = spark.createDataFrame(
+        ref_rows, "event_type string, bucket bigint, rc bigint"
+    )
+    grid = rdf.join(live, ["event_type", "bucket"], "left").fillna(
+        0, subset=["lc"]
+    )
+    tots = grid.groupBy("event_type").agg(
+        (F.sum("lc") + _PSI_BUCKETS).alias("tl"),
+        (F.sum("rc") + _PSI_BUCKETS).alias("tr"),
+        F.sum("lc").cast("bigint").alias("n_seen"),
+    )
+    j = grid.join(tots, "event_type")
+    p = (F.col("lc") + 1).cast("double") / F.col("tl")
+    q = (F.col("rc") + 1).cast("double") / F.col("tr")
+    term = F.round((p - q) * F.log(p / q) * 1e12).cast("bigint")
+    agg = j.groupBy("event_type").agg(
+        F.max("n_seen").cast("bigint").alias("n_seen"),
+        (F.sum(term).cast("bigint").cast("double") / 1e12).alias("psi"),
+    )
+    return agg.select(
+        "event_type", "n_seen", "psi", (F.col("psi") > threshold).alias("drifted")
+    )

@@ -127,3 +127,68 @@ def lifecycle_states(ev):
         .groupBy("wk", "state")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+def skyline(parts):
+    """parts_skyline_per_brand's sorted-sweep over an arbitrary frame
+    with columns (p_partkey, p_brand, price_cents, p_size)."""
+    g = parts.groupBy("p_brand", "price_cents").agg(
+        F.max("p_size").cast("int").alias("smax")
+    )
+    w = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "p_brand",
+        "price_cents",
+        "smax",
+        F.max("smax").over(w).alias("run_prev"),
+    )
+    dominated = (
+        F.col("run_prev").isNotNull() & (F.col("run_prev") >= F.col("p_size"))
+    ) | (F.col("smax") > F.col("p_size"))
+    return (
+        parts.join(r, ["p_brand", "price_cents"])
+        .filter(~dominated)
+        .select("p_partkey", "p_brand", "price_cents", "p_size")
+    )
+
+
+def km_survival(orders):
+    """orders_interpurchase_km's quantized-log KM curve over an
+    arbitrary frame with columns (o_custkey, o_orderkey, o_orderdate)."""
+    wc = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wc))
+        .cast("bigint")
+        .alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    d = g.groupBy("gap_days").agg(F.count("*").cast("bigint").alias("d"))
+    tot = d.agg(F.sum("d").cast("bigint").alias("total"))
+    wd = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, -1)
+    r = d.crossJoin(F.broadcast(tot)).select(
+        "gap_days",
+        "d",
+        (F.col("total") - F.coalesce(F.sum("d").over(wd), F.lit(0)))
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(1.0 - frac) * 1e12).cast("bigint"),
+    )
+    terms = r.select("gap_days", "d", "n_risk", term.alias("term_pico"))
+    wcum = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, 0)
+    surv = F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum("term_pico").over(wcum).cast("bigint").cast("double")
+                / 1e12
+            ),
+            9,
+        )
+    )
+    return terms.select("gap_days", "d", "n_risk", surv.alias("survival"))
