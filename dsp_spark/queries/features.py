@@ -318,9 +318,10 @@ def er_sorted_neighborhood_pairs(spark, sf_dir):
     )
     SELECT gap_days, d, n_risk,
            CASE WHEN d = n_risk THEN 0.0
-                ELSE round(exp(CAST(CAST(SUM(term_pico) OVER
+                ELSE CAST(round(exp(CAST(CAST(SUM(term_pico) OVER
                          (ORDER BY gap_days ROWS UNBOUNDED PRECEDING)
-                         AS BIGINT) AS DOUBLE) / 1e12), 9)
+                         AS BIGINT) AS DOUBLE) / 1e12) * 1e9) AS BIGINT)
+                     / 1e9
            END AS survival
     FROM terms
     """,
@@ -370,16 +371,18 @@ def orders_interpurchase_km(spark, sf_dir):
     )
     terms = r.select("gap_days", "d", "n_risk", term.alias("term_pico"))
     wcum = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, 0)
-    # exp() is only 1-ulp-accurate and libm != JVM Math.exp; round
-    # the emitted survival to 9 decimals so the edge is cross-engine
+    # exp() is only 1-ulp-accurate and libm != JVM Math.exp; absorb
+    # it by quantizing to an exact nano INTEGER then dividing
+    # (round(x, 9) itself is not cross-engine stable)
     surv = F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
         F.round(
             F.exp(
                 F.sum("term_pico").over(wcum).cast("bigint").cast("double")
                 / 1e12
-            ),
-            9,
-        )
+            )
+            * 1e9
+        ).cast("bigint")
+        / 1e9
     )
     return terms.select("gap_days", "d", "n_risk", surv.alias("survival"))
 

@@ -192,3 +192,77 @@ def graph_adamic_adar_pairs(spark, sf_dir):
             F.sum(term).cast("bigint").alias("aa_micro"),
         )
     )
+
+
+@register(
+    "graph_node_clustering_coeff",
+    f"""
+    WITH {_LSH_CTES},
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY u),
+    wedges AS (
+        SELECT e1.u AS w, e1.v AS a, e2.v AS b
+        FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    closed AS (
+        SELECT wg.w, CAST(COUNT(*) AS BIGINT) AS triangles
+        FROM wedges wg
+        JOIN pairs p ON wg.a = p.id_a AND wg.b = p.id_b
+        GROUP BY wg.w
+    )
+    SELECT d.u AS doc_id, d.degree,
+           COALESCE(c.triangles, 0) AS triangles,
+           CAST(2 * COALESCE(c.triangles, 0) AS DOUBLE)
+               / (d.degree * (d.degree - 1)) AS clustering_coeff
+    FROM deg d LEFT JOIN closed c ON d.u = c.w
+    WHERE d.degree >= 2
+    """,
+    doc="Per-node local clustering coefficient on the near-dup graph: "
+    "the fraction of a document's duplicate-neighbor pairs that are "
+    "themselves duplicates. Near 1 = a coherent template family "
+    "(dedup can keep one survivor for the whole cluster); near 0 = a "
+    "hub stitching UNRELATED groups — usually boilerplate contamination "
+    "that LSH banding glued together, the signal to tighten bands "
+    "before trusting cluster-level dedup. Wedges enumerate per center "
+    "node (bounded by the degree distribution the degree entry "
+    "audits), closure is one join against the canonical a<b pair "
+    "list, and the coefficient is an exact small-int ratio — "
+    "bit-identical with no rounding at all.",
+)
+def graph_node_clustering_coeff(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=8, bands=2, k=5
+    ).localCheckpoint(eager=True)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
+    e1 = edges.select("u", F.col("v").alias("a"))
+    e2 = edges.select("u", F.col("v").alias("b"))
+    wedges = e1.join(e2, "u").filter(F.col("a") < F.col("b"))
+    closed = (
+        wedges.join(
+            pairs,
+            (wedges.a == pairs.id_a) & (wedges.b == pairs.id_b),
+        )
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    j = deg.join(closed, "u", "left").fillna(0, subset=["triangles"])
+    return j.filter(F.col("degree") >= 2).select(
+        F.col("u").alias("doc_id"),
+        "degree",
+        F.col("triangles").cast("bigint").alias("triangles"),
+        (
+            (2 * F.col("triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1))
+        ).alias("clustering_coeff"),
+    )

@@ -1845,3 +1845,85 @@ def text_hapax_rate_by_source(spark, sf_dir):
         (F.count("*").cast("double") / F.sum("cnt")).alias("ttr"),
         (hapax.cast("double") / F.count("*")).alias("hapax_rate"),
     )
+
+
+_ZIPF_K = 128
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tc AS (
+        SELECT lower(tok) AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY lower(tok)
+    ), ranked AS (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+        FROM tc ORDER BY cnt DESC, tok LIMIT {_ZIPF_K}
+    ), pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n AS k_terms,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS zipf_slope
+    FROM s
+    """,
+    doc="Zipf-law slope of the corpus: OLS fit of log-frequency against "
+    "log-rank over the top-128 tokens (natural text tracks ~-1; "
+    "template/boilerplate corpora flatten, ID/spam corpora steepen — "
+    "a one-number corpus-health prior next to the hapax and entropy "
+    "screens). The corpus-scale work is one (token)-keyed partial-agg "
+    "shuffle and a TakeOrderedAndProject top-k — never a global sort; "
+    "the regression runs on 128 rows. log points quantize to exact "
+    "micro-units before the integer sufficient-statistic sums (their "
+    "squares stay well inside int64, where nano-grain would overflow; "
+    "log is 1-ulp libm-dependent); the closed-form slope over exact "
+    "ints is then emitted unrounded — identical on both engines.",
+)
+def text_zipf_slope(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(textops.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(F.lower("tok").alias("tok"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    ranked = (
+        tc.orderBy(F.col("cnt").desc(), "tok")
+        .limit(_ZIPF_K)
+        .select(
+            "cnt",
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), "tok"))
+            .alias("rnk"),
+        )
+    )
+    q = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("bigint")
+    pts = ranked.select(
+        q(F.col("rnk")).alias("x"), q(F.col("cnt")).alias("y")
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    # inputs are exact ints, so the slope double is bit-identical
+    # unrounded; round(x, 9) itself is NOT cross-engine stable
+    return s.select(F.col("n").alias("k_terms"), slope.alias("zipf_slope"))

@@ -2135,8 +2135,9 @@ def events_cusum_alarm(spark, sf_dir):
         FROM c GROUP BY user_id
     )
     SELECT user_id, n AS n_events, n_types,
-           round(log2(CAST(n AS DOUBLE))
-                 - (CAST(s_nano AS DOUBLE) / 1e9) / n, 9) AS entropy_bits
+           CAST(round((log2(CAST(n AS DOUBLE))
+                       - (CAST(s_nano AS DOUBLE) / 1e9) / n) * 1e9)
+                AS BIGINT) / 1e9 AS entropy_bits
     FROM u
     """,
     doc="Per-user Shannon entropy of the event-type distribution — the "
@@ -2171,10 +2172,96 @@ def events_user_type_entropy(spark, sf_dir):
         F.col("user_id"),
         F.col("n").alias("n_events"),
         F.col("n_types"),
-        # log2 is 1-ulp libm-dependent; round the edge to 9 decimals
-        F.round(
-            F.log2(F.col("n").cast("double"))
-            - (F.col("s_nano").cast("double") / 1e9) / F.col("n"),
-            9,
+        # log2 is 1-ulp libm-dependent; absorb it by quantizing to an
+        # exact nano-bit INTEGER then dividing (round(x, 9) itself is
+        # not cross-engine stable: decimal-expansion vs multiply paths
+        # disagree on ~1/150 doubles)
+        (
+            F.round(
+                (
+                    F.log2(F.col("n").cast("double"))
+                    - (F.col("s_nano").cast("double") / 1e9) / F.col("n")
+                )
+                * 1e9
+            ).cast("bigint")
+            / 1e9
         ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "events_transition_entropy",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), pc AS (
+        SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY user_id, cur, nxt
+    ), cc AS (
+        SELECT user_id, cur, CAST(SUM(c) AS BIGINT) AS c_cur,
+               CAST(SUM(CAST(round(CAST(c AS DOUBLE)
+                                   * log2(CAST(c AS DOUBLE)) * 1e9)
+                             AS BIGINT)) AS BIGINT) AS s_nano
+        FROM pc GROUP BY user_id, cur
+    ), per_cur AS (
+        SELECT user_id, c_cur,
+               CAST(round(CAST(c_cur AS DOUBLE)
+                          * log2(CAST(c_cur AS DOUBLE)) * 1e9) AS BIGINT)
+                   - s_nano AS h_nano
+        FROM cc
+    )
+    SELECT user_id,
+           CAST(SUM(c_cur) AS BIGINT) AS n_transitions,
+           CAST(CAST(SUM(h_nano) AS BIGINT) AS DOUBLE) / 1e9
+               / SUM(c_cur) AS entropy_rate_bits
+    FROM per_cur GROUP BY user_id
+    """,
+    doc="Per-user Markov transition entropy rate H(next|cur) over the "
+    "event-type sequence — the sequence-structure complement of "
+    "events_user_type_entropy: a user can have diverse types (high "
+    "unigram entropy) yet perfectly predictable ORDER (rate ~ 0), the "
+    "bot signature type entropy misses. Per conditioning state, "
+    "c*log2(c) terms quantize to exact nano-bits (the same "
+    "sufficient-statistic identity as the unigram entry), the "
+    "per-state entropies sum exactly as ints, and only the final "
+    "rate divides (IEEE-exact on identical inputs; no raw libm value "
+    "reaches the output). One user-partitioned lead window then two stacked "
+    "aggregates reusing the user_id exchange; no join back.",
+)
+def events_transition_entropy(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pc = seq.groupBy("user_id", "cur", "nxt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    nano = lambda c: F.round(
+        c.cast("double") * F.log2(c.cast("double")) * 1e9
+    ).cast("bigint")
+    cc = pc.groupBy("user_id", "cur").agg(
+        F.sum("c").cast("bigint").alias("c_cur"),
+        F.sum(nano(F.col("c"))).cast("bigint").alias("s_nano"),
+    )
+    per_cur = cc.select(
+        "user_id",
+        "c_cur",
+        (nano(F.col("c_cur")) - F.col("s_nano")).alias("h_nano"),
+    )
+    return per_cur.groupBy("user_id").agg(
+        F.sum("c_cur").cast("bigint").alias("n_transitions"),
+        # no raw transcendental survives to this expression (log2 is
+        # inside the quantized terms), so the ratio is bit-identical
+        # unrounded — rounding would ADD a tie-boundary hazard
+        (
+            F.sum("h_nano").cast("bigint").cast("double")
+            / 1e9
+            / F.sum("c_cur")
+        ).alias("entropy_rate_bits"),
     )

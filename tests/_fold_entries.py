@@ -187,8 +187,9 @@ def km_survival(orders):
             F.exp(
                 F.sum("term_pico").over(wcum).cast("bigint").cast("double")
                 / 1e12
-            ),
-            9,
-        )
+            )
+            * 1e9
+        ).cast("bigint")
+        / 1e9
     )
     return terms.select("gap_days", "d", "n_risk", surv.alias("survival"))

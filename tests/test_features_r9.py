@@ -360,7 +360,9 @@ def test_user_type_entropy_matches_counter(spark):
         nano = 0
         for c in ctr.values():
             nano += math.floor(float(c) * math.log2(float(c)) * 1e9 + 0.5)
-        h = round(math.log2(float(n)) - (float(nano) / 1e9) / n, 9)
+        h = math.floor(
+            (math.log2(float(n)) - (float(nano) / 1e9) / n) * 1e9 + 0.5
+        ) / 1e9
         row = got.loc[uid]
         assert row.n_events == n
         assert row.n_types == len(ctr)
@@ -393,7 +395,7 @@ def test_km_matches_python_model(spark):
             pico += math.floor(
                 math.log(1.0 - float(d) / n_risk) * 1e12 + 0.5
             )
-            surv = round(math.exp(pico / 1e12), 9)
+            surv = math.floor(math.exp(pico / 1e12) * 1e9 + 0.5) / 1e9
         else:
             surv = 0.0
         exp_rows.append((day, d, n_risk, surv))
@@ -428,3 +430,97 @@ def test_hhi_matches_python_model(spark):
         assert row.hhi == pico / 1e12
         # HHI floor: 1/n at perfect equality
         assert row.hhi >= 1.0 / len(per_supp) - 1e-9
+
+
+def test_transition_entropy_matches_model(spark):
+    got = _run(spark, "events_transition_entropy").set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        seq = list(g.event_type)
+        trans = Counter(zip(seq, seq[1:]))
+        if not trans:
+            assert uid not in got.index
+            continue
+        cur_tot = Counter()
+        for (a, _b), c in trans.items():
+            cur_tot[a] += c
+        nano = lambda c: math.floor(
+            float(c) * math.log2(float(c)) * 1e9 + 0.5
+        )
+        h_nano = sum(
+            nano(ct)
+            - sum(nano(c) for (a, _b), c in trans.items() if a == cur)
+            for cur, ct in cur_tot.items()
+        )
+        n = sum(trans.values())
+        row = got.loc[uid]
+        assert row.n_transitions == n
+        assert row.entropy_rate_bits == (float(h_nano) / 1e9) / n
+        # conditional entropy can't exceed the unconditional bound
+        assert -1e-9 <= row.entropy_rate_bits <= math.log2(
+            len(set(seq))
+        ) + 1e-9
+
+
+def test_zipf_slope_matches_model(spark):
+    got = _run(spark, "text_zipf_slope")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ctr = Counter()
+    for text in docs.text:
+        ctr.update(
+            t.lower() for t in re.split(r"\s+", text) if t != ""
+        )
+    top = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:128]
+    q = lambda v: math.floor(math.log(float(v)) * 1e6 + 0.5)
+    pts = [(q(r), q(c)) for r, (_tok, c) in enumerate(top, start=1)]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+        float(n) * float(sxx) - float(sx) * float(sx)
+    )
+    assert len(got) == 1
+    assert got.k_terms[0] == n
+    assert got.zipf_slope[0] == slope
+    # natural-ish text: negative slope in a sane band
+    assert -2.5 < slope < -0.1
+
+
+def test_clustering_coeff_matches_model(spark):
+    from dsp_spark.operators import dedup as dd
+    from dsp_spark.queries._util import t as _t
+
+    got = _run(spark, "graph_node_clustering_coeff").set_index("doc_id")
+    pairs = dd.minhash_lsh_pairs(
+        _t(spark, SF, "documents"), "doc_id", "text",
+        n_hashes=8, bands=2, k=5,
+    ).toPandas()
+    nbrs = defaultdict(set)
+    pset = set()
+    for r in pairs.itertuples():
+        nbrs[r.id_a].add(r.id_b)
+        nbrs[r.id_b].add(r.id_a)
+        pset.add((r.id_a, r.id_b))
+    n_checked = 0
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        if deg < 2:
+            assert v not in got.index
+            continue
+        ns = sorted(ns)
+        tri = sum(
+            1
+            for i, a in enumerate(ns)
+            for b in ns[i + 1 :]
+            if (a, b) in pset
+        )
+        row = got.loc[v]
+        assert row.degree == deg
+        assert row.triangles == tri
+        assert row.clustering_coeff == float(2 * tri) / (deg * (deg - 1))
+        assert 0.0 <= row.clustering_coeff <= 1.0
+        n_checked += 1
+    assert n_checked == len(got)

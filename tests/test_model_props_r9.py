@@ -98,7 +98,7 @@ def _km_model(custs):
             pico += math.floor(
                 math.log(1.0 - float(d) / n_risk) * 1e12 + 0.5
             )
-            surv = round(math.exp(pico / 1e12), 9)
+            surv = math.floor(math.exp(pico / 1e12) * 1e9 + 0.5) / 1e9
         else:
             surv = 0.0
         rows.append((day, d, n_risk, surv))

@@ -90,6 +90,9 @@ ALLOWED_GLOBAL_WINDOWS = {
     # risk-set + cumulative-hazard windows on DISTINCT gap days
     # (bounded by the calendar span in days, ~1k rows at any corpus)
     "orders_interpurchase_km": 2,
+    # rank numbering on the top-k token table (<= _ZIPF_K = 128 rows;
+    # the corpus-side top-k is TakeOrderedAndProject, not this window)
+    "text_zipf_slope": 1,
 }
 
 
