@@ -8,30 +8,51 @@ behind the dedup_clusters_incremental catalog entry).
 
 ``init`` builds the state directory from a first corpus snapshot:
 
-* ``bands/``    — the persisted LSH band index (doc_id, band_idx,
-                  band_hash): signatures are per-doc and immutable, so
-                  this is computed ONCE per doc, ever;
-* ``clusters/`` — the (doc_id, cluster_id) assignment (cluster_id =
-                  min doc_id in the component);
-* ``_meta.json``— banding parameters (n_hashes/bands/k), pinned so an
-                  ingest can never silently band differently than the
-                  index it probes (a mismatch breaks the
-                  base-base-edges-never-change soundness argument).
+* ``bands/ingest=N/``  — the persisted LSH band index (doc_id,
+                  band_idx, band_hash), APPEND-ONLY: signatures are
+                  per-doc and immutable, so each generation directory
+                  is written once, ever, and never rewritten;
+* ``edges/ingest=N/``  — the persisted near-dup adjacency (id_a <
+                  id_b candidate pairs), APPEND-ONLY for the same
+                  reason: base-base edges never change, so generation
+                  N holds exactly the delta edges batch N contributed.
+                  Graph consumers (pagerank / Adamic-Adar / clustering
+                  coefficient) read this instead of re-banding the
+                  corpus — the build-once pattern ann_index_persisted
+                  uses for IVF cells;
+* ``clusters/bucket=K/`` — the (doc_id, cluster_id) assignment
+                  (cluster_id = min doc_id in the component), HASH-
+                  SHARDED into ``n_buckets`` partitions by
+                  ``pmod(xxhash64(doc_id), n_buckets)`` so an ingest
+                  rewrites ONLY the buckets containing touched docs
+                  (dynamic partition overwrite) — state I/O is
+                  O(batch-adjacent), matching the O(batch) compute,
+                  instead of a full ids-table rewrite per ingest;
+* ``_meta.json``— banding parameters (n_hashes/bands/k) and the
+                  bucket count, pinned so an ingest can never silently
+                  band (or shard) differently than the index it probes
+                  (a mismatch breaks the base-base-edges-never-change
+                  soundness argument / would strand assignment rows in
+                  wrong buckets).
 
 ``ingest`` folds a NEW batch of docs in with work proportional to the
 batch (operators/dedup.py:lsh_new_edges + incremental_components):
 the batch's bands broadcast against the persisted index (the corpus
 side never shuffles), the resulting edges are contracted through the
 persisted labels, bounded union-find runs on that contracted delta
-only, and the state directory is atomically swapped (write to tmp,
-rename) with the batch's bands appended to the index. Batch doc_ids
-must be disjoint from the state (enforced).
+only, and the state writes are all O(batch): touched cluster buckets
+via dynamic partition overwrite, band/edge deltas as new generation
+directories (full write into a tmp dir, then one atomic rename).
+Batch doc_ids must be disjoint from the state (enforced). A crash
+between the three writes leaves a torn state that ``verify`` detects
+(clusters/bands/edges disagree on the doc set).
 
 ``verify`` recomputes connected components from scratch over the
 persisted band index's full self-join pair set and diffs against the
 maintained assignment — the offline audit that the incremental path
-never drifted. With ``--full`` it also checks the assignment covers
-exactly the docs in a corpus parquet.
+never drifted. It also diffs the append-only edge store against the
+same recomputed pair set. With ``--full`` it additionally checks the
+assignment covers exactly the docs in a corpus parquet.
 
 Reference parity note: the reference engine (ystre/dsp) has no dedup
 surface at all — this is the LLM-training-pipeline layer the brief
@@ -50,7 +71,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-DEFAULTS = {"n_hashes": 8, "bands": 2, "k": 5}
+DEFAULTS = {"n_hashes": 8, "bands": 2, "k": 5, "n_buckets": 64}
+
+_BAND_COLS = ("doc_id", "band_idx", "band_hash")
+_EDGE_COLS = ("id_a", "id_b")
+
+
+def _bucket_col(n_buckets: int):
+    """Deterministic shard of a doc_id: stable across runs/sessions
+    (xxhash64 with the default seed), pinned in _meta.json."""
+    return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets)).cast("int")
 
 
 def _bands_df(spark, docs, meta):
@@ -84,7 +114,7 @@ def _pairs_from_bands(bands_df):
     )
 
 
-def _write_swap(df, path: str) -> None:
+def _write_swap(df, path: str, partition_by: str | None = None) -> None:
     """Write parquet to ``path`` atomically-enough: full write into a
     sibling tmp dir, then a directory swap (old moved aside, tmp
     renamed in, old removed) — a crash leaves either the old or the
@@ -93,12 +123,61 @@ def _write_swap(df, path: str) -> None:
     for d in (tmp, old):
         if os.path.exists(d):
             shutil.rmtree(d)
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+def _append_generation(df, root: str, gen: int) -> None:
+    """Append ``df`` as the ``ingest=gen`` partition directory of an
+    append-only store: complete write into a tmp dir, one atomic
+    rename into place. Existing generations are never touched."""
+    os.makedirs(root, exist_ok=True)
+    dest = os.path.join(root, f"ingest={gen}")
+    if os.path.exists(dest):
+        raise SystemExit(f"generation {dest} already exists — refusing to overwrite")
+    tmp = dest + "._tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, dest)
+
+
+def _next_generation(root: str) -> int:
+    gens = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("ingest=") and not d.endswith("._tmp")
+    ]
+    return max(gens) + 1 if gens else 0
+
+
+def read_clusters(spark, state_dir: str):
+    """The maintained (doc_id, cluster_id) assignment, shard column
+    dropped."""
+    df = spark.read.parquet(os.path.join(state_dir, "clusters"))
+    return df.select("doc_id", "cluster_id")
+
+
+def read_bands(spark, state_dir: str):
+    """The full persisted band index across all generations."""
+    df = spark.read.parquet(os.path.join(state_dir, "bands"))
+    return df.select(*_BAND_COLS)
+
+
+def read_edges(spark, state_dir: str):
+    """The persisted near-dup adjacency (id_a < id_b) across all
+    generations — the pair list graph consumers (pagerank, Adamic-
+    Adar, clustering coefficient) share with the dedup fold, read
+    without re-banding the corpus."""
+    df = spark.read.parquet(os.path.join(state_dir, "edges"))
+    return df.select(*_EDGE_COLS)
 
 
 def cmd_init(spark, docs_path: str, state_dir: str, meta: dict) -> None:
@@ -107,27 +186,31 @@ def cmd_init(spark, docs_path: str, state_dir: str, meta: dict) -> None:
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     os.makedirs(state_dir, exist_ok=True)
     bands = _bands_df(spark, docs, meta).localCheckpoint(eager=True)
-    clusters = connected_components(
-        docs, _pairs_from_bands(bands), "doc_id"
-    ).select("doc_id", F.col("component").alias("cluster_id"))
-    _write_swap(bands, os.path.join(state_dir, "bands"))
-    _write_swap(clusters, os.path.join(state_dir, "clusters"))
+    edges = _pairs_from_bands(bands).localCheckpoint(eager=True)
+    clusters = connected_components(docs, edges, "doc_id").select(
+        "doc_id", F.col("component").alias("cluster_id")
+    )
+    _write_swap(
+        clusters.withColumn("bucket", _bucket_col(meta["n_buckets"])),
+        os.path.join(state_dir, "clusters"),
+        partition_by="bucket",
+    )
+    _append_generation(bands, os.path.join(state_dir, "bands"), 0)
+    _append_generation(edges, os.path.join(state_dir, "edges"), 0)
     with open(os.path.join(state_dir, "_meta.json"), "w") as f:
         json.dump(meta, f, sort_keys=True)
-    n = spark.read.parquet(os.path.join(state_dir, "clusters")).count()
+    n = read_clusters(spark, state_dir).count()
     print(f"init: {n} docs clustered into state at {state_dir}")
 
 
 def cmd_ingest(spark, docs_path: str, state_dir: str) -> None:
-    from dsp_spark.operators.dedup import (
-        incremental_components,
-        lsh_new_edges,
-    )
+    from dsp_spark.operators.dedup import incremental_components
 
     with open(os.path.join(state_dir, "_meta.json")) as f:
         meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
     new_docs = spark.read.parquet(docs_path).select("doc_id", "text")
-    state = spark.read.parquet(os.path.join(state_dir, "clusters")).select(
+    state = read_clusters(spark, state_dir).select(
         "doc_id", F.col("cluster_id").alias("component")
     )
     overlap = new_docs.join(state, "doc_id", "semi").count()
@@ -141,7 +224,7 @@ def cmd_ingest(spark, docs_path: str, state_dir: str) -> None:
     # batch side broadcast — identical band layout is guaranteed by the
     # pinned meta.
     new_bands = _bands_df(spark, new_docs, meta).localCheckpoint(eager=True)
-    old_bands = spark.read.parquet(os.path.join(state_dir, "bands"))
+    old_bands = read_bands(spark, state_dir)
     all_bands = old_bands.unionByName(new_bands)
     new_ids = new_docs.select("doc_id")
     a, b = all_bands.alias("a"), new_bands.alias("b")
@@ -157,36 +240,78 @@ def cmd_ingest(spark, docs_path: str, state_dir: str) -> None:
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
     updated = incremental_components(state, new_ids, edges, "doc_id").select(
         "doc_id", F.col("component").alias("cluster_id")
     )
-    _write_swap(updated, os.path.join(state_dir, "clusters"))
-    _write_swap(
-        old_bands.unionByName(new_bands), os.path.join(state_dir, "bands")
+    # Touched buckets = shards holding a NEW doc or a base doc whose
+    # cluster label changed (its old label was merged away). The
+    # relabel map is O(batch-adjacent clusters), so this probe — and
+    # the write below — stays O(batch) no matter the corpus size.
+    changed_labels = (
+        state.join(
+            updated.withColumnRenamed("cluster_id", "component2"), "doc_id"
+        )
+        .where(F.col("component") != F.col("component2"))
+        .select("doc_id")
     )
+    bucket = _bucket_col(n_buckets)
+    touched = sorted(
+        r["b"]
+        for r in changed_labels.unionByName(new_ids)
+        .select(bucket.alias("b"))
+        .distinct()
+        .collect()
+    )
+    # Dynamic partition overwrite: only the bucket directories present
+    # in the written frame are replaced; every other shard's files are
+    # left byte-identical on disk (asserted in
+    # tests/test_dedup_state_tool.py).
+    (
+        updated.withColumn("bucket", bucket)
+        .where(F.col("bucket").isin([int(t) for t in touched]))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(os.path.join(state_dir, "clusters"))
+    )
+    gen = _next_generation(os.path.join(state_dir, "bands"))
+    _append_generation(new_bands, os.path.join(state_dir, "bands"), gen)
+    _append_generation(edges, os.path.join(state_dir, "edges"), gen)
     n_new = new_ids.count()
     print(
         f"ingest: {n_new} new docs, {n_edges} delta edges folded into "
-        f"{state_dir}"
+        f"{state_dir} (gen {gen}, {len(touched)}/{n_buckets} cluster "
+        "buckets rewritten)"
     )
 
 
 def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
     from dsp_spark.operators.dedup import connected_components
 
-    clusters = spark.read.parquet(os.path.join(state_dir, "clusters"))
-    bands = spark.read.parquet(os.path.join(state_dir, "bands"))
+    clusters = read_clusters(spark, state_dir)
+    bands = read_bands(spark, state_dir)
+    recomputed_pairs = _pairs_from_bands(bands).localCheckpoint(eager=True)
     nodes = bands.select("doc_id").distinct()
-    want = connected_components(
-        nodes, _pairs_from_bands(bands), "doc_id"
-    ).select("doc_id", F.col("component").alias("cluster_id"))
+    want = connected_components(nodes, recomputed_pairs, "doc_id").select(
+        "doc_id", F.col("component").alias("cluster_id")
+    )
     diff = (
         clusters.exceptAll(want).count() + want.exceptAll(clusters).count()
     )
     if diff:
         print(f"VERIFY FAIL: {diff} assignment rows differ from recompute")
+        return 1
+    # the append-only adjacency must be exactly the band self-join set
+    stored_edges = read_edges(spark, state_dir).distinct()
+    ediff = (
+        stored_edges.exceptAll(recomputed_pairs).count()
+        + recomputed_pairs.exceptAll(stored_edges).count()
+    )
+    if ediff:
+        print(f"VERIFY FAIL: {ediff} edge rows differ from band recompute")
         return 1
     if full_docs:
         corpus_ids = spark.read.parquet(full_docs).select("doc_id")
@@ -195,7 +320,10 @@ def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
         if missing or extra:
             print(f"VERIFY FAIL: coverage missing={missing} extra={extra}")
             return 1
-    print(f"verify: OK ({clusters.count()} docs, incremental == recompute)")
+    print(
+        f"verify: OK ({clusters.count()} docs, incremental == recompute, "
+        "edge store == band self-join)"
+    )
     return 0
 
 
