@@ -178,6 +178,19 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
     "events_funnel_conversion",
 )
 
+# Entries whose IMPLEMENTATION changed in a round AFTER their newest
+# green driver row: until a driver check from >= that round lands in a
+# committed CORRECTNESS artifact, treat them as never-checked so the
+# changed code rotates to the front of the window instead of coasting
+# on stale evidence. Once the re-check lands, the entry ages normally
+# (the guard below is a no-op) — stale keys here cost nothing but
+# should be pruned when touched. name -> round the change shipped in.
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # r10: degree-capped wedge enumeration + new `capped` column
+    "graph_adamic_adar_pairs": 10,
+    "graph_node_clustering_coeff": 10,
+}
+
 
 def _driver_checked_rounds() -> dict[str, int]:
     """name -> latest round with a PASSING driver correctness row,
@@ -220,6 +233,9 @@ def _driver_checked_rounds() -> dict[str, int]:
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
     checked = _driver_checked_rounds()
+    for n, rnd in _CHANGED_IN_ROUND.items():
+        if checked.get(n, 0) < rnd:
+            checked.pop(n, None)
     prio = {name: i for i, name in enumerate(_DRIVER_WINDOW_FIRST)}
     # Canonical registration order: (module rank in _MODULE_ORDER,
     # position within the module). Raw _REGISTRY insertion order is

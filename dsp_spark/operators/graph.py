@@ -10,7 +10,112 @@ path is value-checkable against an unrolled SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Deterministic per-node neighbor cap for wedge enumeration (Adamic-
+# Adar, local clustering). The neighbor-keyed self-join is O(sum
+# deg^2): one template hub with 1e5 LSH neighbors at 100 TB would put
+# 1e10 wedges in a single key. Capping each node to its WEDGE_CAP
+# smallest neighbor ids (top-D by id — deterministic, no RNG) bounds
+# the worst case at n * D^2 wedges; rows whose enumeration was
+# truncated carry ``capped = true`` so consumers know the score is a
+# lower bound there. The LSH pair graph is expected bounded-degree
+# after banding (graph_degree_distribution audits it), so this is a
+# guardrail, not a redesign — at catalog test scales nothing caps.
+WEDGE_CAP = 64
+
+
+def capped_neighbors(pairs: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
+    """Per-node adjacency rows ``(w, n, deg, was_capped)`` limited to
+    each node's ``cap`` smallest neighbor ids.
+
+    ``deg`` is the TRUE degree of ``w`` (pre-cap — weighting formulas
+    keep their exact semantics); ``was_capped`` marks nodes whose list
+    was truncated. Ranking is ``row_number`` over ``(w ORDER BY n)``:
+    (w, n) is unique in a distinct pair list, so the kept set is
+    deterministic. One shuffle on the node key; both window functions
+    share the partitioning."""
+    edges = pairs.select(
+        F.col("id_a").alias("w"), F.col("id_b").alias("n")
+    ).unionAll(pairs.select(F.col("id_b").alias("w"), F.col("id_a").alias("n")))
+    by_w = Window.partitionBy("w")
+    ranked = edges.select(
+        "w",
+        "n",
+        F.row_number().over(by_w.orderBy("n")).alias("rn"),
+        F.count("*").over(by_w).cast("bigint").alias("deg"),
+    )
+    return ranked.where(F.col("rn") <= cap).select(
+        "w", "n", "deg", (F.col("deg") > cap).alias("was_capped")
+    )
+
+
+def adamic_adar(pairs: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
+    """Adamic-Adar link prediction over an ``(id_a, id_b)`` pair list:
+    for each pair of nodes sharing neighbors, sum ``1/ln(deg(w))``
+    over common neighbors ``w`` (Adamic & Adar 2003). Each term is
+    quantized to an exact integer micro-score BEFORE summing, so the
+    aggregate is order-independent and bit-equal across engines; the
+    weight uses the TRUE degree of ``w`` even when the wedge list is
+    capped. Returns (id_a, id_b, common_neighbors, aa_micro, capped);
+    ``capped`` = some contributing center's neighbor list was
+    truncated (the score is a lower bound there)."""
+    kept = capped_neighbors(pairs, cap).localCheckpoint(eager=True)
+    k1 = kept.select("w", F.col("n").alias("a"), "deg", "was_capped")
+    k2 = kept.select("w", F.col("n").alias("b"))
+    wedges = k1.join(k2, "w").where(F.col("a") < F.col("b"))
+    term = F.round(
+        F.lit(1000000.0) / F.log(F.col("deg").cast("double"))
+    ).cast("bigint")
+    return wedges.groupBy(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    ).agg(
+        F.count("*").cast("bigint").alias("common_neighbors"),
+        F.sum(term).cast("bigint").alias("aa_micro"),
+        F.max("was_capped").alias("capped"),
+    )
+
+
+def local_clustering(pairs: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
+    """Per-node local clustering coefficient over an ``(id_a, id_b)``
+    pair list: the fraction of a node's neighbor pairs that are edges
+    themselves. Wedges enumerate over each center's ``cap`` smallest
+    neighbors; the denominator uses ``kd = least(degree, cap)`` so a
+    capped row is the exact coefficient OF THE KEPT NEIGHBORHOOD (a
+    deterministic subsample), flagged ``capped = true``. ``degree``
+    stays the true degree. Closure is one join against the canonical
+    ``a < b`` pair list; the ratio is an exact small-int division —
+    bit-identical with no rounding."""
+    kept = capped_neighbors(pairs, cap).localCheckpoint(eager=True)
+    k1 = kept.select(F.col("w").alias("u"), F.col("n").alias("a"))
+    k2 = kept.select(F.col("w").alias("u"), F.col("n").alias("b"))
+    wedges = k1.join(k2, "u").where(F.col("a") < F.col("b"))
+    closed = (
+        wedges.join(
+            pairs,
+            (wedges.a == pairs.id_a) & (wedges.b == pairs.id_b),
+        )
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    nodes = kept.groupBy(F.col("w").alias("u")).agg(
+        F.max("deg").alias("degree"), F.max("was_capped").alias("capped")
+    )
+    kd = F.least(F.col("degree"), F.lit(cap))
+    return (
+        nodes.join(closed, "u", "left")
+        .fillna(0, subset=["triangles"])
+        .where(F.col("degree") >= 2)
+        .select(
+            F.col("u").alias("doc_id"),
+            "degree",
+            F.col("triangles").cast("bigint").alias("triangles"),
+            ((2 * F.col("triangles")).cast("double") / (kd * (kd - 1))).alias(
+                "clustering_coeff"
+            ),
+            "capped",
+        )
+    )
 
 
 def pagerank(

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
 from dsp_spark.operators import dedup as dd
-from dsp_spark.operators.graph import pagerank
+from dsp_spark.operators.graph import (
+    WEDGE_CAP,
+    adamic_adar,
+    local_clustering,
+    pagerank,
+)
 from dsp_spark.queries._util import t
 from dsp_spark.queries.dedup import _LSH_CTES
 
@@ -135,22 +140,31 @@ def graph_degree_distribution(spark, sf_dir):
     f"""
     WITH {_LSH_CTES},
     edges AS (
-        SELECT id_a AS u, id_b AS v FROM pairs
+        SELECT id_a AS w, id_b AS n FROM pairs
         UNION ALL
         SELECT id_b, id_a FROM pairs
     ),
-    deg AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS deg
-            FROM edges GROUP BY u),
+    ranked AS (
+        SELECT w, n,
+               ROW_NUMBER() OVER (PARTITION BY w ORDER BY n) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY w) AS BIGINT) AS deg
+        FROM edges
+    ),
+    kept AS (
+        SELECT w, n, deg, deg > {WEDGE_CAP} AS was_capped
+        FROM ranked WHERE rn <= {WEDGE_CAP}
+    ),
     wedges AS (
-        SELECT e1.v AS w, e1.u AS a, e2.u AS b
-        FROM edges e1 JOIN edges e2 ON e1.v = e2.v AND e1.u < e2.u
+        SELECT k1.w, k1.n AS a, k2.n AS b, k1.deg, k1.was_capped
+        FROM kept k1 JOIN kept k2 ON k1.w = k2.w AND k1.n < k2.n
     )
-    SELECT wg.a AS id_a, wg.b AS id_b,
+    SELECT a AS id_a, b AS id_b,
            CAST(COUNT(*) AS BIGINT) AS common_neighbors,
-           CAST(SUM(CAST(round(1000000.0 / ln(CAST(d.deg AS DOUBLE)))
-                         AS BIGINT)) AS BIGINT) AS aa_micro
-    FROM wedges wg JOIN deg d ON wg.w = d.w
-    GROUP BY wg.a, wg.b
+           CAST(SUM(CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE)))
+                         AS BIGINT)) AS BIGINT) AS aa_micro,
+           bool_or(was_capped) AS capped
+    FROM wedges
+    GROUP BY a, b
     """,
     doc="Adamic-Adar link prediction over the near-dup graph: for each "
     "pair of documents sharing LSH-edge neighbors, sum 1/ln(deg(w)) "
@@ -159,39 +173,21 @@ def graph_degree_distribution(spark, sf_dir):
     "LSH). Each AA term is quantized to an exact integer micro-score "
     "BEFORE summing (round of the identical per-node double), so the "
     "aggregate is order-independent and bit-equal across engines — a "
-    "raw double sum would not be. Wedge enumeration is the posting-"
-    "list self-join on the shared neighbor (bounded by the degree "
-    "distribution the degree entry audits, never all-pairs), and "
-    "every common neighbor has deg >= 2 so ln() never hits zero. "
-    "One neighbor-keyed join + one pair-keyed partial agg.",
+    "raw double sum would not be; the weight keeps the TRUE degree of "
+    "w even when its wedge list is capped. Wedge enumeration runs on "
+    "each center's WEDGE_CAP smallest neighbor ids (deterministic "
+    "top-D — operators/graph.py:capped_neighbors), bounding the "
+    "worst case at n*D^2 wedges even if a template hub glues 1e5 "
+    "neighbors; truncated pairs carry capped=true (score is a lower "
+    "bound there). Every common neighbor has deg >= 2 so ln() never "
+    "hits zero. One neighbor-keyed join + one pair-keyed partial agg.",
 )
 def graph_adamic_adar_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=8, bands=2, k=5
     ).localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
-    deg = edges.groupBy(F.col("u").alias("w")).agg(
-        F.count("*").cast("bigint").alias("deg")
-    )
-    e1 = edges.select(F.col("v").alias("w"), F.col("u").alias("a"))
-    e2 = edges.select(F.col("v").alias("w"), F.col("u").alias("b"))
-    wedges = e1.join(e2, "w").filter(F.col("a") < F.col("b"))
-    term = F.round(F.lit(1000000.0) / F.log(F.col("deg").cast("double"))).cast(
-        "bigint"
-    )
-    return (
-        wedges.join(deg, "w")
-        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
-        .agg(
-            F.count("*").cast("bigint").alias("common_neighbors"),
-            F.sum(term).cast("bigint").alias("aa_micro"),
-        )
-    )
+    return adamic_adar(pairs, cap=WEDGE_CAP)
 
 
 @register(
@@ -203,23 +199,32 @@ def graph_adamic_adar_pairs(spark, sf_dir):
         UNION ALL
         SELECT id_b, id_a FROM pairs
     ),
-    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree
-            FROM edges GROUP BY u),
+    ranked AS (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS degree
+        FROM edges
+    ),
+    kept AS (SELECT u, v FROM ranked WHERE rn <= {WEDGE_CAP}),
+    deg AS (SELECT u, CAST(MAX(degree) AS BIGINT) AS degree
+            FROM ranked GROUP BY u),
     wedges AS (
-        SELECT e1.u AS w, e1.v AS a, e2.v AS b
-        FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        SELECT k1.u, k1.v AS a, k2.v AS b
+        FROM kept k1 JOIN kept k2 ON k1.u = k2.u AND k1.v < k2.v
     ),
     closed AS (
-        SELECT wg.w, CAST(COUNT(*) AS BIGINT) AS triangles
+        SELECT wg.u, CAST(COUNT(*) AS BIGINT) AS triangles
         FROM wedges wg
         JOIN pairs p ON wg.a = p.id_a AND wg.b = p.id_b
-        GROUP BY wg.w
+        GROUP BY wg.u
     )
     SELECT d.u AS doc_id, d.degree,
            COALESCE(c.triangles, 0) AS triangles,
            CAST(2 * COALESCE(c.triangles, 0) AS DOUBLE)
-               / (d.degree * (d.degree - 1)) AS clustering_coeff
-    FROM deg d LEFT JOIN closed c ON d.u = c.w
+               / (LEAST(d.degree, {WEDGE_CAP})
+                  * (LEAST(d.degree, {WEDGE_CAP}) - 1)) AS clustering_coeff,
+           d.degree > {WEDGE_CAP} AS capped
+    FROM deg d LEFT JOIN closed c ON d.u = c.u
     WHERE d.degree >= 2
     """,
     doc="Per-node local clustering coefficient on the near-dup graph: "
@@ -228,9 +233,13 @@ def graph_adamic_adar_pairs(spark, sf_dir):
     "(dedup can keep one survivor for the whole cluster); near 0 = a "
     "hub stitching UNRELATED groups — usually boilerplate contamination "
     "that LSH banding glued together, the signal to tighten bands "
-    "before trusting cluster-level dedup. Wedges enumerate per center "
-    "node (bounded by the degree distribution the degree entry "
-    "audits), closure is one join against the canonical a<b pair "
+    "before trusting cluster-level dedup. Wedges enumerate over each "
+    "center's WEDGE_CAP smallest neighbor ids (deterministic top-D — "
+    "operators/graph.py:capped_neighbors), bounding the worst case at "
+    "n*D^2 even under a glued template hub; a capped row reports the "
+    "exact coefficient of the kept neighborhood (denominator "
+    "least(degree, D)) with capped=true, while degree stays the true "
+    "degree. Closure is one join against the canonical a<b pair "
     "list, and the coefficient is an exact small-int ratio — "
     "bit-identical with no rounding at all.",
 )
@@ -239,30 +248,4 @@ def graph_node_clustering_coeff(spark, sf_dir):
     pairs = dd.minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=8, bands=2, k=5
     ).localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
-    )
-    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
-    e1 = edges.select("u", F.col("v").alias("a"))
-    e2 = edges.select("u", F.col("v").alias("b"))
-    wedges = e1.join(e2, "u").filter(F.col("a") < F.col("b"))
-    closed = (
-        wedges.join(
-            pairs,
-            (wedges.a == pairs.id_a) & (wedges.b == pairs.id_b),
-        )
-        .groupBy("u")
-        .agg(F.count("*").cast("bigint").alias("triangles"))
-    )
-    j = deg.join(closed, "u", "left").fillna(0, subset=["triangles"])
-    return j.filter(F.col("degree") >= 2).select(
-        F.col("u").alias("doc_id"),
-        "degree",
-        F.col("triangles").cast("bigint").alias("triangles"),
-        (
-            (2 * F.col("triangles")).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1))
-        ).alias("clustering_coeff"),
-    )
+    return local_clustering(pairs, cap=WEDGE_CAP)

