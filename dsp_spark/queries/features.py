@@ -373,7 +373,15 @@ def orders_interpurchase_km(spark, sf_dir):
     wcum = W.orderBy("gap_days").rowsBetween(W.unboundedPreceding, 0)
     # exp() is only 1-ulp-accurate and libm != JVM Math.exp; absorb
     # it by quantizing to an exact nano INTEGER then dividing
-    # (round(x, 9) itself is not cross-engine stable)
+    # (round(x, 9) itself is not cross-engine stable).
+    # Accepted residual hazard (ADVICE r9, accepted r10): this is the
+    # one entry where a SECOND transcendental sits between the exact
+    # pico-int cumsum and the emitted value, so a 1-ulp exp()
+    # disagreement could still flip round(exp*1e9) at an exact .5-nano
+    # boundary. Probabilistic, never observed at sf0.001/0.01/0.1;
+    # consumers needing bit-stability can exponentiate the exact
+    # term_pico cumsum themselves (it is derivable from the emitted
+    # d/n_risk columns).
     surv = F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
         F.round(
             F.exp(

@@ -810,17 +810,14 @@ def privacy_l_diversity_audit(spark, sf_dir):
 )
 def dq_psi_price_drift(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
+    # the cast chain exists ONCE; `div` has no Column-API form, so the
+    # bucket derives from the named column via expr (o_totalprice > 0,
+    # where div == floor division on both engines)
     cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
         "bigint"
     )
-    b = o.select(
-        F.least(
-            F.expr(
-                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
-                " div 6000000"
-            ),
-            F.lit(9),
-        )
+    b = o.withColumn("cents", cents).select(
+        F.least(F.expr("cents div 6000000"), F.lit(9))
         .cast("int")
         .alias("bucket"),
         F.when(

@@ -1857,7 +1857,15 @@ def psi_stream(
     per key, independent of volume) and re-emits the smoothed PSI each
     micro-batch. Counts are order-independent, so every emission —
     not just the final one — is split- and late-arrival-invariant.
-    Parity vs psi_batch is pinned in tests/test_psi_stream.py."""
+    Parity vs psi_batch is pinned in tests/test_psi_stream.py.
+
+    Documented batch/stream asymmetry: the stream twin only reports
+    keys WITH TRAFFIC — applyInPandasWithState groups exist only for
+    arriving keys, so a reference type that never produces an event
+    emits nothing here, while psi_batch's reference-keyed left join
+    emits an n_seen=0 row for every calibrated type. A monitor that
+    must alarm on total silence should pair this with a freshness
+    check; the asymmetry is pinned in tests/test_advice_r10.py."""
     return (
         events.select("event_type", "value")
         .groupBy("event_type")

@@ -18,6 +18,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dsp_spark.streaming.stateful import cusum_batch, cusum_stream
+from tests._num import trunc_div
 
 THRESH = 20000
 
@@ -140,7 +141,7 @@ def test_cusum_batch_pins_catalog_entry(spark):
         "event_type", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.sum(cents).alias("s"))
     targets = {
-        r.event_type: int(r.total) // int(r.n)
+        r.event_type: trunc_div(int(r.total), int(r.n))
         for r in h.groupBy("event_type")
         .agg(F.sum("s").alias("total"), F.count("*").alias("n"))
         .collect()

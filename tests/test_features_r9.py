@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 
 from dsp_spark import catalog
+from tests._num import half_up, trunc_div
 
 SF = "/root/testdata/sf0.001"
 ENTRIES = catalog.entries()
@@ -249,7 +250,7 @@ def test_adamic_adar_matches_model(spark):
             for b in ns[i + 1 :]:
                 cn, aa = exp.get((a, b), (0, 0))
                 # HALF_UP round, matching F.round / duckdb round
-                term = math.floor(1000000.0 / math.log(deg[w]) + 0.5)
+                term = half_up(1000000.0 / math.log(deg[w]))
                 exp[(a, b)] = (cn + 1, aa + int(term))
     gm = {
         (r.id_a, r.id_b): (r.common_neighbors, r.aa_micro)
@@ -290,7 +291,7 @@ def test_cusum_closed_form_matches_recurrence(spark):
     for ty, grp in h.groupby("event_type"):
         grp = grp.sort_values("hr")
         vals = [int(v) for v in grp.cents]
-        target = sum(vals) // len(vals)  # floor div, matching SQL div
+        target = trunc_div(sum(vals), len(vals))  # SQL div truncates toward zero
         s = 0
         for hr, v in zip(grp.hr, vals):
             # the literal CUSUM recurrence the closed form must equal
@@ -318,7 +319,7 @@ def test_psi_matches_python_model(spark):
     for b in sorted(set(nb) | set(na)):
         p = float(nb[b] + 1) / (tb + 10)
         q = float(na[b] + 1) / (ta + 10)
-        term = math.floor((p - q) * math.log(p / q) * 1e12 + 0.5)
+        term = half_up((p - q) * math.log(p / q) * 1e12)
         psi_pico += term
         exp[b] = (nb[b], na[b], p, q, term)
     for b, (cb, ca, p, q, term) in exp.items():
@@ -359,9 +360,9 @@ def test_user_type_entropy_matches_counter(spark):
         n = sum(ctr.values())
         nano = 0
         for c in ctr.values():
-            nano += math.floor(float(c) * math.log2(float(c)) * 1e9 + 0.5)
-        h = math.floor(
-            (math.log2(float(n)) - (float(nano) / 1e9) / n) * 1e9 + 0.5
+            nano += half_up(float(c) * math.log2(float(c)) * 1e9)
+        h = half_up(
+            (math.log2(float(n)) - (float(nano) / 1e9) / n) * 1e9
         ) / 1e9
         row = got.loc[uid]
         assert row.n_events == n
@@ -392,10 +393,8 @@ def test_km_matches_python_model(spark):
         d = ctr[day]
         n_risk = total - seen
         if d < n_risk:
-            pico += math.floor(
-                math.log(1.0 - float(d) / n_risk) * 1e12 + 0.5
-            )
-            surv = math.floor(math.exp(pico / 1e12) * 1e9 + 0.5) / 1e9
+            pico += half_up(math.log(1.0 - float(d) / n_risk) * 1e12)
+            surv = half_up(math.exp(pico / 1e12) * 1e9) / 1e9
         else:
             surv = 0.0
         exp_rows.append((day, d, n_risk, surv))
@@ -424,7 +423,7 @@ def test_hhi_matches_python_model(spark):
         pico = 0
         for c in per_supp.values():
             sh = float(c) / total
-            pico += math.floor(sh * sh * 1e12 + 0.5)
+            pico += half_up(sh * sh * 1e12)
         row = got.loc[ty]
         assert row.n_suppliers == len(per_supp)
         assert row.hhi == pico / 1e12
@@ -445,9 +444,7 @@ def test_transition_entropy_matches_model(spark):
         cur_tot = Counter()
         for (a, _b), c in trans.items():
             cur_tot[a] += c
-        nano = lambda c: math.floor(
-            float(c) * math.log2(float(c)) * 1e9 + 0.5
-        )
+        nano = lambda c: half_up(float(c) * math.log2(float(c)) * 1e9)
         h_nano = sum(
             nano(ct)
             - sum(nano(c) for (a, _b), c in trans.items() if a == cur)
@@ -472,7 +469,7 @@ def test_zipf_slope_matches_model(spark):
             t.lower() for t in re.split(r"\s+", text) if t != ""
         )
     top = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:128]
-    q = lambda v: math.floor(math.log(float(v)) * 1e6 + 0.5)
+    q = lambda v: half_up(math.log(float(v)) * 1e6)
     pts = [(q(r), q(c)) for r, (_tok, c) in enumerate(top, start=1)]
     n = len(pts)
     sx = sum(p[0] for p in pts)

@@ -136,10 +136,12 @@ from dsp_spark.streaming.stateful import (
     attribution_linear_stream,
     cdc_net_effect_stream,
     cms_stream,
+    cusum_stream,
     ewma_stream,
     funnel_stream,
     k_anonymity_stream,
     near_dup_candidates_stream,
+    psi_stream,
     quantile_histogram_stream,
     session_close_stream,
     span_witness_stream,
@@ -285,10 +287,53 @@ def _attr_frames_rdb():
     ]
 
 
+def _cusum_frames_rdb():
+    import random
+
+    rng = random.Random(71)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for eid in range(240):
+        rows.append(
+            (
+                eid,
+                t0 + pd.Timedelta(minutes=3 * eid),
+                rng.choice(["a", "b", "c"]),
+                round(rng.uniform(0, 120), 2),
+            )
+        )
+    return [
+        pd.DataFrame(
+            rows[i * 80 : (i + 1) * 80],
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        for i in range(3)
+    ]
+
+
+# fixed calibration inputs for the monitor twins (batch calibrates,
+# stream monitors): per-type hourly cent targets / reference buckets
+_CUSUM_TARGETS = {"a": 120000, "b": 150000, "c": 90000}
+_PSI_REF = {
+    "a": [40, 35, 30, 25, 20, 15, 10, 8, 5, 2],
+    "b": [5, 10, 20, 40, 40, 20, 10, 5, 3, 2],
+}
+
+
 _FAMILIES = {
     "attribution_linear": (
         _attr_frames_rdb,
         attribution_linear_stream,
+        "append",
+    ),
+    "cusum_monitor": (
+        _cusum_frames_rdb,
+        lambda s: cusum_stream(s, _CUSUM_TARGETS, threshold=100000),
+        "append",
+    ),
+    "psi_drift": (
+        _cusum_frames_rdb,
+        lambda s: psi_stream(s, _PSI_REF, threshold=0.2),
         "append",
     ),
     "funnel_progression": (
