@@ -232,7 +232,7 @@ def _driver_checked_rounds() -> dict[str, int]:
 
 def _ordered() -> dict[str, CatalogEntry]:
     _load_all()
-    checked = _driver_checked_rounds()
+    checked = dict(_driver_checked_rounds())  # copy: never mutate the source
     for n, rnd in _CHANGED_IN_ROUND.items():
         if checked.get(n, 0) < rnd:
             checked.pop(n, None)

@@ -458,3 +458,229 @@ def supplier_hhi_by_parttype(spark, sf_dir):
             "hhi"
         ),
     )
+
+
+@register(
+    "orders_chi2_priority_by_segment",
+    """
+    WITH j AS (
+        SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+        SELECT priority, segment, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM j GROUP BY priority, segment
+    ), r AS (
+        SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS n_r
+        FROM cells GROUP BY priority
+    ), c AS (
+        SELECT segment, CAST(SUM(n_obs) AS BIGINT) AS n_c
+        FROM cells GROUP BY segment
+    ), g AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+    e AS (
+        SELECT cells.priority, cells.segment, n_obs,
+               CAST(n_r AS DOUBLE) * n_c / n AS expected
+        FROM cells
+        JOIN r ON cells.priority = r.priority
+        JOIN c ON cells.segment = c.segment
+        CROSS JOIN g
+    ), tt AS (
+        SELECT priority, segment, n_obs, expected,
+               (CAST(n_obs AS DOUBLE) - expected)
+                   * (CAST(n_obs AS DOUBLE) - expected) / expected
+                   AS chi2_cell
+        FROM e
+    ), tot AS (
+        SELECT CAST(SUM(CAST(round(chi2_cell * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS chi2_micro
+        FROM tt
+    )
+    SELECT priority, segment, n_obs, expected, chi2_cell,
+           CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2_total
+    FROM tt CROSS JOIN tot
+    """,
+    doc="Chi-square test of independence between order priority and "
+    "customer market segment — the categorical-association audit a "
+    "feature store runs before one-hot-crossing two columns (a tiny "
+    "chi2 means the cross adds no signal). One broadcast dim join + "
+    "one (priority x segment)-keyed partial agg collapses the fact "
+    "table to a dictionary-grain contingency table (<=25 rows, "
+    "materialized once); expected counts and per-cell terms are "
+    "identical double expressions over exact bigint marginals, and "
+    "the 25-term total is quantized to exact micro-units per cell "
+    "BEFORE summing, so the statistic is order-independent and "
+    "bit-equal across engines. Output grain is the contingency cell "
+    "with the total replicated — corpus-size-independent.",
+)
+def orders_chi2_priority_by_segment(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    # dictionary-grain contingency table, materialized once: marginals
+    # and terms would otherwise rescan orders
+    cells = (
+        j.groupBy("priority", "segment")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+        .localCheckpoint(eager=True)
+    )
+    r = cells.groupBy("priority").agg(
+        F.sum("n_obs").cast("bigint").alias("n_r")
+    )
+    c = cells.groupBy("segment").agg(
+        F.sum("n_obs").cast("bigint").alias("n_c")
+    )
+    g = cells.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    e = (
+        cells.join(F.broadcast(r), "priority")
+        .join(F.broadcast(c), "segment")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "priority",
+            "segment",
+            "n_obs",
+            (F.col("n_r").cast("double") * F.col("n_c") / F.col("n")).alias(
+                "expected"
+            ),
+        )
+    )
+    chi2_cell = (
+        (F.col("n_obs").cast("double") - F.col("expected"))
+        * (F.col("n_obs").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    tt = e.select(
+        "priority", "segment", "n_obs", "expected",
+        chi2_cell.alias("chi2_cell"),
+    ).localCheckpoint(eager=True)
+    tot = tt.agg(
+        F.sum(F.round(F.col("chi2_cell") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("chi2_micro")
+    )
+    return tt.crossJoin(F.broadcast(tot)).select(
+        "priority", "segment", "n_obs", "expected", "chi2_cell",
+        (F.col("chi2_micro").cast("double") / 1000000.0).alias("chi2_total"),
+    )
+
+
+@register(
+    "lineitem_anova_returnflag",
+    """
+    WITH s AS (
+        SELECT l_returnflag AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(cents) AS DECIMAL(19,0)) AS sum_g,
+               CAST(SUM(cents * cents) AS DECIMAL(38,0)) AS sumsq_g
+        FROM (SELECT l_returnflag,
+                     CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                          AS DECIMAL(19,0)) AS cents
+              FROM lineitem)
+        GROUP BY l_returnflag
+    ), g AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(sum_g) AS DECIMAL(19,0)) AS s_all,
+               CAST(SUM(sumsq_g) AS DECIMAL(38,0)) AS ssq_all,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(CAST(sum_g * sum_g AS HUGEINT) // n_g
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS grp_term
+        FROM s
+    ), f AS (
+        SELECT n, k,
+               CAST(grp_term
+                    - CAST(CAST(s_all * s_all AS HUGEINT) // n
+                           AS DECIMAL(38,0)) AS DOUBLE) AS ss_between,
+               CAST(ssq_all - grp_term AS DOUBLE) AS ss_within
+        FROM g
+    )
+    SELECT s.grp, s.n_g,
+           CAST(s.sum_g AS DOUBLE) / s.n_g AS mean_cents,
+           f.ss_between, f.ss_within,
+           (f.ss_between / (f.k - 1)) / (f.ss_within / (f.n - f.k))
+               AS f_stat
+    FROM s CROSS JOIN f
+    """,
+    doc="One-way ANOVA of line price (cents) across return-flag groups "
+    "— the does-this-category-move-the-metric screen run before "
+    "treating a flag as a model feature. Per-group sufficient "
+    "statistics (n, sum, sum-of-squares) accumulate as exact decimal "
+    "cents in ONE fact-table pass; the cross-group sums-of-squares "
+    "terms sum_g^2/n_g run as EXACT int128 integer division "
+    "(DECIMAL(38,0) product, `div` / HUGEINT `//`) and fold as exact "
+    "decimal adds, so SS_between / SS_within / F are "
+    "order-independent and bit-equal across engines with no double "
+    "op before the final cast. (An earlier double-based formulation "
+    "diverged: Spark's round/cast rounds the shortest decimal string "
+    "while DuckDB rounds the binary value — 1-ulp term flips at e18 "
+    "magnitudes.) The sub-cent truncation of the integer division is "
+    "statistically nil and engine-identical. Spark-side quotients "
+    "stay int64-safe at ANY row count via the split "
+    "floor(a^2/n) = (a div n)*a + ((a mod n)*a) div n — the only "
+    "bound is a group's cent SUM fitting int64 ($9.2e16). Output is "
+    "one row per group (<=3) with the shared statistics replicated; "
+    "group grain is dictionary-bounded at any scale.",
+)
+def lineitem_anova_returnflag(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cents = (dec("l_extendedprice") * 100).cast("decimal(19,0)")
+    s = (
+        li.select(F.col("l_returnflag").alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum("cents").cast("decimal(19,0)").alias("sum_g"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("sumsq_g"),
+        )
+        # 3-row group table materialized once: the grand fold and the
+        # per-group output would otherwise rescan lineitem
+        .localCheckpoint(eager=True)
+    )
+    # exact int128 quotient floor(a^2/n), int64-safe on the Spark side:
+    # Spark `div` returns BIGINT, and a^2 div n can exceed it — but
+    # with a = q*n + r, floor(a^2/n) = q*a + floor(r*a/n), where q (a
+    # group mean in cents), the decimal product q*a, and the piece
+    # quotient <= a all stay in range for any a up to 9.2e18 cents.
+    # Bit-equal to DuckDB's HUGEINT // (validated both engines).
+    def _sqdiv(a: str, n: str) -> str:
+        return (
+            f"CAST(CAST(({a} div {n}) AS DECIMAL(19,0)) * {a}"
+            f" + CAST((({a} % {n}) * {a}) div {n} AS DECIMAL(38,0))"
+            f" AS DECIMAL(38,0))"
+        )
+
+    grp_term = F.sum(F.expr(_sqdiv("sum_g", "n_g"))).cast("decimal(38,0)")
+    g = s.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("sum_g").cast("decimal(19,0)").alias("s_all"),
+        F.sum("sumsq_g").cast("decimal(38,0)").alias("ssq_all"),
+        F.count("*").cast("bigint").alias("k"),
+        grp_term.alias("grp_term"),
+    )
+    f = g.select(
+        "n",
+        "k",
+        (F.col("grp_term") - F.expr(_sqdiv("s_all", "n")))
+        .cast("double")
+        .alias("ss_between"),
+        (F.col("ssq_all") - F.col("grp_term")).cast("double").alias(
+            "ss_within"
+        ),
+    )
+    return s.crossJoin(F.broadcast(f)).select(
+        "grp",
+        "n_g",
+        (F.col("sum_g").cast("double") / F.col("n_g")).alias("mean_cents"),
+        "ss_between",
+        "ss_within",
+        (
+            (F.col("ss_between") / (F.col("k") - 1))
+            / (F.col("ss_within") / (F.col("n") - F.col("k")))
+        ).alias("f_stat"),
+    )

@@ -805,3 +805,87 @@ def shuffle_epoch_divergence(spark, sf_dir):
             "same_rate"
         ),
     )
+
+
+@register(
+    "mixture_kl_divergence",
+    """
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source
+    ), g AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+               CAST(SUM(sum_chars) AS BIGINT) AS tc
+        FROM s
+    ), p AS (
+        SELECT source, n_docs, sum_chars,
+               CAST(n_docs AS DOUBLE) / td AS p_docs,
+               CAST(sum_chars AS DOUBLE) / tc AS p_chars,
+               CAST(round(CAST(n_docs AS DOUBLE) / td
+                          * ln((CAST(n_docs AS DOUBLE) / td)
+                               / (CAST(sum_chars AS DOUBLE) / tc))
+                          * 1000000000000.0) AS BIGINT) AS term_pico
+        FROM s CROSS JOIN g
+        WHERE sum_chars > 0
+    ), tot AS (
+        SELECT CAST(SUM(term_pico) AS BIGINT) AS kl_pico FROM p
+    )
+    SELECT source, n_docs, sum_chars, p_docs, p_chars, term_pico,
+           CAST(kl_pico AS DOUBLE) / 1000000000000.0 AS kl_total
+    FROM p CROSS JOIN tot
+    """,
+    doc="KL divergence between the DOC-COUNT mixture and the "
+    "CHAR-MASS mixture across sources: KL(p_docs || p_chars) = sum "
+    "p_docs ln(p_docs/p_chars) — how badly sampling documents "
+    "uniformly misrepresents the token mass each source contributes "
+    "(a long-doc source is under-sampled by doc count; the standard "
+    "fix is the temperature reweighting mixture_temperature_weights "
+    "computes, and this entry is the audit that says whether it is "
+    "needed). Both shares come from exact bigint counts in ONE "
+    "documents pass collapsed to source grain (dictionary-bounded); "
+    "each source's KL term is quantized to exact pico-units BEFORE "
+    "the total sum, so the scalar is order-independent and "
+    "bit-equal across engines. Sources with zero chars are excluded "
+    "(KL undefined there; documented).",
+)
+def mixture_kl_divergence(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # source-grain stats materialized once: totals, terms, and the KL
+    # fold would otherwise each rescan documents
+    s = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = s.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("sum_chars").cast("bigint").alias("tc"),
+    )
+    p_docs = F.col("n_docs").cast("double") / F.col("td")
+    p_chars = F.col("sum_chars").cast("double") / F.col("tc")
+    term = F.round(
+        p_docs * F.log(p_docs / p_chars) * 1000000000000.0
+    ).cast("bigint")
+    p = (
+        s.crossJoin(F.broadcast(g))
+        .where(F.col("sum_chars") > 0)
+        .select(
+            "source", "n_docs", "sum_chars",
+            p_docs.alias("p_docs"),
+            p_chars.alias("p_chars"),
+            term.alias("term_pico"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = p.agg(F.sum("term_pico").cast("bigint").alias("kl_pico"))
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "sum_chars", "p_docs", "p_chars", "term_pico",
+        (F.col("kl_pico").cast("double") / 1000000000000.0).alias(
+            "kl_total"
+        ),
+    )

@@ -1927,3 +1927,164 @@ def text_zipf_slope(spark, sf_dir):
     # inputs are exact ints, so the slope double is bit-identical
     # unrounded; round(x, 9) itself is NOT cross-engine stable
     return s.select(F.col("n").alias("k_terms"), slope.alias("zipf_slope"))
+
+
+@register(
+    "source_ngram_jaccard",
+    f"""
+    WITH post AS (
+        SELECT DISTINCT source, h
+        FROM (SELECT source,
+                     unnest({textops.shingle_hashes_sql(5)}) AS h
+              FROM documents)
+    ), sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM post GROUP BY source
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM post a
+        JOIN post b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           sa.n_grams AS n_a, sb.n_grams AS n_b,
+           CAST(i.n_common AS DOUBLE)
+               / (sa.n_grams + sb.n_grams - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.source_a = sa.source
+    JOIN sz sb ON i.source_b = sb.source
+    """,
+    doc="Cross-SOURCE 5-gram Jaccard overlap matrix: per source the "
+    "distinct char-5-gram hash set, per source pair |A intersect B| / "
+    "|A union B| — the corpus-level contamination screen that catches "
+    "one feed republishing another (mirrors, scrapes of scrapes) "
+    "before per-doc dedup even runs; the per-doc entries "
+    "(dedup_rate_by_source) see the trees, this sees the forest. The "
+    "postings table (source, gram-hash, distinct) is materialized "
+    "once and the intersection is a gram-keyed postings self-join: "
+    "per-gram work is bounded by sources-per-gram squared (sources "
+    "are a dictionary, never data grain), so total cost is O(grams x "
+    "sources^2), never doc-pair-quadratic. Counts are exact bigints; "
+    "Jaccard is one IEEE-exact division. Pairs sharing zero grams "
+    "are absent (inner-join grain, documented).",
+)
+def source_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    # distinct (source, gram) postings, materialized once: sizes and
+    # both self-join sides would otherwise rescan + re-hash documents
+    post = (
+        d.select(
+            "source",
+            F.explode(textops.shingle_hashes("text", 5)).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = post.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sz.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("n_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "text_simpson_diversity_by_lang",
+    """
+    WITH tc AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_t
+        FROM (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''
+        GROUP BY lang, tok
+    ), s AS (
+        SELECT lang,
+               CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(n_t AS DECIMAL(19,0))
+                        * CAST(n_t - 1 AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS coll
+        FROM tc GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           CAST(coll AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+               AS simpson_lambda,
+           1.0 - CAST(coll AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+               AS simpson_diversity
+    FROM s WHERE n_tokens >= 2
+    """,
+    doc="Simpson lexical concentration per language: lambda = sum "
+    "n_t(n_t-1) / N(N-1), the probability two random tokens are the "
+    "same type (Simpson 1949) — the repetitiveness twin of "
+    "text_unigram_entropy_by_lang (entropy weights the long tail, "
+    "Simpson the head: a template-spam source spikes lambda first). "
+    "All sufficient statistics are exact integers — term counts fold "
+    "map-side into (lang, type)-grain rows, the collision sum "
+    "accumulates as DECIMAL(38,0) (n_t^2 overflows int64 once a "
+    "term's count passes ~3e9 at corpus scale) — and both emitted "
+    "doubles are the identical IEEE division, so the entry is "
+    "bit-equal across engines with NO transcendental and NO "
+    "rounding at all. Language grain output.",
+)
+def text_simpson_diversity_by_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select("lang", F.explode(textops.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("n_t"))
+    )
+    coll = F.sum(
+        F.col("n_t").cast("decimal(19,0)")
+        * (F.col("n_t") - 1).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    s = tc.groupBy("lang").agg(
+        F.sum("n_t").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        coll.alias("coll"),
+    )
+    lam = F.col("coll").cast("double") / (
+        F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)
+    )
+    return s.where(F.col("n_tokens") >= 2).select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        lam.alias("simpson_lambda"),
+        (F.lit(1.0) - lam).alias("simpson_diversity"),
+    )

@@ -2265,3 +2265,100 @@ def events_transition_entropy(spark, sf_dir):
             / F.sum("c_cur")
         ).alias("entropy_rate_bits"),
     )
+
+
+@register(
+    "events_mann_kendall_trend",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ), pr AS (
+        SELECT a.event_type,
+               CAST(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END AS BIGINT) AS sgn
+        FROM daily a
+        JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+    ), agg AS (
+        SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+        FROM pr GROUP BY event_type
+    ), nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT nd.event_type, nd.n_days,
+           COALESCE(agg.s_stat, 0) AS s_stat,
+           CAST((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)) // 6
+                AS BIGINT) AS var0,
+           CAST(COALESCE(agg.s_stat, 0) AS DOUBLE)
+               / sqrt(CAST((nd.n_days * (nd.n_days - 1)
+                            * (2 * nd.n_days + 5)) // 6 AS DOUBLE))
+               AS z_stat
+    FROM nd LEFT JOIN agg ON nd.event_type = agg.event_type
+    WHERE nd.n_days >= 2
+    """,
+    doc="Mann-Kendall nonparametric trend test per event type: S = sum "
+    "of sign(c_j - c_i) over all ordered day pairs of the daily count "
+    "series (Mann 1945, Kendall 1975) — the is-this-metric-drifting "
+    "monitor that needs no distributional assumption and no "
+    "least-squares fit. The pairwise enumeration runs on the "
+    "calendar-grain daily table (one fact pass collapses events to "
+    "type x day, materialized once), so its cost is bounded by "
+    "days^2 per type — independent of event volume at any corpus "
+    "size. S and the no-ties variance n(n-1)(2n+5)/6 are exact "
+    "integers (the product is always divisible by 6); z is one "
+    "IEEE-exact division by sqrt, bit-equal across engines. The "
+    "variance omits the tie correction (documented approximation).",
+)
+def events_mann_kendall_trend(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    # calendar-grain series, materialized once: the self-join would
+    # otherwise rescan events on both sides
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn = (
+        F.when(F.col("b.c") > F.col("a.c"), 1)
+        .when(F.col("b.c") < F.col("a.c"), -1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    agg = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(F.col("a.event_type").alias("event_type"), sgn.alias("sgn"))
+        .groupBy("event_type")
+        .agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    var0 = F.expr("(n_days * (n_days - 1) * (2 * n_days + 5)) div 6").cast(
+        "bigint"
+    )
+    return (
+        nd.join(agg, "event_type", "left")
+        .fillna(0, subset=["s_stat"])
+        .where(F.col("n_days") >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            var0.alias("var0"),
+            (
+                F.col("s_stat").cast("double")
+                / F.sqrt(var0.cast("double"))
+            ).alias("z_stat"),
+        )
+    )

@@ -24,10 +24,36 @@ def test_checked_entries_ordered_oldest_round_first(monkeypatch):
     ordered = list(catalog.entries())
     seen_r3 = False
     for n in ordered:
+        if n in catalog._CHANGED_IN_ROUND:
+            continue  # forced re-checks intentionally jump the queue
         if rounds[n] == 3:
             seen_r3 = True
         else:
             assert not seen_r3, "round-1-checked entry after a round-3 one"
+    # the override must not mutate the source dict
+    assert all(n in rounds for n in catalog._CHANGED_IN_ROUND)
+
+
+def test_changed_entries_rotate_to_front_until_rechecked(monkeypatch):
+    """_CHANGED_IN_ROUND: an entry whose implementation changed after
+    its newest green driver row sorts as never-checked; once a round
+    >= the change lands in the artifacts, it ages normally again."""
+    forced = dict(catalog._CHANGED_IN_ROUND)
+    if not forced:
+        return  # nothing currently forced; mechanism covered when used
+    name, rnd = next(iter(forced.items()))
+    names = list(catalog.entries())
+    # stale green row (rnd - 1): must jump to the never-checked front
+    monkeypatch.setattr(
+        catalog, "_driver_checked_rounds", lambda: {n: rnd - 1 for n in names}
+    )
+    assert list(catalog.entries()).index(name) < len(forced) + 1
+    # fresh green row (rnd): override is a no-op, entry ages normally
+    fresh = {n: rnd - 1 for n in names}
+    fresh[name] = rnd
+    monkeypatch.setattr(catalog, "_driver_checked_rounds", lambda: fresh)
+    ordered = list(catalog.entries())
+    assert ordered.index(name) > len(names) // 2
 
 
 def test_failed_rows_do_not_count_as_checked(tmp_path, monkeypatch):
