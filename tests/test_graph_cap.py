@@ -148,3 +148,19 @@ def test_scorers_identical_on_persisted_edges(spark, sf_dir, tmp_path):
         a = {tuple(r) for r in scorer(persisted).collect()}
         b = {tuple(r) for r in scorer(recomputed).collect()}
         assert a == b and len(a) > 0
+
+    # the production CLI core writes the same scores from the same state
+    from tools.dedup_state import read_clusters
+    from tools.graph_scores import run as scores_run
+
+    state_nodes = read_clusters(spark, state).select("doc_id")
+    for cmd, scorer in (
+        ("pagerank", lambda p: pagerank(state_nodes, p, "doc_id", iters=2)),
+        ("adamic_adar", lambda p: adamic_adar(p, cap=WEDGE_CAP)),
+        ("clustering", lambda p: local_clustering(p, cap=WEDGE_CAP)),
+    ):
+        out = str(tmp_path / f"out_{cmd}")
+        assert scores_run(spark, cmd, state, out) > 0
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in scorer(persisted).collect()}
+        assert got == want and len(got) > 0
