@@ -1923,3 +1923,141 @@ def psi_batch(
     return agg.select(
         "event_type", "n_seen", "psi", (F.col("psi") > threshold).alias("drifted")
     )
+
+
+# --- streaming Mann-Kendall trend monitor (calendar-day count state) --------
+
+MK_SCHEMA = (
+    "event_type string, n_days bigint, s_stat bigint, var0 bigint, "
+    "z_stat double"
+)
+_MK_STATE_SCHEMA = "day_us array<bigint>, counts array<bigint>"
+_DAY_US = 86_400_000_000
+
+
+def _mk_fold(counts_by_day: dict[int, int]) -> tuple[int, int, int]:
+    """(n_days, S, var0) of the Mann-Kendall test over the day->count
+    map — exact integers, identical to the batch pairwise definition
+    (computed via one ordered sweep with a running rank tally would be
+    O(n log n); at calendar grain the O(n^2) literal form is fine and
+    obviously-equal to the oracle)."""
+    cs = [c for _, c in sorted(counts_by_day.items())]
+    n = len(cs)
+    s = 0
+    for i in range(n):
+        ci = cs[i]
+        for j in range(i + 1, n):
+            s += (cs[j] > ci) - (cs[j] < ci)
+    var0 = n * (n - 1) * (2 * n + 5) // 6
+    return n, s, var0
+
+
+def _make_mk_fn():
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: Any
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        if state.exists:
+            day_us, counts = state.get
+            days = dict(zip((int(d) for d in day_us), (int(c) for c in counts)))
+        else:
+            days = {}
+        for pdf in batches:
+            for ts in pdf["ts"]:
+                du = (int(ts.value) // 1000) // _DAY_US * _DAY_US
+                days[du] = days.get(du, 0) + 1
+        ks = sorted(days)
+        state.update((ks, [days[k] for k in ks]))
+        n, s, var0 = _mk_fold(days)
+        if n < 2:
+            return
+        import math
+
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": etype,
+                    "n_days": n,
+                    "s_stat": s,
+                    "var0": var0,
+                    "z_stat": float(s) / math.sqrt(float(var0)),
+                }
+            ]
+        )
+
+    return fn
+
+
+def mann_kendall_stream(events: DataFrame) -> DataFrame:
+    """Streaming Mann-Kendall trend monitor per event_type: the online
+    twin of the catalog entry events_mann_kendall_trend. State is one
+    exact count per CALENDAR day per key — bounded by wall-clock time,
+    not event volume (the cusum_stream pattern) — and every emission
+    refolds the exact pairwise S over completed days, so late data
+    lands in its true day and every emission (not just the final one)
+    is split- and arrival-order-invariant. S and var0 are exact
+    integers; z is one division by a correctly-rounded sqrt, so stream
+    and batch are bit-equal. Parity vs mann_kendall_batch is pinned in
+    tests/test_mann_kendall_stream.py."""
+    return (
+        events.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _make_mk_fn(),
+            outputStructType=MK_SCHEMA,
+            stateStructType=_MK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def mann_kendall_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the catalog entry's pairwise form over a DataFrame
+    (queries/windows.py:events_mann_kendall_trend derives it from the
+    parquet tables)."""
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.c") > F.col("a.c"), 1)
+        .when(F.col("b.c") < F.col("a.c"), -1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    agg = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(F.col("a.event_type").alias("event_type"), sgn.alias("sgn"))
+        .groupBy("event_type")
+        .agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    var0 = F.expr("(n_days * (n_days - 1) * (2 * n_days + 5)) div 6").cast(
+        "bigint"
+    )
+    return (
+        nd.join(agg, "event_type", "left")
+        .fillna(0, subset=["s_stat"])
+        .where(F.col("n_days") >= 2)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            var0.alias("var0"),
+            (
+                F.col("s_stat").cast("double") / F.sqrt(var0.cast("double"))
+            ).alias("z_stat"),
+        )
+    )

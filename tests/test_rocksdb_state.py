@@ -140,6 +140,7 @@ from dsp_spark.streaming.stateful import (
     ewma_stream,
     funnel_stream,
     k_anonymity_stream,
+    mann_kendall_stream,
     near_dup_candidates_stream,
     psi_stream,
     quantile_histogram_stream,
@@ -311,6 +312,32 @@ def _cusum_frames_rdb():
     ]
 
 
+def _mk_frames_rdb():
+    import random
+
+    rng = random.Random(79)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for eid in range(240):
+        rows.append(
+            (
+                eid,
+                # ~2 events/day over ~4 months: enough calendar days
+                # for the n_days >= 2 emission gate on every key
+                t0 + pd.Timedelta(hours=12 * eid),
+                rng.choice(["a", "b", "c"]),
+                round(rng.uniform(0, 120), 2),
+            )
+        )
+    return [
+        pd.DataFrame(
+            rows[i * 80 : (i + 1) * 80],
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        for i in range(3)
+    ]
+
+
 # fixed calibration inputs for the monitor twins (batch calibrates,
 # stream monitors): per-type hourly cent targets / reference buckets
 _CUSUM_TARGETS = {"a": 120000, "b": 150000, "c": 90000}
@@ -329,6 +356,11 @@ _FAMILIES = {
     "cusum_monitor": (
         _cusum_frames_rdb,
         lambda s: cusum_stream(s, _CUSUM_TARGETS, threshold=100000),
+        "append",
+    ),
+    "mann_kendall": (
+        _mk_frames_rdb,
+        mann_kendall_stream,
         "append",
     ),
     "psi_drift": (
