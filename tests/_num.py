@@ -19,8 +19,19 @@ import math
 
 def half_up(x: float) -> int:
     """Round half away from zero — Spark F.round / DuckDB round on
-    doubles (ties at exact .5 go AWAY from zero for both signs)."""
-    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    doubles (ties at exact .5 go AWAY from zero for both signs).
+
+    NOT ``floor(x + 0.5)``: above 2^52 the ``+ 0.5`` is unrepresentable
+    and rounds-to-even BUMPS integral doubles to the next integer
+    (half_up(4503599627370497.0) must be 4503599627370497, the naive
+    form gives ...498 — found by hypothesis, tests/test_props_r10.py).
+    ``x - floor(x)`` is exact in IEEE (same-scale subtraction), so the
+    fractional compare below is never subject to rounding."""
+    if x >= 0:
+        f = math.floor(x)
+        return int(f) + (1 if x - f >= 0.5 else 0)
+    c = math.ceil(x)
+    return int(c) - (1 if c - x >= 0.5 else 0)
 
 
 def trunc_div(a: int, b: int) -> int:
