@@ -2061,3 +2061,150 @@ def mann_kendall_batch(events: DataFrame) -> DataFrame:
             ).alias("z_stat"),
         )
     )
+
+
+# --- streaming AMS F2 second-moment sketch (repetitiveness monitor) --------
+
+AMS_K = 16  # estimators: 4 groups x 4 (median of means)
+AMS_SCHEMA = (
+    "key string, n_items bigint, f2_est double, simpson_est double"
+)
+_AMS_STATE_SCHEMA = "z array<bigint>, n bigint"
+
+
+def _ams_sign(i: int, item: str) -> int:
+    """±1 sign for estimator i — first 8 hex chars of md5('i:item'),
+    lowest bit (mirrored exactly by the batch twin's JVM expression)."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}:{item}".encode()).hexdigest()[:8]
+    return 1 if int(h, 16) & 1 else -1
+
+
+def _ams_estimate(z: list[int], n: int) -> tuple[float, float]:
+    """(F2 estimate, Simpson-lambda estimate) from the K counters:
+    median-of-means over 4 groups of 4 — the LOWER median (sorted
+    index 1 of 4) so no averaging of medians, fully deterministic.
+    Every mean is an exact-int sum / 4 (exact in IEEE); Simpson is
+    the same arithmetic both engines run."""
+    means = []
+    for g in range(AMS_K // 4):
+        s = sum(z[g * 4 + j] * z[g * 4 + j] for j in range(4))
+        means.append(float(s) / 4.0)
+    f2 = sorted(means)[1]
+    simpson = (f2 - n) / (float(n) * (n - 1)) if n >= 2 else 0.0
+    return f2, simpson
+
+
+def _ams_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    if state.exists:
+        z_arr, n = state.get
+        z = [int(v) for v in z_arr]
+        n = int(n)
+    else:
+        z, n = [0] * AMS_K, 0
+    for pdf in batches:
+        for item in pdf["item"]:
+            s = str(item)
+            n += 1
+            for i in range(AMS_K):
+                z[i] += _ams_sign(i, s)
+    state.update((z, n))
+    f2, simpson = _ams_estimate(z, n)
+    yield pd.DataFrame(
+        [{"key": k, "n_items": n, "f2_est": f2, "simpson_est": simpson}]
+    )
+
+
+def ams_f2_stream(
+    df: DataFrame, *, key_col: str, item_col: str
+) -> DataFrame:
+    """Streaming AMS second-moment (F2) sketch per key (Alon, Matias &
+    Szegedy 1996): SIXTEEN bigint counters of state per key — bounded
+    regardless of item-type cardinality — each accumulating ±1 md5
+    signs per item occurrence; E[z^2] = F2 = sum of squared type
+    counts, reported as the lower median of four 4-counter means. The
+    derived Simpson-lambda estimate (F2 - n)/(n(n-1)) is the online
+    repetitiveness monitor: a template-spam source spikes it long
+    before exact per-type counts (vocabulary-sized state) would be
+    affordable on the ingest path. Counter updates are ±1 integer adds
+    — order-independent — so EVERY emission bit-matches the batch twin
+    on the same rows (not just the final one); parity pinned in
+    tests/test_ams_stream.py, accuracy vs the exact moment in the same
+    file, providers in tests/test_rocksdb_state.py."""
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _ams_fn,
+        outputStructType=AMS_SCHEMA,
+        stateStructType=_AMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def ams_f2_batch(df: DataFrame, *, key_col: str, item_col: str) -> DataFrame:
+    """Batch twin: the same z_i from one (key, type)-grain aggregate +
+    a 16-way sign explode (signs are JVM md5 expressions mirroring
+    _ams_sign bit-for-bit), means and the lower median as identical
+    double arithmetic. Integer sign sums are order-independent, so
+    batch == stream exactly."""
+    per_type = (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .groupBy("key", "item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    i = F.explode(F.sequence(F.lit(0), F.lit(AMS_K - 1))).alias("i")
+    signed = per_type.select("key", "item", "cnt", i).select(
+        "key",
+        "i",
+        (
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.col("i"), F.col("item"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.col("cnt")
+        ).alias("contrib"),
+    )
+    z = signed.groupBy("key", "i").agg(
+        F.sum("contrib").cast("bigint").alias("z")
+    )
+    means = (
+        z.withColumn("g", F.expr("i div 4"))
+        .groupBy("key", "g")
+        .agg((F.sum(F.col("z") * F.col("z")).cast("double") / 4.0).alias("m"))
+    )
+    f2 = means.groupBy("key").agg(
+        F.sort_array(F.collect_list("m")).getItem(1).alias("f2_est")
+    )
+    n = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("n_items"))
+    )
+    simpson = F.when(
+        F.col("n_items") >= 2,
+        (F.col("f2_est") - F.col("n_items"))
+        / (F.col("n_items").cast("double") * (F.col("n_items") - 1)),
+    ).otherwise(F.lit(0.0))
+    return n.join(f2, "key").select(
+        "key", "n_items", "f2_est", simpson.alias("simpson_est")
+    )

@@ -132,6 +132,7 @@ import pytest
 
 from dsp_spark.streaming.stateful import (
     SESSION_GAP_S,
+    ams_f2_stream,
     approx_distinct_stream,
     attribution_linear_stream,
     cdc_net_effect_stream,
@@ -348,6 +349,11 @@ _PSI_REF = {
 
 
 _FAMILIES = {
+    "ams_f2": (
+        _kv_frames,
+        lambda s: ams_f2_stream(s, key_col="k", item_col="item"),
+        "update",
+    ),
     "attribution_linear": (
         _attr_frames_rdb,
         attribution_linear_stream,
