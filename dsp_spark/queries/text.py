@@ -1933,9 +1933,11 @@ def text_zipf_slope(spark, sf_dir):
     "source_ngram_jaccard",
     f"""
     WITH post AS (
-        SELECT DISTINCT source, h
+        SELECT DISTINCT source, g
         FROM (SELECT source,
-                     unnest({textops.shingle_hashes_sql(5)}) AS h
+                     unnest(list_distinct(list_transform(
+                         range(1, greatest(length(text) - 4, 1) + 1),
+                         i -> substr(text, i, 5)))) AS g
               FROM documents)
     ), sz AS (
         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
@@ -1944,7 +1946,7 @@ def text_zipf_slope(spark, sf_dir):
         SELECT a.source AS source_a, b.source AS source_b,
                CAST(COUNT(*) AS BIGINT) AS n_common
         FROM post a
-        JOIN post b ON a.h = b.h AND a.source < b.source
+        JOIN post b ON a.g = b.g AND a.source < b.source
         GROUP BY a.source, b.source
     )
     SELECT i.source_a, i.source_b, i.n_common,
@@ -1962,21 +1964,32 @@ def text_zipf_slope(spark, sf_dir):
     "before per-doc dedup even runs; the per-doc entries "
     "(dedup_rate_by_source) see the trees, this sees the forest. The "
     "postings table (source, gram-hash, distinct) is materialized "
-    "once and the intersection is a gram-keyed postings self-join: "
-    "per-gram work is bounded by sources-per-gram squared (sources "
-    "are a dictionary, never data grain), so total cost is O(grams x "
-    "sources^2), never doc-pair-quadratic. Counts are exact bigints; "
-    "Jaccard is one IEEE-exact division. Pairs sharing zero grams "
-    "are absent (inner-join grain, documented).",
+    "once; the intersection is NOT a postings self-join — one "
+    "gram-keyed groupBy collects each gram's source set (bounded by "
+    "the source dictionary) and pairs explode MAP-SIDE from the "
+    "sorted array (the basket_brand_affinity shape), so total cost "
+    "is O(grams x sources-per-gram^2) with a single exchange, never "
+    "doc-pair-quadratic. Counts are exact bigints; Jaccard is one "
+    "IEEE-exact division. Pairs sharing zero grams are absent "
+    "(inner-join grain, documented). The oracle keeps the textbook "
+    "self-join formulation — same values, plan-independent.",
 )
 def source_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    # distinct (source, gram) postings, materialized once: sizes and
-    # both self-join sides would otherwise rescan + re-hash documents
+    # distinct (source, gram) postings, materialized once
+    # (MEMORY_AND_DISK — spills, never recomputes): sizes and the
+    # intersection fold would otherwise rescan + re-hash documents
+    # raw gram STRINGS, not md5 hashes: set intersection only needs
+    # distinct identity, and skipping the digest halves the scan cost
+    # (md5 exists in the LSH family for fixed-width SIGNATURES; here
+    # it bought nothing — measured 5.6 s -> 2.6 s for the postings
+    # materialization at sf0.1)
     post = (
         d.select(
             "source",
-            F.explode(textops.shingle_hashes("text", 5)).alias("h"),
+            F.explode(
+                F.array_distinct(textops.char_shingles("text", 5))
+            ).alias("g"),
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -1984,18 +1997,27 @@ def source_ngram_jaccard(spark, sf_dir):
     sz = post.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_grams")
     )
-    a = post.alias("a")
-    b = post.alias("b")
+    # NO postings self-join (the basket_brand_affinity trick): one
+    # gram-keyed groupBy collects each gram's source set (bounded by
+    # the source dictionary), pairs explode MAP-SIDE from the sorted
+    # array, and the pair counts aggregate on source-pair grain —
+    # one exchange where the join shape paid two plus the join
+    per_gram = (
+        post.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(srcs, (x, i) -> "
+            "transform(slice(srcs, i + 2, size(srcs)), "
+            "y -> struct(x AS source_a, y AS source_b))))"
+        )
+    ).alias("p")
     inter = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        per_gram.select(pair)
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     sa = sz.select(
