@@ -2208,3 +2208,91 @@ def ams_f2_batch(df: DataFrame, *, key_col: str, item_col: str) -> DataFrame:
     return n.join(f2, "key").select(
         "key", "n_items", "f2_est", simpson.alias("simpson_est")
     )
+
+
+# --- streaming bottom-k deterministic sample (bounded-state sampler) -------
+
+BOTTOMK_SCHEMA = "key string, item string, rank_hex string"
+_BOTTOMK_STATE_SCHEMA = "ranks array<string>, items array<string>"
+BOTTOMK_K = 8
+
+
+def _bk_rank(item: str) -> str:
+    """Content-addressed sample rank: md5 of the item — the same
+    deterministic ordering dataset_mixture_audit-style sampling uses.
+    A string compare on the hex IS the numeric compare (fixed width)."""
+    import hashlib
+
+    return hashlib.md5(str(item).encode()).hexdigest()
+
+
+def _bk_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    if state.exists:
+        ranks, items = state.get
+        pairs = {str(r): str(i) for r, i in zip(ranks, items)}
+    else:
+        pairs = {}
+    for pdf in batches:
+        for item in pdf["item"]:
+            s = str(item)
+            pairs[_bk_rank(s)] = s
+    kept = sorted(pairs.items())[:BOTTOMK_K]
+    state.update(([r for r, _ in kept], [i for _, i in kept]))
+    yield pd.DataFrame(
+        [{"key": k, "item": i, "rank_hex": r} for r, i in kept]
+    )
+
+
+def bottomk_sample_stream(
+    df: DataFrame, *, key_col: str, item_col: str
+) -> DataFrame:
+    """Streaming bottom-k uniform sample per key: keep the K items
+    with the smallest md5(item) — EXACTLY K rows of state per key
+    forever, no RNG, no arrival-order dependence. Because the rank is
+    content-addressed, the sample is (a) a uniform sample of the
+    DISTINCT item set (md5 is order-free), (b) idempotent under
+    replay and duplicate delivery (re-inserting an item is a no-op —
+    at-least-once safe), and (c) mergeable: the union's bottom-k is
+    the bottom-k of the per-shard bottom-k sets. Each emission is the
+    complete current sample, so ANY emission — not just the final one
+    — equals the batch twin on the rows seen so far. Batch twin
+    bottomk_sample_batch is the row_number-by-md5 window; parity
+    pinned in tests/test_bottomk_stream.py."""
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _bk_fn,
+        outputStructType=BOTTOMK_SCHEMA,
+        stateStructType=_BOTTOMK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def bottomk_sample_batch(
+    df: DataFrame, *, key_col: str, item_col: str
+) -> DataFrame:
+    """Batch twin: rank DISTINCT items by md5 per key, keep the first
+    K — one distinct + one key-partitioned window, both on the
+    (key, item) grain."""
+    from pyspark.sql import Window as W
+
+    keyed = (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .distinct()
+        .select("key", "item", F.md5("item").alias("rank_hex"))
+    )
+    w = W.partitionBy("key").orderBy("rank_hex")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BOTTOMK_K)
+        .select("key", "item", "rank_hex")
+    )

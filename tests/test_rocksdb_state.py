@@ -135,6 +135,7 @@ from dsp_spark.streaming.stateful import (
     ams_f2_stream,
     approx_distinct_stream,
     attribution_linear_stream,
+    bottomk_sample_stream,
     cdc_net_effect_stream,
     cms_stream,
     cusum_stream,
@@ -358,6 +359,11 @@ _FAMILIES = {
         _attr_frames_rdb,
         attribution_linear_stream,
         "append",
+    ),
+    "bottomk_sample": (
+        _kv_frames,
+        lambda s: bottomk_sample_stream(s, key_col="k", item_col="item"),
+        "update",
     ),
     "cusum_monitor": (
         _cusum_frames_rdb,
