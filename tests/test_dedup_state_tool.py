@@ -200,3 +200,18 @@ def test_persisted_edges_match_full_recompute(spark, split_docs, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+    # compact folds the 3 generations into one, content-preserved
+    from tools.dedup_state import cmd_compact, read_bands
+
+    bands_before = {tuple(r) for r in read_bands(spark, state).collect()}
+    cmd_compact(spark, state)
+    for store in ("bands", "edges"):
+        gens = [
+            d for d in os.listdir(os.path.join(state, store))
+            if d.startswith("ingest=")
+        ]
+        assert gens == ["ingest=0"], (store, gens)
+    assert {tuple(r) for r in read_bands(spark, state).collect()} == bands_before
+    assert {(r.id_a, r.id_b) for r in read_edges(spark, state).collect()} == got
+    assert cmd_verify(spark, state, split_docs["full"]) == 0

@@ -2,9 +2,11 @@
 """Persisted dedup-cluster state maintenance (the production workflow
 behind the dedup_clusters_incremental catalog entry).
 
-    python tools/dedup_state.py init   --docs PARQUET --state DIR
-    python tools/dedup_state.py ingest --docs PARQUET --state DIR
-    python tools/dedup_state.py verify --state DIR [--full PARQUET]
+    python tools/dedup_state.py init    --docs PARQUET --state DIR
+    python tools/dedup_state.py ingest  --docs PARQUET --state DIR
+    python tools/dedup_state.py verify  --state DIR [--full PARQUET]
+    python tools/dedup_state.py stats   --state DIR
+    python tools/dedup_state.py compact --state DIR
 
 ``init`` builds the state directory from a first corpus snapshot:
 
@@ -327,11 +329,63 @@ def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
     return 0
 
 
+def cmd_stats(spark, state_dir: str) -> None:
+    """One-line state-shape report: docs, clusters, generations,
+    edges, and cluster-shard balance (max/avg bucket row count) — the
+    numbers an operator checks before/after an ingest."""
+    clusters = spark.read.parquet(os.path.join(state_dir, "clusters"))
+    per_bucket = clusters.groupBy("bucket").count()
+    row = per_bucket.agg(
+        F.sum("count").alias("docs"),
+        F.count("*").alias("buckets"),
+        F.max("count").alias("max_b"),
+        (F.sum("count") / F.count("*")).alias("avg_b"),
+    ).collect()[0]
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(state_dir, "bands"))
+        if d.startswith("ingest=") and not d.endswith("._tmp")
+    )
+    n_edges = read_edges(spark, state_dir).count()
+    print(
+        f"stats: {row.docs} docs in {n_clusters} clusters across "
+        f"{row.buckets} buckets (max/avg bucket {row.max_b}/"
+        f"{row.avg_b:.1f}); {len(gens)} generations "
+        f"(0..{gens[-1] if gens else '-'}), {n_edges} edges"
+    )
+
+
+def cmd_compact(spark, state_dir: str) -> None:
+    """Fold all band/edge ingest generations into a single ingest=0
+    directory — the occasional maintenance pass that keeps the
+    append-only stores from accumulating one directory (and its small
+    files) per ingest. Content-preserving by construction (same rows,
+    one generation); O(corpus) I/O, which is why it is a separate
+    maintenance command and not part of ingest. Crash-safe: each
+    store is rebuilt in a tmp dir and swapped in atomically."""
+    for store, reader in (("bands", read_bands), ("edges", read_edges)):
+        root = os.path.join(state_dir, store)
+        df = reader(spark, state_dir).localCheckpoint(eager=True)
+        tmp = root + "._tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "ingest=0"))
+        old = root + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        print(f"compact: {store} -> 1 generation ({df.count()} rows)")
+
+
 def main(argv=None) -> int:
     import argparse
 
     p = argparse.ArgumentParser(description="persisted dedup-cluster state")
-    p.add_argument("cmd", choices=["init", "ingest", "verify"])
+    p.add_argument("cmd", choices=["init", "ingest", "verify", "stats", "compact"])
     p.add_argument("--docs", help="parquet of (doc_id, text)")
     p.add_argument("--state", required=True, help="state directory")
     p.add_argument("--full", help="verify coverage against this corpus parquet")
@@ -353,6 +407,12 @@ def main(argv=None) -> int:
             if not args.docs:
                 p.error("ingest requires --docs")
             cmd_ingest(spark, args.docs, args.state)
+            return 0
+        if args.cmd == "stats":
+            cmd_stats(spark, args.state)
+            return 0
+        if args.cmd == "compact":
+            cmd_compact(spark, args.state)
             return 0
         return cmd_verify(spark, args.state, args.full)
     finally:
