@@ -72,6 +72,49 @@ def test_ingest_rejects_overlapping_batch(spark, split_docs, tmp_path):
         cmd_ingest(spark, split_docs["base"], state)
 
 
+def test_verify_detects_torn_ingest(spark, split_docs, tmp_path):
+    """The crash-safety contract: a crash BETWEEN the three ingest
+    writes leaves clusters/bands/edges disagreeing on the doc set, and
+    verify must fail on it. Simulated both ways: bands generation
+    landed but clusters did not (crash after the band append of a
+    hypothetical flow), and clusters updated but bands missing (crash
+    before the appends in the real write order)."""
+    import shutil
+
+    from tools.dedup_state import read_clusters
+
+    state = str(tmp_path / "state")
+    cmd_init(spark, split_docs["base"], state, dict(DEFAULTS))
+    cmd_ingest(spark, split_docs["b1"], state)
+    assert cmd_verify(spark, state, None) == 0
+
+    # torn case A: drop the ingest's band+edge generations (as if the
+    # crash hit after the cluster write, before the appends)
+    broken_a = str(tmp_path / "broken_a")
+    shutil.copytree(state, broken_a)
+    for store in ("bands", "edges"):
+        shutil.rmtree(os.path.join(broken_a, store, "ingest=1"))
+    assert cmd_verify(spark, broken_a, None) == 1
+
+    # torn case B: bands/edges present but the cluster fold lost (as
+    # if the dynamic partition overwrite never committed): roll the
+    # clusters back to init's assignment
+    broken_b = str(tmp_path / "broken_b")
+    shutil.copytree(state, broken_b)
+    init_only = str(tmp_path / "init_only")
+    cmd_init(spark, split_docs["base"], init_only, dict(DEFAULTS))
+    shutil.rmtree(os.path.join(broken_b, "clusters"))
+    shutil.copytree(
+        os.path.join(init_only, "clusters"),
+        os.path.join(broken_b, "clusters"),
+    )
+    # sanity: broken_b really disagrees with the healthy state
+    assert read_clusters(spark, broken_b).count() < read_clusters(
+        spark, state
+    ).count()
+    assert cmd_verify(spark, broken_b, None) == 1
+
+
 def test_state_dir_shape_and_meta_pinning(spark, split_docs, tmp_path):
     import json
 
