@@ -13,9 +13,17 @@ def test_same_session_same_table_is_cached(spark, sf_dir):
 
 
 def test_cache_keys_on_sf_dir(spark, sf_dir):
+    # a DIFFERENT sf dir than the suite's (the suite may itself run at
+    # sf0.01 via DSP_TEST_SF_DIR — same path must be a cache HIT)
+    other_dir = (
+        "/root/testdata/sf0.001"
+        if sf_dir.rstrip("/").endswith("sf0.01")
+        else "/root/testdata/sf0.01"
+    )
     a = read_table(spark, sf_dir, "region")
-    b = read_table(spark, "/root/testdata/sf0.01", "region")
+    b = read_table(spark, other_dir, "region")
     assert a is not b
+    assert read_table(spark, sf_dir, "region") is a
 
 
 def test_cache_not_shared_across_sessions(spark, sf_dir):
