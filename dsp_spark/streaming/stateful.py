@@ -2296,3 +2296,83 @@ def bottomk_sample_batch(
         .where(F.col("rn") <= BOTTOMK_K)
         .select("key", "item", "rank_hex")
     )
+
+
+# --- streaming Benford first-digit counters (forensic drift gate) ----------
+
+BENFORD_SCHEMA = "key string, digit int, n_digit bigint, n_total bigint"
+_BENFORD_STATE_SCHEMA = "counts array<bigint>"
+
+
+def _benford_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    counts = [int(c) for c in state.get[0]] if state.exists else [0] * 9
+    for pdf in batches:
+        for v in pdf["value"]:
+            cents = _cents_decimal(v)
+            if cents > 0:
+                counts[int(str(cents)[0]) - 1] += 1
+    state.update((counts,))
+    n = sum(counts)
+    yield pd.DataFrame(
+        [
+            {"key": k, "digit": d + 1, "n_digit": counts[d], "n_total": n}
+            for d in range(9)
+            if counts[d]
+        ]
+    )
+
+
+def benford_digit_stream(
+    df: DataFrame, *, key_col: str, value_col: str
+) -> DataFrame:
+    """Streaming Benford first-digit counters per key: NINE bigints of
+    state per key, the online side of the dq_benford_totalprice audit
+    (forensic gate for fabricated/truncated monetary feeds). The
+    stream deliberately emits EXACT digit counts, not a deviation
+    statistic: counts are order-independent integers, so every
+    emission bit-matches the batch twin with zero float anywhere —
+    the Benford expectation ln(1+1/d)/ln(10) lives with the consumer
+    (or the batch entry), where the 1-ulp python-vs-JVM log hazard
+    cannot reach state or parity. Digit extraction is the exact cents
+    integer rendered as a string, identical to the batch entry.
+    Parity pinned in tests/test_benford_stream.py; providers in
+    tests/test_rocksdb_state.py."""
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).alias("value"),
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _benford_fn,
+        outputStructType=BENFORD_SCHEMA,
+        stateStructType=_BENFORD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def benford_digit_batch(
+    df: DataFrame, *, key_col: str, value_col: str
+) -> DataFrame:
+    """Batch twin: one scan to (key, digit) counts plus a key-grain
+    total — the dq_benford_totalprice digit rule, keyed."""
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("bigint")
+    digits = (
+        df.select(F.col(key_col).cast("string").alias("key"), cents.alias("c"))
+        .where(F.col("c") > 0)
+        .select(
+            "key",
+            F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias(
+                "digit"
+            ),
+        )
+    )
+    per = digits.groupBy("key", "digit").agg(
+        F.count("*").cast("bigint").alias("n_digit")
+    )
+    tot = digits.groupBy("key").agg(F.count("*").cast("bigint").alias("n_total"))
+    return per.join(F.broadcast(tot), "key").select(
+        "key", "digit", "n_digit", "n_total"
+    )

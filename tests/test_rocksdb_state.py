@@ -135,6 +135,7 @@ from dsp_spark.streaming.stateful import (
     ams_f2_stream,
     approx_distinct_stream,
     attribution_linear_stream,
+    benford_digit_stream,
     bottomk_sample_stream,
     cdc_net_effect_stream,
     cms_stream,
@@ -359,6 +360,11 @@ _FAMILIES = {
         _attr_frames_rdb,
         attribution_linear_stream,
         "append",
+    ),
+    "benford_digits": (
+        _val_frames,
+        lambda s: benford_digit_stream(s, key_col="k", value_col="v"),
+        "update",
     ),
     "bottomk_sample": (
         _kv_frames,
