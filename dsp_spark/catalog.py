@@ -186,9 +186,10 @@ _DRIVER_WINDOW_FIRST: tuple[str, ...] = (
 # (the guard below is a no-op) — stale keys here cost nothing but
 # should be pruned when touched. name -> round the change shipped in.
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # r10: degree-capped wedge enumeration + new `capped` column
-    "graph_adamic_adar_pairs": 10,
-    "graph_node_clustering_coeff": 10,
+    # r11: SOUND capped flag — pairs with an endpoint in a truncated
+    # hub's dropped tail, replacing the contributing-centers OR that
+    # could read capped=false on an undercounted pair (advisor r10)
+    "graph_adamic_adar_pairs": 11,
 }
 
 

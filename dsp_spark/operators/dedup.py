@@ -819,6 +819,97 @@ def dup_span_intervals(
     )
 
 
+def span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    intervals: DataFrame,
+) -> DataFrame:
+    """Per-doc duplicated-span coverage from a PRECOMPUTED interval
+    table (``(id_col, s, e)``, 1-based inclusive — dup_span_intervals
+    output or tools/dedup_state.py ``read_spans``): ``(id_col,
+    n_tokens, n_dup_tokens, dup_frac)``, the dedup_dup_span_fraction
+    statistic. Shared-scorer core so the persisted span state and the
+    in-plan catalog entry cannot disagree (parity pinned in
+    tests/test_span_state_tool.py). One interval agg + one id-keyed
+    join; exact integer arithmetic until the final division."""
+    tk = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias(
+            "_l"
+        ),
+    )
+    cov = (
+        intervals.select(
+            id_col, (F.col("e") - F.col("s") + 1).alias("_span_len")
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_span_len").cast("bigint").alias("n_dup_tokens"))
+    )
+    return tk.join(cov, id_col, "left").select(
+        id_col,
+        F.size("_l").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_tokens"),
+        F.when(F.size("_l") == 0, F.lit(0.0))
+        .otherwise(
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+            / F.size("_l").cast("double")
+        )
+        .alias("dup_frac"),
+    )
+
+
+def span_source_rollup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    intervals: DataFrame,
+) -> DataFrame:
+    """Duplicated-span coverage rolled up to source grain from a
+    PRECOMPUTED interval table — the dup_span_rate_by_source dashboard
+    (``(source_col, n_docs, docs_with_dup_spans, n_tokens,
+    n_dup_tokens, dup_rate)``) computed off persisted span state
+    instead of re-deriving gram anchors. One extra source-grain
+    partial agg on the per-doc coverage."""
+    tk = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias(
+            "_l"
+        ),
+    )
+    cov = (
+        intervals.select(
+            id_col, (F.col("e") - F.col("s") + 1).alias("_span_len")
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_span_len").cast("bigint").alias("n_dup_tokens"))
+    )
+    j = tk.join(cov, id_col, "left").select(
+        source_col,
+        F.size("_l").cast("bigint").alias("n_tok"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup"),
+    )
+    ntok = F.sum("n_tok")
+    ndup = F.sum("n_dup")
+    return j.groupBy(source_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_dup_spans"),
+        ntok.cast("bigint").alias("n_tokens"),
+        ndup.cast("bigint").alias("n_dup_tokens"),
+        F.round(ndup / F.nullif(ntok.cast("double"), F.lit(0.0)), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
 def strip_dup_spans(
     df: DataFrame,
     id_col: str,
@@ -827,6 +918,7 @@ def strip_dup_spans(
     gram: int = 8,
     min_docs: int = 2,
     checkpoint: bool = True,
+    intervals: DataFrame | None = None,
 ) -> DataFrame:
     """APPLY the Lee-et-al span removal that dup_span_intervals (and the
     dedup_dup_span_fraction audit) only measures: every cross-document
@@ -845,10 +937,23 @@ def strip_dup_spans(
     Scale: the interval set per doc is bounded by doc length, and the
     strip itself is one JVM higher-order-function pass (exists() over
     the doc's own intervals per token — no Python, no extra shuffle
-    beyond the interval build + one id-keyed join back).
+    beyond the interval build + one id-keyed join back). Pass a
+    precomputed ``intervals`` frame (``(id_col, s, e)`` — e.g.
+    tools/dedup_state.py ``read_spans``) to strip off persisted span
+    state instead of re-deriving gram anchors; ``gram``/``min_docs``/
+    ``checkpoint`` are ignored then (the interval table pins them).
     """
-    iv = dup_span_intervals(
-        df, id_col, text_col, gram=gram, min_docs=min_docs, checkpoint=checkpoint
+    iv = (
+        intervals
+        if intervals is not None
+        else dup_span_intervals(
+            df,
+            id_col,
+            text_col,
+            gram=gram,
+            min_docs=min_docs,
+            checkpoint=checkpoint,
+        )
     )
     ivs = iv.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("_iv")

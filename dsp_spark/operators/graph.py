@@ -25,27 +25,44 @@ from pyspark.sql import DataFrame, Window, functions as F
 WEDGE_CAP = 64
 
 
+def _ranked_neighbors(pairs: DataFrame) -> DataFrame:
+    """Per-node adjacency rows ``(w, n, rn, deg)``: every edge in both
+    directions, ranked by neighbor id within the node (``row_number``
+    over ``(w ORDER BY n)`` — (w, n) is unique in a distinct pair list,
+    so the ranking is deterministic) with the node's true degree. One
+    shuffle on the node key; both window functions share the
+    partitioning. ``rn <= cap`` is the kept list, ``rn > cap`` the
+    dropped tail."""
+    edges = pairs.select(
+        F.col("id_a").alias("w"), F.col("id_b").alias("n")
+    ).unionAll(pairs.select(F.col("id_b").alias("w"), F.col("id_a").alias("n")))
+    by_w = Window.partitionBy("w")
+    return edges.select(
+        "w",
+        "n",
+        F.row_number().over(by_w.orderBy("n")).alias("rn"),
+        F.count("*").over(by_w).cast("bigint").alias("deg"),
+    )
+
+
+def _check_cap(cap: int) -> None:
+    """cap < 2 cannot enumerate a single wedge (a wedge needs two kept
+    neighbors) and makes local_clustering's kd*(kd-1) denominator zero
+    for every node — NaN/Infinity coefficients (advisor r10 finding).
+    Fail loudly instead."""
+    if cap < 2:
+        raise ValueError(f"wedge cap must be >= 2, got {cap}")
+
+
 def capped_neighbors(pairs: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
     """Per-node adjacency rows ``(w, n, deg, was_capped)`` limited to
     each node's ``cap`` smallest neighbor ids.
 
     ``deg`` is the TRUE degree of ``w`` (pre-cap — weighting formulas
     keep their exact semantics); ``was_capped`` marks nodes whose list
-    was truncated. Ranking is ``row_number`` over ``(w ORDER BY n)``:
-    (w, n) is unique in a distinct pair list, so the kept set is
-    deterministic. One shuffle on the node key; both window functions
-    share the partitioning."""
-    edges = pairs.select(
-        F.col("id_a").alias("w"), F.col("id_b").alias("n")
-    ).unionAll(pairs.select(F.col("id_b").alias("w"), F.col("id_a").alias("n")))
-    by_w = Window.partitionBy("w")
-    ranked = edges.select(
-        "w",
-        "n",
-        F.row_number().over(by_w.orderBy("n")).alias("rn"),
-        F.count("*").over(by_w).cast("bigint").alias("deg"),
-    )
-    return ranked.where(F.col("rn") <= cap).select(
+    was truncated."""
+    _check_cap(cap)
+    return _ranked_neighbors(pairs).where(F.col("rn") <= cap).select(
         "w", "n", "deg", (F.col("deg") > cap).alias("was_capped")
     )
 
@@ -57,22 +74,54 @@ def adamic_adar(pairs: DataFrame, cap: int = WEDGE_CAP) -> DataFrame:
     quantized to an exact integer micro-score BEFORE summing, so the
     aggregate is order-independent and bit-equal across engines; the
     weight uses the TRUE degree of ``w`` even when the wedge list is
-    capped. Returns (id_a, id_b, common_neighbors, aa_micro, capped);
-    ``capped`` = some contributing center's neighbor list was
-    truncated (the score is a lower bound there)."""
-    kept = capped_neighbors(pairs, cap).localCheckpoint(eager=True)
-    k1 = kept.select("w", F.col("n").alias("a"), "deg", "was_capped")
+    capped. Returns (id_a, id_b, common_neighbors, aa_micro, capped).
+
+    Exactness contract of ``capped`` (sound, advisor r10 medium): a
+    wedge (a, b) through center w is enumerated iff BOTH endpoints sit
+    in w's kept list, so a present pair is undercounted only when some
+    shared hub DROPPED one of its endpoints — i.e. an endpoint appears
+    in the ``rn > cap`` tail of a truncated list. ``capped = true``
+    therefore marks pairs with either endpoint in that dropped set
+    (score MAY be a lower bound); ``capped = false`` GUARANTEES the
+    exact uncapped score. (The old flag OR-ed ``was_capped`` over
+    CONTRIBUTING centers only: a capped hub that dropped endpoint a
+    emits no wedge row at all, so a pair it undercounts could read
+    capped=false via an uncapped center — unsound.) Pairs whose every
+    shared hub dropped an endpoint are ABSENT from the output entirely
+    — capping bounds the enumeration, it cannot flag rows it never
+    builds. The dropped set is one filter over the already-ranked
+    adjacency plus two id-keyed left joins — no wedge-shaped work."""
+    _check_cap(cap)
+    ranked = _ranked_neighbors(pairs).localCheckpoint(eager=True)
+    kept = ranked.where(F.col("rn") <= cap)
+    at_risk = ranked.where(F.col("rn") > cap).select("n").distinct()
+    k1 = kept.select("w", F.col("n").alias("a"), "deg")
     k2 = kept.select("w", F.col("n").alias("b"))
     wedges = k1.join(k2, "w").where(F.col("a") < F.col("b"))
     term = F.round(
         F.lit(1000000.0) / F.log(F.col("deg").cast("double"))
     ).cast("bigint")
-    return wedges.groupBy(
+    scores = wedges.groupBy(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     ).agg(
         F.count("*").cast("bigint").alias("common_neighbors"),
         F.sum(term).cast("bigint").alias("aa_micro"),
-        F.max("was_capped").alias("capped"),
+    )
+    ra = at_risk.select(F.col("n").alias("id_a"), F.lit(True).alias("_ra"))
+    rb = at_risk.select(F.col("n").alias("id_b"), F.lit(True).alias("_rb"))
+    return (
+        scores.join(ra, "id_a", "left")
+        .join(rb, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            "aa_micro",
+            (
+                F.coalesce(F.col("_ra"), F.lit(False))
+                | F.coalesce(F.col("_rb"), F.lit(False))
+            ).alias("capped"),
+        )
     )
 
 

@@ -151,20 +151,28 @@ def graph_degree_distribution(spark, sf_dir):
         FROM edges
     ),
     kept AS (
-        SELECT w, n, deg, deg > {WEDGE_CAP} AS was_capped
-        FROM ranked WHERE rn <= {WEDGE_CAP}
+        SELECT w, n, deg FROM ranked WHERE rn <= {WEDGE_CAP}
+    ),
+    at_risk AS (
+        SELECT DISTINCT n AS node FROM ranked WHERE rn > {WEDGE_CAP}
     ),
     wedges AS (
-        SELECT k1.w, k1.n AS a, k2.n AS b, k1.deg, k1.was_capped
+        SELECT k1.w, k1.n AS a, k2.n AS b, k1.deg
         FROM kept k1 JOIN kept k2 ON k1.w = k2.w AND k1.n < k2.n
+    ),
+    agg AS (
+        SELECT a AS id_a, b AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS aa_micro
+        FROM wedges
+        GROUP BY a, b
     )
-    SELECT a AS id_a, b AS id_b,
-           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
-           CAST(SUM(CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE)))
-                         AS BIGINT)) AS BIGINT) AS aa_micro,
-           bool_or(was_capped) AS capped
-    FROM wedges
-    GROUP BY a, b
+    SELECT g.id_a, g.id_b, g.common_neighbors, g.aa_micro,
+           (ra.node IS NOT NULL OR rb.node IS NOT NULL) AS capped
+    FROM agg g
+    LEFT JOIN at_risk ra ON g.id_a = ra.node
+    LEFT JOIN at_risk rb ON g.id_b = rb.node
     """,
     doc="Adamic-Adar link prediction over the near-dup graph: for each "
     "pair of documents sharing LSH-edge neighbors, sum 1/ln(deg(w)) "
@@ -178,9 +186,17 @@ def graph_degree_distribution(spark, sf_dir):
     "each center's WEDGE_CAP smallest neighbor ids (deterministic "
     "top-D — operators/graph.py:capped_neighbors), bounding the "
     "worst case at n*D^2 wedges even if a template hub glues 1e5 "
-    "neighbors; truncated pairs carry capped=true (score is a lower "
-    "bound there). Every common neighbor has deg >= 2 so ln() never "
-    "hits zero. One neighbor-keyed join + one pair-keyed partial agg.",
+    "neighbors. SOUND exactness flag (advisor r10): capped=true marks "
+    "pairs with either endpoint in some truncated hub's DROPPED "
+    "(rn > cap) tail — only such pairs can be missing a wedge, since "
+    "a wedge enumerates iff both endpoints are kept — so capped=false "
+    "GUARANTEES the exact uncapped score and capped=true means a "
+    "possible lower bound; pairs whose every shared hub dropped an "
+    "endpoint are absent entirely (capping bounds enumeration, it "
+    "cannot flag rows it never builds). Every common neighbor has "
+    "deg >= 2 so ln() never hits zero. One neighbor-keyed join + one "
+    "pair-keyed partial agg + two id-keyed flag joins on the small "
+    "dropped set.",
 )
 def graph_adamic_adar_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")

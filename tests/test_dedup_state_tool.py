@@ -122,7 +122,9 @@ def test_state_dir_shape_and_meta_pinning(spark, split_docs, tmp_path):
     cmd_init(spark, split_docs["base"], state, dict(DEFAULTS))
     assert sorted(os.listdir(state)) >= ["_meta.json", "bands", "clusters", "edges"]
     meta = json.load(open(os.path.join(state, "_meta.json")))
-    assert meta == DEFAULTS
+    from tools.dedup_state import LAYOUT_VERSION
+
+    assert meta == {**DEFAULTS, "layout": LAYOUT_VERSION}
     # the band index carries every base doc exactly bands times
     bands = spark.read.parquet(os.path.join(state, "bands"))
     per_doc = bands.groupBy("doc_id").count().select("count").distinct().collect()

@@ -57,24 +57,66 @@ def test_adamic_adar_hub_capped_and_bounded(spark):
     rows = {(r.id_a, r.id_b): r for r in adamic_adar(pairs, cap=cap).collect()}
 
     # wedges through the hub enumerate only its 8 smallest neighbors:
-    # C(8,2) = 28 capped pairs, NOT C(50,2) = 1225
-    hub_pairs = {k for k, r in rows.items() if r.capped}
-    assert hub_pairs == {
+    # C(8,2) = 28 pairs, NOT C(50,2) = 1225 — plus the two rim wedges
+    # (0,1) via center 2 and (0,2) via center 1
+    hub_pairs = {
         (a, b) for a in range(1, 9) for b in range(a + 1, 9)
     }
-    assert len(hub_pairs) == cap * (cap - 1) // 2
+    assert set(rows) == hub_pairs | {(0, 1), (0, 2)}
 
     # the AA weight keeps the hub's TRUE degree (1/ln(50), not 1/ln(8))
     want_hub_term = int(round(1e6 / math.log(hub_deg)))
     assert rows[(3, 4)].aa_micro == want_hub_term
     assert rows[(3, 4)].common_neighbors == 1
-
-    # wedges through rim node 1 (neighbors 0 and 2, deg 2) are uncapped
-    assert not rows[(0, 2)].capped
     assert rows[(0, 2)].aa_micro == int(round(1e6 / math.log(2)))
-    # pair (1,2): common neighbor is hub 0 — 1 and 2 are both within the
-    # hub's kept list, so the wedge survives with the true-degree weight
-    assert rows[(1, 2)].aa_micro == want_hub_term and rows[(1, 2)].capped
+
+    # SOUND flag semantics: in this star every PRESENT pair's wedges all
+    # survived (dropped rim nodes 9..50 are endpoints of no present
+    # pair), so nothing is flagged — capped marks possible undercount,
+    # not hub membership. Every present row here is exactly the uncapped
+    # score; the dropped-endpoint pairs (e.g. (9, 10)) are absent
+    # entirely, which the contract documents.
+    assert not any(r.capped for r in rows.values())
+    assert rows[(1, 2)].aa_micro == want_hub_term and not rows[(1, 2)].capped
+
+
+def test_adamic_adar_sound_capped_flag(spark):
+    """The advisor-r10 failure scenario: a capped hub drops endpoint 9,
+    so wedge (1, 9) through the hub is never enumerated — but an
+    UNCAPPED shared center (100) still contributes, so the old
+    contributing-centers OR read capped=false on an undercounted pair.
+    The sound flag marks any pair with an endpoint in a truncated
+    hub's dropped tail."""
+    cap = 8
+    pairs = _pairs_df(
+        spark,
+        [(0, i) for i in range(1, 13)] + [(1, 100), (9, 100)],
+    )
+    rows = {(r.id_a, r.id_b): r for r in adamic_adar(pairs, cap=cap).collect()}
+
+    # hub 0 keeps {1..8}, drops {9..12}; true common neighbors of
+    # (1, 9) are {0, 100} but only center 100's wedge is enumerated
+    r = rows[(1, 9)]
+    assert r.common_neighbors == 1  # undercounted (true answer: 2)
+    assert r.capped  # ...and the flag says so
+    assert r.aa_micro == int(round(1e6 / math.log(2)))  # deg(100) = 2
+
+    # a pair fully inside kept lists stays exact and UNflagged
+    r = rows[(1, 2)]
+    assert r.common_neighbors == 1 and not r.capped
+
+    # soundness sweep: every capped=false row must equal the uncapped
+    # (exact) enumeration bit-for-bit
+    exact = {
+        (r.id_a, r.id_b): r
+        for r in adamic_adar(pairs, cap=10**6).collect()
+    }
+    for k, r in rows.items():
+        if not r.capped:
+            assert (
+                exact[k].common_neighbors == r.common_neighbors
+                and exact[k].aa_micro == r.aa_micro
+            )
 
 
 def test_local_clustering_hub_capped_denominator(spark):

@@ -1,0 +1,113 @@
+"""Persisted span-interval state (tools/dedup_state.py `spans`): the
+materialize-once-read-many path for the span family. The catalog
+entries (dedup_dup_span_fraction / dedup_span_strip /
+dup_span_rate_by_source) stay pure functions of the input tables and
+re-derive gram anchors in-plan; a release pipeline runs `spans` once
+and every consumer reads the stored interval table through the SHARED
+scorers (operators/dedup.py span_coverage / span_source_rollup /
+strip_dup_spans(intervals=...)). This file pins that both
+constructions are row-identical — the same guarantee
+test_graph_cap.py pins for the persisted edge store."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.dedup_state import DEFAULTS, cmd_init, cmd_spans, read_spans
+
+GRAM = 8  # == dsp_spark.queries.dedup._SPAN_G, the catalog pin
+
+
+@pytest.fixture()
+def span_state(spark, sf_dir, tmp_path):
+    """An init'd state with the spans table materialized over the FULL
+    documents table (span consumers need corpus-wide anchors)."""
+    from dsp_spark.session import read_table
+
+    docs_path = str(tmp_path / "docs")
+    read_table(spark, sf_dir, "documents").write.parquet(docs_path)
+    state = str(tmp_path / "state")
+    cmd_init(spark, docs_path, state, dict(DEFAULTS))
+    cmd_spans(spark, docs_path, state, GRAM)
+    return state
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_spans_store_matches_inplan_intervals(spark, sf_dir, span_state):
+    from dsp_spark.operators import dedup as dd
+    from dsp_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    want = dd.dup_span_intervals(docs, "doc_id", "text", gram=GRAM)
+    got = read_spans(spark, span_state)
+    assert _rows(got) == _rows(want)
+    assert len(got.collect()) > 0  # sf0.001 documents DO share spans
+
+    with open(os.path.join(span_state, "_meta.json")) as f:
+        assert json.load(f)["span_gram"] == GRAM
+
+
+def test_shared_scorers_match_catalog_entries(spark, sf_dir, span_state):
+    """All three span consumers, computed FROM the persisted interval
+    table through the shared scorers, equal the in-plan catalog
+    entries row-for-row — measure, strip, and rollup cannot disagree
+    with the persisted state."""
+    from dsp_spark import catalog
+    from dsp_spark.operators import dedup as dd
+    from dsp_spark.session import read_table
+
+    entries = catalog.entries()
+    docs = read_table(spark, sf_dir, "documents")
+    iv = read_spans(spark, span_state).localCheckpoint(eager=True)
+
+    # measure: per-doc coverage
+    got = dd.span_coverage(
+        docs.select("doc_id", "text"), "doc_id", "text", iv
+    )
+    want = entries["dedup_dup_span_fraction"].fn(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+    # transform: span strip off persisted intervals (same output shape
+    # as the catalog entry: counts + md5 of the stripped stream)
+    stripped = dd.strip_dup_spans(
+        docs.select("doc_id", "text"), "doc_id", "text", intervals=iv
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("tokens_removed").cast("bigint").alias("tokens_removed"),
+        F.md5(F.col("text")).alias("stripped_md5"),
+    )
+    want = entries["dedup_span_strip"].fn(spark, sf_dir)
+    assert _rows(stripped) == _rows(want)
+
+    # rollup: per-source dashboard
+    got = dd.span_source_rollup(docs, "doc_id", "text", "source", iv)
+    want = entries["dup_span_rate_by_source"].fn(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
+def test_spans_rebuild_is_atomic_swap(spark, sf_dir, span_state, tmp_path):
+    """Re-running `spans` (the post-ingest refresh) swaps the table in
+    place — same contents for same corpus, no stray tmp/old dirs."""
+    from dsp_spark.session import read_table
+
+    before = _rows(read_spans(spark, span_state))
+    docs_path = str(tmp_path / "docs2")
+    read_table(spark, sf_dir, "documents").write.parquet(docs_path)
+    cmd_spans(spark, docs_path, span_state, GRAM)
+    assert _rows(read_spans(spark, span_state)) == before
+    strays = [
+        d for d in os.listdir(span_state)
+        if d.startswith("spans._") or d.startswith(".tmp")
+    ]
+    assert strays == []

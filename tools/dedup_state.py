@@ -7,6 +7,7 @@ behind the dedup_clusters_incremental catalog entry).
     python tools/dedup_state.py verify  --state DIR [--full PARQUET]
     python tools/dedup_state.py stats   --state DIR
     python tools/dedup_state.py compact --state DIR
+    python tools/dedup_state.py spans   --docs PARQUET --state DIR [--span-gram 8]
 
 ``init`` builds the state directory from a first corpus snapshot:
 
@@ -49,6 +50,20 @@ Batch doc_ids must be disjoint from the state (enforced). A crash
 between the three writes leaves a torn state that ``verify`` detects
 (clusters/bands/edges disagree on the doc set).
 
+``spans`` materializes the cross-document duplicated-span interval
+table (``spans/`` — one row per (doc_id, s, e) maximal duplicated
+token run, operators/dedup.py:dup_span_intervals) so the three span
+consumers — the per-doc coverage audit (dedup_dup_span_fraction), the
+strip transform (dedup_span_strip) and the per-source rollup
+(dup_span_rate_by_source) — read ONE materialization instead of each
+re-deriving gram anchors, the same build-once pattern graph consumers
+get from ``edges/``. Parity with the in-plan catalog entries is
+pinned in tests/test_span_state_tool.py. Unlike bands/edges, span
+intervals are NOT incremental: a new document can create duplicated
+grams inside OLD documents, so the table is an O(corpus) rebuild
+(atomic swap) — re-run after each ingest whose consumers need fresh
+span state. The gram size is pinned in _meta.json.
+
 ``verify`` recomputes connected components from scratch over the
 persisted band index's full self-join pair set and diffs against the
 maintained assignment — the offline audit that the incremental path
@@ -75,8 +90,52 @@ from pyspark.sql import functions as F  # noqa: E402
 
 DEFAULTS = {"n_hashes": 8, "bands": 2, "k": 5, "n_buckets": 64}
 
+# On-disk layout version, pinned in _meta.json by init. 2 = hash-
+# sharded clusters/bucket=K + append-only bands|edges/ingest=N with
+# dot-prefixed tmp dirs. A state dir written by an older tool version
+# (flat clusters/, no n_buckets) must fail with an explicit message,
+# not a KeyError or a parquet partition-discovery error mid-command
+# (advisor r10).
+LAYOUT_VERSION = 2
+
 _BAND_COLS = ("doc_id", "band_idx", "band_hash")
 _EDGE_COLS = ("id_a", "id_b")
+
+
+def _load_meta(state_dir: str) -> dict:
+    """Read _meta.json and hard-fail on a pre-versioned/older layout."""
+    path = os.path.join(state_dir, "_meta.json")
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+    except OSError:
+        raise SystemExit(
+            f"no _meta.json in {state_dir} — not a dedup_state directory "
+            "(run init first)"
+        )
+    if meta.get("layout") != LAYOUT_VERSION:
+        raise SystemExit(
+            f"state layout too old (layout={meta.get('layout')!r}, tool "
+            f"expects {LAYOUT_VERSION}) — this state predates hash-sharded "
+            "clusters; re-run init from the source corpus"
+        )
+    return meta
+
+
+def _clean_stray_tmps(state_dir: str) -> None:
+    """Remove half-written tmp dirs a crashed earlier command left
+    behind. Current tmp names are dot-prefixed (Spark's partition
+    discovery ignores them) but a crash before the atomic rename still
+    leaves them on disk, and legacy `*._tmp` names (pre-r11) were
+    VISIBLE to partition discovery — either way they must not survive
+    into the next command's reads or generation numbering."""
+    for store in ("bands", "edges", "spans"):
+        root = os.path.join(state_dir, store)
+        if not os.path.isdir(root):
+            continue
+        for d in os.listdir(root):
+            if d.startswith(".tmp-") or d.endswith("._tmp"):
+                shutil.rmtree(os.path.join(root, d))
 
 
 def _bucket_col(n_buckets: int):
@@ -144,7 +203,11 @@ def _append_generation(df, root: str, gen: int) -> None:
     dest = os.path.join(root, f"ingest={gen}")
     if os.path.exists(dest):
         raise SystemExit(f"generation {dest} already exists — refusing to overwrite")
-    tmp = dest + "._tmp"
+    # dot-prefixed tmp: Spark's partition discovery skips names starting
+    # with '.' or '_', so a crash between write and rename can never
+    # leak partial/duplicate rows into read_bands/read_edges (advisor
+    # r10 — the old `ingest=N._tmp` name WAS discovered)
+    tmp = os.path.join(root, f".tmp-ingest={gen}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     df.write.mode("overwrite").parquet(tmp)
@@ -182,11 +245,36 @@ def read_edges(spark, state_dir: str):
     return df.select(*_EDGE_COLS)
 
 
+def read_spans(spark, state_dir: str):
+    """The materialized duplicated-span interval table (doc_id, s, e),
+    1-based inclusive token positions — written by the ``spans``
+    subcommand."""
+    df = spark.read.parquet(os.path.join(state_dir, "spans"))
+    return df.select("doc_id", "s", "e")
+
+
+def cmd_spans(spark, docs_path: str, state_dir: str, gram: int) -> None:
+    from dsp_spark.operators.dedup import dup_span_intervals
+
+    meta = _load_meta(state_dir)
+    _clean_stray_tmps(state_dir)
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    iv = dup_span_intervals(docs, "doc_id", "text", gram=gram)
+    _write_swap(iv, os.path.join(state_dir, "spans"))
+    meta["span_gram"] = int(gram)
+    with open(os.path.join(state_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    n = read_spans(spark, state_dir).count()
+    print(f"spans: {n} duplicated-span intervals (gram={gram}) -> {state_dir}")
+
+
 def cmd_init(spark, docs_path: str, state_dir: str, meta: dict) -> None:
     from dsp_spark.operators.dedup import connected_components
 
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     os.makedirs(state_dir, exist_ok=True)
+    _clean_stray_tmps(state_dir)
+    meta = dict(meta, layout=LAYOUT_VERSION)
     bands = _bands_df(spark, docs, meta).localCheckpoint(eager=True)
     edges = _pairs_from_bands(bands).localCheckpoint(eager=True)
     clusters = connected_components(docs, edges, "doc_id").select(
@@ -208,8 +296,8 @@ def cmd_init(spark, docs_path: str, state_dir: str, meta: dict) -> None:
 def cmd_ingest(spark, docs_path: str, state_dir: str) -> None:
     from dsp_spark.operators.dedup import incremental_components
 
-    with open(os.path.join(state_dir, "_meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(state_dir)
+    _clean_stray_tmps(state_dir)
     n_buckets = int(meta["n_buckets"])
     new_docs = spark.read.parquet(docs_path).select("doc_id", "text")
     state = read_clusters(spark, state_dir).select(
@@ -293,6 +381,8 @@ def cmd_ingest(spark, docs_path: str, state_dir: str) -> None:
 def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
     from dsp_spark.operators.dedup import connected_components
 
+    _load_meta(state_dir)
+    _clean_stray_tmps(state_dir)
     clusters = read_clusters(spark, state_dir)
     bands = read_bands(spark, state_dir)
     recomputed_pairs = _pairs_from_bands(bands).localCheckpoint(eager=True)
@@ -333,6 +423,8 @@ def cmd_stats(spark, state_dir: str) -> None:
     """One-line state-shape report: docs, clusters, generations,
     edges, and cluster-shard balance (max/avg bucket row count) — the
     numbers an operator checks before/after an ingest."""
+    _load_meta(state_dir)
+    _clean_stray_tmps(state_dir)
     clusters = spark.read.parquet(os.path.join(state_dir, "clusters"))
     per_bucket = clusters.groupBy("bucket").count()
     row = per_bucket.agg(
@@ -364,6 +456,8 @@ def cmd_compact(spark, state_dir: str) -> None:
     one generation); O(corpus) I/O, which is why it is a separate
     maintenance command and not part of ingest. Crash-safe: each
     store is rebuilt in a tmp dir and swapped in atomically."""
+    _load_meta(state_dir)
+    _clean_stray_tmps(state_dir)
     for store, reader in (("bands", read_bands), ("edges", read_edges)):
         root = os.path.join(state_dir, store)
         df = reader(spark, state_dir).localCheckpoint(eager=True)
@@ -385,13 +479,22 @@ def main(argv=None) -> int:
     import argparse
 
     p = argparse.ArgumentParser(description="persisted dedup-cluster state")
-    p.add_argument("cmd", choices=["init", "ingest", "verify", "stats", "compact"])
+    p.add_argument(
+        "cmd",
+        choices=["init", "ingest", "verify", "stats", "compact", "spans"],
+    )
     p.add_argument("--docs", help="parquet of (doc_id, text)")
     p.add_argument("--state", required=True, help="state directory")
     p.add_argument("--full", help="verify coverage against this corpus parquet")
+    p.add_argument(
+        "--span-gram", type=int, default=8,
+        help="token-run length for the spans subcommand",
+    )
     for k, v in DEFAULTS.items():
         p.add_argument(f"--{k.replace('_', '-')}", type=int, default=v)
     args = p.parse_args(argv)
+    if args.cmd == "spans" and args.span_gram < 2:
+        p.error(f"--span-gram must be >= 2 (got {args.span_gram})")
 
     from dsp_spark.session import get_session
 
@@ -413,6 +516,11 @@ def main(argv=None) -> int:
             return 0
         if args.cmd == "compact":
             cmd_compact(spark, args.state)
+            return 0
+        if args.cmd == "spans":
+            if not args.docs:
+                p.error("spans requires --docs")
+            cmd_spans(spark, args.docs, args.state, args.span_gram)
             return 0
         return cmd_verify(spark, args.state, args.full)
     finally:

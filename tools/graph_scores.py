@@ -76,6 +76,11 @@ def main(argv=None) -> int:
         help="per-node neighbor cap for wedge enumeration",
     )
     args = p.parse_args(argv)
+    if args.cmd != "pagerank" and args.cap < 2:
+        # operators/graph._check_cap would raise mid-session; fail the
+        # CLI contract-first (advisor r10: cap<2 zeroes every wedge and
+        # NaNs clustering_coeff)
+        p.error(f"--cap must be >= 2 for wedge enumeration (got {args.cap})")
 
     spark = get_session("dsp-graph-scores")
     try:

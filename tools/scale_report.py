@@ -168,7 +168,11 @@ def main() -> int:
                 f"enumerate wedges over each node's {WEDGE_CAP} smallest "
                 "neighbor ids (operators/graph.py WEDGE_CAP) — worst case "
                 f"n*{WEDGE_CAP}^2 wedges regardless of hub degree; "
-                "truncated rows carry a `capped` output column"
+                "`capped` output column: for adamic_adar it SOUNDLY marks "
+                "pairs with an endpoint in a truncated hub's dropped tail "
+                "(capped=false guarantees the exact uncapped score — r11 "
+                "advisor fix), for clustering it marks truncated nodes "
+                "(coefficient is exact over the kept neighborhood)"
             ),
         },
         "entries": {
