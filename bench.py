@@ -175,6 +175,15 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)
 
+    # Throwaway warm-up plans over the REAL tables before anything is
+    # timed (r10 verdict ask #2): the synthetic probe below warms
+    # codegen for range->agg shapes but not parquet footer decode,
+    # file-scan codegen, or the page cache for the measured sf_dir —
+    # q1_pricing_summary absorbed that residue in r10 (1.67 s cold vs
+    # 0.80 s warm, same day, plans locked unchanged). Two cheap
+    # scan+agg+shuffle passes over the heaviest tables retire it.
+    _warm_sweep_session(spark, sf_dir)
+
     # Calibration probe ON THE SESSION THE SWEEP USES: round 6 burned
     # hours proving a "2x regression" was a 1.5x-slower host; the CPU
     # model string can't normalize that, a measured probe can. Two
@@ -329,7 +338,23 @@ def main() -> None:
     # notes file. Fresh context again; same-JVM codegen cache keeps
     # warmup cheap.
     try:
-        top = sorted(timings, key=timings.get, reverse=True)[:15]
+        # Deterministic rotation (r10 verdict ask #3): the floor-bounded
+        # isolated phase reaches ~10-15 entries per round, so a fixed
+        # top-15-by-time set refreshed the expensive tail slowly (r10:
+        # 8 of 15 degraded to best-of-1). Instead, take the top 20 by
+        # in-sweep time and run HALF of them per round — alphabetical
+        # stride-2 keyed by round parity, so membership is stable
+        # across rounds and every top-20 entry gets a clean best-of-2
+        # reading at least every 2 rounds. The round number derives
+        # from the committed CORRECTNESS artifacts (same rule as the
+        # catalog's window rotation), so repeated runs inside one
+        # round measure the same set.
+        rnd = _current_round()
+        top = _isolated_set(timings, rnd)
+        full["isolated_set_rule"] = {
+            "round": rnd,
+            "rule": "sorted(top20_by_insweep)[round % 2 :: 2]",
+        }
         # Probe-scaled budget (r7 verdict ask #2): the old fixed 545 s
         # deadline was tuned to the builder's host (probe_spark_sec
         # ~0.60) and the driver's slower r7 rerun swept past it,
@@ -378,6 +403,49 @@ def main() -> None:
     # the driver's tail capture when the phase runs to completion. Two
     # identical lines parse to the same record either way.
     print(line, flush=True)
+
+
+def _current_round() -> int:
+    """This round's number = newest committed CORRECTNESS_r*.json + 1 —
+    the same derivation the catalog's driver-window rotation uses, so
+    the isolated set is stable across repeated bench runs within a
+    round and flips deterministically at the round boundary."""
+    from dsp_spark.catalog import _driver_checked_rounds
+
+    return max(_driver_checked_rounds().values(), default=0) + 1
+
+
+def _isolated_set(timings: dict[str, float], rnd: int) -> list[str]:
+    """Half of the top-20-by-in-sweep-time entries, chosen by round
+    parity over an ALPHABETICAL stride so membership is stable across
+    rounds: parity-0 and parity-1 rounds partition the top 20 exactly,
+    so every expensive entry gets a clean isolated reading at least
+    every 2 rounds (beats the r10 verdict's every-3-rounds ask)."""
+    top20 = sorted(timings, key=lambda n: timings[n], reverse=True)[:20]
+    return sorted(top20)[rnd % 2 :: 2]
+
+
+def _warm_sweep_session(spark, sf_dir: str) -> None:
+    """Untimed scan+agg+shuffle passes over the two heaviest tables at
+    the MEASURED scale: parquet footer decode, file-scan whole-stage
+    codegen, and the page cache for sf_dir are warm before the first
+    timed entry runs (the synthetic probe can't touch any of those).
+    Failures are swallowed — warm-up must never cost a timing slot."""
+    from pyspark.sql import functions as F
+
+    from dsp_spark.session import read_table
+
+    try:
+        for tbl, col in (("lineitem", "l_extendedprice"), ("documents", "text")):
+            df = (
+                read_table(spark, sf_dir, tbl)
+                .groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.count(col).alias("c"), F.max(F.hash(col)).alias("h"))
+            )
+            for _ in range(2):
+                df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
 
 def _write_full(full: dict) -> None:

@@ -1975,7 +1975,14 @@ def text_zipf_slope(spark, sf_dir):
     "self-join formulation — same values, plan-independent.",
 )
 def source_ngram_jaccard(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    return source_ngram_pairs(t(spark, sf_dir, "documents"))
+
+
+def source_ngram_pairs(d):
+    """Cross-source 5-gram Jaccard core over a (source, text) frame —
+    extracted so tests/test_scale_stress.py can drive it on unioned
+    input (the pair explode is quadratic in sources sharing a gram).
+    See the catalog entry's doc for the plan rationale."""
     # distinct (source, gram) postings, materialized once
     # (MEMORY_AND_DISK — spills, never recomputes): sizes and the
     # intersection fold would otherwise rescan + re-hash documents

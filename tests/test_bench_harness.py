@@ -62,6 +62,33 @@ def test_isolated_phase_degrades_before_skipping(spark):
     assert skipped == [] and degraded == ["a"] and "a" in out
 
 
+def test_isolated_set_rotation_partitions_top20():
+    """The deterministic isolated-set rule (r10 verdict ask #3): two
+    consecutive rounds' sets must partition the top-20-by-time entries
+    exactly — every expensive entry gets a clean isolated reading at
+    least every 2 rounds — and cheap entries outside the top 20 never
+    burn isolated-phase budget."""
+    from bench import _isolated_set
+
+    timings = {f"e{i:02d}": 100.0 - i for i in range(30)}  # e00 slowest
+    top20 = {f"e{i:02d}" for i in range(20)}
+    even, odd = _isolated_set(timings, 10), _isolated_set(timings, 11)
+    assert set(even) | set(odd) == top20
+    assert set(even) & set(odd) == set()
+    assert len(even) == len(odd) == 10
+    # same round -> same set (repeated bench runs inside one round)
+    assert _isolated_set(timings, 11) == odd
+
+
+def test_current_round_matches_catalog_rotation():
+    """bench's round derivation must agree with the catalog's window
+    rotation source (committed CORRECTNESS artifacts)."""
+    from bench import _current_round
+    from dsp_spark.catalog import _driver_checked_rounds
+
+    assert _current_round() == max(_driver_checked_rounds().values()) + 1
+
+
 def test_gen_round_generates_all_sections():
     """ROUND.md must carry every section the judge reads: catalog
     delta, bench block, and the artifact checklist."""

@@ -53,6 +53,75 @@ def test_lsh_and_components_on_denser_graph(spark, sf_dir):
     assert n_bad == 0
 
 
+def test_source_ngram_jaccard_on_5x_sources(spark, sf_dir):
+    """r10 cost leader: the gram-grouped map-side pair explode is
+    quadratic in sources sharing a gram — 5x the source dictionary
+    (every doc cloned under 5 suffixed sources) multiplies shared-gram
+    pair fanout ~25x. Must complete with the pair grain bounded by the
+    source-pair dictionary, and exact clones must read jaccard = 1."""
+    from dsp_spark.queries.text import source_ngram_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    parts = [
+        docs.withColumn(
+            "source", F.concat(F.col("source"), F.lit(f"__{i}"))
+        )
+        for i in range(COPIES)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    n_sources = big.select("source").distinct().count()
+
+    rows = source_ngram_pairs(big).collect()
+    # pair grain is the source-pair dictionary, never doc- or gram-grain
+    assert 0 < len(rows) <= n_sources * (n_sources - 1) // 2
+    # the 5 clones of each base source have IDENTICAL gram sets
+    clone_pairs = [
+        r
+        for r in rows
+        if r.source_a.rsplit("__", 1)[0] == r.source_b.rsplit("__", 1)[0]
+    ]
+    base_sources = n_sources // COPIES
+    assert len(clone_pairs) == base_sources * COPIES * (COPIES - 1) // 2
+    assert all(
+        r.jaccard == 1.0 and r.n_a == r.n_b == r.n_common
+        for r in clone_pairs
+    )
+
+
+def test_incremental_fold_on_5x_corpus(spark, sf_dir):
+    """r10 cost leader #1 (dedup_clusters_incremental): the contraction
+    fold on a 5x-denser clone graph — candidate edges broadcast the
+    batch side only, the contracted delta stays O(new edges), and the
+    folded assignment must still collapse every clone family."""
+    docs = _xn(read_table(spark, sf_dir, "documents"), ["doc_id"]).select(
+        "doc_id", "text"
+    )
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    newd = docs.where(F.col("doc_id") % 2 == 1)
+    pairs = dd.minhash_lsh_pairs(base, "doc_id", "text", n_hashes=8, bands=2, k=5)
+    state = dd.connected_components(base, pairs, "doc_id")
+    edges = dd.lsh_new_edges(
+        docs, newd.select("doc_id"), "doc_id", "text",
+        n_hashes=8, bands=2, k=5,
+    )
+    folded = dd.incremental_components(
+        state, newd.select("doc_id"), edges, "doc_id"
+    )
+    assert folded.count() == docs.count()
+    # SHIFT is even, so each clone family shares parity: families are
+    # entirely base or entirely new, and either path must collapse them
+    fam = folded.withColumn("orig", F.col("doc_id") % SHIFT)
+    n_bad = (
+        fam.groupBy("orig")
+        .agg(F.countDistinct("component").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .count()
+    )
+    assert n_bad == 0
+
+
 def test_fact_fact_join_at_5x(spark, sf_dir):
     li = _xn(read_table(spark, sf_dir, "lineitem"), ["l_orderkey"])
     o = _xn(
