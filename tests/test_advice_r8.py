@@ -144,14 +144,14 @@ def test_pre_gate_classifies_renamed_artifacts():
         [
             "R  BENCH_r07.json -> attic/BENCH_r07.json",
             "R  notes.txt -> docs/notes.txt",
-            " M bench_full.json",
+            " M BENCH_FULL_r11.json",
             "?? CORRECTNESS_r08.json",
             " M SCALE.md",
             " M dsp_spark/catalog.py",
         ]
     )
     assert "BENCH_r07.json" in arts
-    assert "bench_full.json" in arts
+    assert "BENCH_FULL_r11.json" in arts
     assert "CORRECTNESS_r08.json" in arts
     # SCALE.md is handled by its own check; source dirt and the
     # non-artifact rename stay warnings

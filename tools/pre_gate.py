@@ -16,9 +16,12 @@ verdict:
    catalog entry that has no lifetime green driver row (the rotation
    contract in dsp_spark/catalog.py _ordered): a never-checked entry
    outside the window would stay unverified another full round.
-4. FAIL on uncommitted round artifacts (bench_full/BENCH_r*/
+4. FAIL on uncommitted round artifacts (BENCH_FULL_r*/BENCH_r*/
    CORRECTNESS_r*/LINEAGE/driver_sim_last/BENCH_NOTES — the files the
-   judge reads); warn on any other dirty path.
+   judge reads); warn on any other dirty path. bench_full.json is
+   gitignored by design: the driver regenerates it after the round's
+   last commit, so tracking it guaranteed a dirty tree at judge time
+   (r10 verdict What's-wrong #4).
 
 Exit 0 = gate-ready. Any hard failure exits 1 with the reason on
 stderr. Run:
@@ -37,7 +40,10 @@ sys.path.insert(0, ROOT)
 
 
 ARTIFACT_GLOBS = (
-    "bench_full.json",
+    # bench_full.json itself is gitignored (the driver regenerates it
+    # post-commit at judging time — unavoidable churn); the committed
+    # per-round record is the gate-time snapshot gen_round.py takes
+    "BENCH_FULL_r*.json",
     "BENCH_r*.json",
     "CORRECTNESS_r*.json",
     "LINEAGE.md",
