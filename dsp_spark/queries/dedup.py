@@ -1214,6 +1214,126 @@ def dup_span_rate_by_source(spark, sf_dir):
     )
 
 
+@register(
+    "dup_span_top_boilerplate",
+    f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+        FROM documents
+    ),
+    gpos AS (
+        SELECT doc_id, CAST(z.pos AS INTEGER) AS pos, z.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(l) - {_SPAN_G} + 2),
+                            i -> {{'pos': i,
+                                   'gram': array_to_string(l[i:i+{_SPAN_G}-1], ' ')}})) AS z
+              FROM tk WHERE len(l) >= {_SPAN_G})
+    ),
+    dupg AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM gpos GROUP BY gram)
+        WHERE nd >= 2
+    ),
+    hits AS (
+        SELECT DISTINCT doc_id, pos FROM gpos
+        WHERE gram IN (SELECT gram FROM dupg)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + {_SPAN_G} - 1) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ),
+    spans AS (
+        SELECT doc_id,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island,
+               pos
+        FROM isl
+    ),
+    iv AS (
+        SELECT doc_id, MIN(pos) AS s,
+               CAST(MAX(pos) + {_SPAN_G} - 1 AS INTEGER) AS e
+        FROM spans GROUP BY doc_id, island
+    ),
+    sp AS (
+        SELECT array_to_string(tk.l[iv.s:iv.e], ' ') AS span_text,
+               iv.e - iv.s + 1 AS span_tokens
+        FROM iv JOIN tk USING (doc_id)
+    ),
+    agg AS (
+        SELECT span_text,
+               CAST(MAX(span_tokens) AS BIGINT) AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM sp GROUP BY span_text
+    )
+    SELECT md5(span_text) AS span_md5,
+           substr(span_text, 1, 60) AS preview,
+           span_tokens, n_occurrences
+    FROM agg WHERE n_occurrences >= 2
+    ORDER BY n_occurrences DESC, md5(span_text)
+    LIMIT 20
+    """,
+    doc="The boilerplate leaderboard: WHAT the Lee-et-al span strip "
+    "would remove — the top-20 exact duplicated token runs by how "
+    "many documents carry them verbatim (license blocks, navigation "
+    "chrome, scraper banners), each with its token length, occurrence "
+    "count, md5 (content verification — a one-token drift in the "
+    "island merge anywhere fails the driver hash) and a 60-char "
+    "preview for the curation engineer deciding whether to strip or "
+    "blocklist. Completes the span family: measure "
+    "(dedup_dup_span_fraction), rollup (dup_span_rate_by_source), "
+    "transform (dedup_span_strip), and now inspection — all four on "
+    "the SAME dup_span_intervals core, so the leaderboard can never "
+    "name a span the strip wouldn't cut. Only maximal merged islands "
+    "with an IDENTICAL token stream aggregate together (an occurrence "
+    "fused into a longer island groups separately — exact-substring "
+    "inspection semantics); n_occurrences >= 2 keeps boilerplate, "
+    "not doc-unique fusions. Scale: span text shuffles once keyed by "
+    "itself (span-dictionary grain, bounded by corpus span count), "
+    "top-20 compiles to TakeOrderedAndProject (per-partition heaps, "
+    "no global sort); deterministic total order via (count desc, md5).",
+)
+def dup_span_top_boilerplate(spark, sf_dir):
+    G = _SPAN_G
+    d = t(spark, sf_dir, "documents")
+    iv = dd.dup_span_intervals(
+        d.select("doc_id", "text"), "doc_id", "text", gram=G
+    )
+    tk = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("l"),
+    )
+    sp = iv.join(tk, "doc_id").select(
+        F.expr("array_join(slice(l, s, e - s + 1), ' ')").alias("span_text"),
+        (F.col("e") - F.col("s") + 1).alias("span_tokens"),
+    )
+    agg = (
+        sp.groupBy("span_text")
+        .agg(
+            F.max("span_tokens").cast("bigint").alias("span_tokens"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= 2)
+    )
+    return (
+        agg.select(
+            F.md5("span_text").alias("span_md5"),
+            F.substring("span_text", 1, 60).alias("preview"),
+            "span_tokens",
+            "n_occurrences",
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("span_md5").asc()
+        )
+        .limit(20)
+    )
+
+
 _BIT_EQ = " + ".join(
     f"(CASE WHEN sa.mh{i} % 2 = sb.mh{i} % 2 THEN 1 ELSE 0 END)"
     for i in range(8)
