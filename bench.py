@@ -598,6 +598,13 @@ def _calibration_probe(spark) -> dict:
         "probe_cpu_sec": round(cpu_sec, 4),
         "probe_spark_sec": round(best, 4),
         "probe_spark_spread": round(max(reps) / best - 1.0, 4),
+        # ADDITIVE robust denominator (r11): the r11 window recorded
+        # spread 1.24 — a single fast rep next to a loaded sweep makes
+        # the best-of-10 minimum a misleading divisor. The median of
+        # the SAME 10 reps is recorded alongside so cross-round reads
+        # can pick the robust one when spread is high; probe_spark_sec
+        # stays the frozen historical denominator.
+        "probe_spark_med": round(sorted(reps)[len(reps) // 2], 4),
     }
 
 

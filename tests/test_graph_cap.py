@@ -138,6 +138,57 @@ def test_local_clustering_hub_capped_denominator(spark):
     assert rows[1].triangles == 1 and rows[1].clustering_coeff == 1.0
 
 
+def test_adamic_adar_capped_flag_sound_on_random_graphs(spark):
+    """Soundness sweep over seeded random graphs (hubs well above the
+    cap): on every PRESENT output pair, capped=false must imply exact
+    equality with the uncapped enumeration, and any undercounted
+    present pair must be flagged. This is the full contract the r11
+    fix promises, checked against ground truth rather than a
+    hand-built topology."""
+    import random
+
+    cap = 4
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        n = 28
+        edges = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.18
+        }
+        # guarantee at least one hub far above the cap
+        edges |= {(0, b) for b in range(1, 15)}
+        pairs = _pairs_df(spark, sorted(edges))
+        got = {
+            (r.id_a, r.id_b): r for r in adamic_adar(pairs, cap=cap).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): r
+            for r in adamic_adar(pairs, cap=10**6).collect()
+        }
+        assert got, f"seed {seed}: empty output"
+        flagged = undercounted = 0
+        for k, r in got.items():
+            e = exact[k]
+            under = (
+                r.common_neighbors != e.common_neighbors
+                or r.aa_micro != e.aa_micro
+            )
+            if under:
+                undercounted += 1
+                assert r.capped, f"seed {seed}: undercounted {k} unflagged"
+            if not r.capped:
+                assert (
+                    r.common_neighbors == e.common_neighbors
+                    and r.aa_micro == e.aa_micro
+                ), f"seed {seed}: capped=false {k} not exact"
+            flagged += bool(r.capped)
+        # the sweep must actually exercise both sides of the contract
+        assert undercounted > 0, f"seed {seed}: no undercounted pairs hit"
+        assert flagged < len(got), f"seed {seed}: everything flagged"
+
+
 def test_uncapped_graph_matches_uncapped_formula(spark):
     """Below the cap the entries are bit-identical to the classic
     (uncapped) formulas — the guardrail changes nothing on the healthy

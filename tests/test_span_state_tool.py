@@ -96,6 +96,46 @@ def test_shared_scorers_match_catalog_entries(spark, sf_dir, span_state):
     assert _rows(got) == _rows(want)
 
 
+def test_verify_detects_stale_spans(spark, sf_dir, span_state, tmp_path):
+    """An ingest after `spans` leaves the interval table built from a
+    smaller corpus snapshot than the band index — verify must name it
+    (new docs can create duplicated runs inside OLD docs, so stale
+    intervals under-report), and re-running `spans` on the full corpus
+    must clear it."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from dsp_spark.session import read_table
+    from tools.dedup_state import cmd_ingest, cmd_verify
+
+    assert cmd_verify(spark, span_state, None) == 0
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = str(tmp_path / "batch")
+    base_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    docs.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base_max + 1)
+    ).select("doc_id", "text").write.parquet(batch)
+    cmd_ingest(spark, batch, span_state)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cmd_verify(spark, span_state, None)
+    assert rc == 1 and "spans table is STALE" in buf.getvalue()
+
+    # refresh over the full post-ingest corpus -> verify green again
+    full = str(tmp_path / "full")
+    read_table(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.read.parquet(batch)
+    ).write.parquet(full)
+    from tools.dedup_state import cmd_spans
+
+    cmd_spans(spark, full, span_state, GRAM)
+    assert cmd_verify(spark, span_state, None) == 0
+
+
 def test_spans_rebuild_is_atomic_swap(spark, sf_dir, span_state, tmp_path):
     """Re-running `spans` (the post-ingest refresh) swaps the table in
     place — same contents for same corpus, no stray tmp/old dirs."""

@@ -253,6 +253,20 @@ def read_spans(spark, state_dir: str):
     return df.select("doc_id", "s", "e")
 
 
+def _corpus_fingerprint(ids_df) -> dict:
+    """Order-independent fingerprint of a doc_id set: row count + the
+    exact DECIMAL sum of per-id xxhash64 (a bigint SUM could wrap).
+    Written by `spans` as the snapshot identity; `verify` recomputes it
+    from the band index's doc set, so a spans table built from a
+    different corpus snapshot than the state (e.g. before the last
+    ingest) is detected as stale instead of silently served."""
+    row = ids_df.select(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(F.col("doc_id")).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return {"n_docs": int(row.n), "id_hash": str(row.h)}
+
+
 def cmd_spans(spark, docs_path: str, state_dir: str, gram: int) -> None:
     from dsp_spark.operators.dedup import dup_span_intervals
 
@@ -262,6 +276,7 @@ def cmd_spans(spark, docs_path: str, state_dir: str, gram: int) -> None:
     iv = dup_span_intervals(docs, "doc_id", "text", gram=gram)
     _write_swap(iv, os.path.join(state_dir, "spans"))
     meta["span_gram"] = int(gram)
+    meta["span_corpus"] = _corpus_fingerprint(docs.select("doc_id"))
     with open(os.path.join(state_dir, "_meta.json"), "w") as f:
         json.dump(meta, f, sort_keys=True)
     n = read_spans(spark, state_dir).count()
@@ -381,7 +396,7 @@ def cmd_ingest(spark, docs_path: str, state_dir: str) -> None:
 def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
     from dsp_spark.operators.dedup import connected_components
 
-    _load_meta(state_dir)
+    meta = _load_meta(state_dir)
     _clean_stray_tmps(state_dir)
     clusters = read_clusters(spark, state_dir)
     bands = read_bands(spark, state_dir)
@@ -411,6 +426,21 @@ def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
         extra = clusters.join(corpus_ids, "doc_id", "anti").count()
         if missing or extra:
             print(f"VERIFY FAIL: coverage missing={missing} extra={extra}")
+            return 1
+    # spans staleness: the interval table is an O(corpus) materialized
+    # view, NOT maintained by ingest — if its recorded corpus snapshot
+    # no longer matches the band index's doc set, consumers would read
+    # intervals for text that has since gained new cross-doc spans
+    if "span_corpus" in meta and os.path.isdir(
+        os.path.join(state_dir, "spans")
+    ):
+        current = _corpus_fingerprint(bands.select("doc_id").distinct())
+        if current != meta["span_corpus"]:
+            print(
+                "VERIFY FAIL: spans table is STALE — built from "
+                f"{meta['span_corpus']} but the state now holds "
+                f"{current}; re-run `spans` against the full corpus"
+            )
             return 1
     print(
         f"verify: OK ({clusters.count()} docs, incremental == recompute, "
