@@ -420,9 +420,25 @@ def _isolated_set(timings: dict[str, float], rnd: int) -> list[str]:
     parity over an ALPHABETICAL stride so membership is stable across
     rounds: parity-0 and parity-1 rounds partition the top 20 exactly,
     so every expensive entry gets a clean isolated reading at least
-    every 2 rounds (beats the r10 verdict's every-3-rounds ask)."""
+    every 2 rounds (beats the r10 verdict's every-3-rounds ask).
+
+    MEMBERSHIP is alphabetical-stride; EXECUTION ORDER is most-
+    expensive-first — the phase degrades/skips entries that start past
+    its deadline in list order, so alphabetical execution would starve
+    the same alphabetically-late entries every round they are members,
+    while expensive-first makes any truncation cost the cheapest tail.
+
+    Note the parity source: rnd comes from the committed CORRECTNESS
+    artifacts, so runs repeat the same set until the CURRENT round's
+    CORRECTNESS file lands on disk. The round driver writes that file
+    before its judging-time bench rerun, which therefore measures the
+    OPPOSITE half from the builder's gate-time snapshot — by design:
+    the two artifacts of one round union to full top-20 coverage, and
+    each actor's own sequence still alternates cleanly round-to-round.
+    """
     top20 = sorted(timings, key=lambda n: timings[n], reverse=True)[:20]
-    return sorted(top20)[rnd % 2 :: 2]
+    half = sorted(top20)[rnd % 2 :: 2]
+    return sorted(half, key=lambda n: timings[n], reverse=True)
 
 
 def _warm_sweep_session(spark, sf_dir: str) -> None:
@@ -435,8 +451,11 @@ def _warm_sweep_session(spark, sf_dir: str) -> None:
 
     from dsp_spark.session import read_table
 
-    try:
-        for tbl, col in (("lineitem", "l_extendedprice"), ("documents", "text")):
+    for tbl, col in (("lineitem", "l_extendedprice"), ("documents", "text")):
+        # per-table guard: a hiccup warming one table must not cost the
+        # other table's warm-up (documents feeds the cold-start-prone
+        # dedup_*/text_* families)
+        try:
             df = (
                 read_table(spark, sf_dir, tbl)
                 .groupBy(F.spark_partition_id().alias("p"))
@@ -444,8 +463,8 @@ def _warm_sweep_session(spark, sf_dir: str) -> None:
             )
             for _ in range(2):
                 df.write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+        except Exception as e:
+            print(f"warm-up for {tbl} failed: {e}", file=sys.stderr)
 
 
 def _write_full(full: dict) -> None:

@@ -873,7 +873,11 @@ def span_source_rollup(
     (``(source_col, n_docs, docs_with_dup_spans, n_tokens,
     n_dup_tokens, dup_rate)``) computed off persisted span state
     instead of re-deriving gram anchors. One extra source-grain
-    partial agg on the per-doc coverage."""
+    partial agg on the per-doc coverage. Deliberately NOT composed
+    from span_coverage: carrying ``source_col`` through the one
+    tokenize pass costs nothing, while joining coverage back to a
+    (id, source) projection would add a corpus-grain id-keyed join;
+    the shared-scorer parity test pins both against the same oracle."""
     tk = df.select(
         F.col(id_col),
         F.col(source_col),

@@ -970,34 +970,17 @@ _SPAN_G = 8  # gram anchor length (tokens); spans >= G tokens are caught
     "until one final division.",
 )
 def dedup_dup_span_fraction(spark, sf_dir):
-    G = _SPAN_G
     d = t(spark, sf_dir, "documents")
-    tk = d.select(
-        "doc_id",
-        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("l"),
-    )
     # span machinery shared with the APPLY entry (dedup_span_strip):
     # operators/dedup.py dup_span_intervals — same anchors, same
-    # gaps-and-islands merge, same checkpoint placement
+    # gaps-and-islands merge, same checkpoint placement; the coverage
+    # aggregation is the SAME shared scorer the persisted span state
+    # (tools/dedup_state.py `spans`) is read through, so the in-plan
+    # entry and the materialized path cannot drift
     iv = dd.dup_span_intervals(
-        d.select("doc_id", "text"), "doc_id", "text", gram=G
+        d.select("doc_id", "text"), "doc_id", "text", gram=_SPAN_G
     )
-    cov = (
-        iv.select("doc_id", (F.col("e") - F.col("s") + 1).alias("span_len"))
-        .groupBy("doc_id")
-        .agg(F.sum("span_len").cast("bigint").alias("n_dup_tokens"))
-    )
-    return tk.join(cov, "doc_id", "left").select(
-        "doc_id",
-        F.size("l").cast("bigint").alias("n_tokens"),
-        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint").alias("n_dup_tokens"),
-        F.when(F.size("l") == 0, F.lit(0.0))
-        .otherwise(
-            F.coalesce(F.col("n_dup_tokens"), F.lit(0))
-            / F.size("l").cast("double")
-        )
-        .alias("dup_frac"),
-    )
+    return dd.span_coverage(d.select("doc_id", "text"), "doc_id", "text", iv)
 
 
 @register(
@@ -1179,39 +1162,14 @@ def dedup_span_strip(spark, sf_dir):
     "at round(6).",
 )
 def dup_span_rate_by_source(spark, sf_dir):
-    G = _SPAN_G
     d = t(spark, sf_dir, "documents")
-    tk = d.select(
-        "doc_id",
-        "source",
-        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "").alias("l"),
-    )
+    # same shared rollup scorer the persisted span state is read
+    # through (operators/dedup.py span_source_rollup) — one
+    # implementation for the in-plan entry and the materialized path
     iv = dd.dup_span_intervals(
-        d.select("doc_id", "text"), "doc_id", "text", gram=G
+        d.select("doc_id", "text"), "doc_id", "text", gram=_SPAN_G
     )
-    cov = (
-        iv.select("doc_id", (F.col("e") - F.col("s") + 1).alias("span_len"))
-        .groupBy("doc_id")
-        .agg(F.sum("span_len").cast("bigint").alias("n_dup_tokens"))
-    )
-    j = tk.join(cov, "doc_id", "left").select(
-        "source",
-        F.size("l").cast("bigint").alias("n_tok"),
-        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint").alias("n_dup"),
-    )
-    ntok = F.sum("n_tok")
-    ndup = F.sum("n_dup")
-    return j.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.when(F.col("n_dup") > 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("docs_with_dup_spans"),
-        ntok.cast("bigint").alias("n_tokens"),
-        ndup.cast("bigint").alias("n_dup_tokens"),
-        F.round(ndup / F.nullif(ntok.cast("double"), F.lit(0.0)), 6).alias(
-            "dup_rate"
-        ),
-    )
+    return dd.span_source_rollup(d, "doc_id", "text", "source", iv)
 
 
 @register(

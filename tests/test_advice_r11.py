@@ -88,6 +88,20 @@ def test_non_state_dir_rejected_explicitly(spark, tmp_path):
         cmd_stats(spark, str(tmp_path / "nowhere"))
 
 
+def test_truncated_meta_rejected_explicitly(spark, tiny_state):
+    """A torn _meta.json (crash mid-dump with the pre-r11 in-place
+    write) must fail with a named message, not a raw JSONDecodeError —
+    and the current writer is atomic (tmp + rename), so no new state
+    can produce one."""
+    with open(os.path.join(tiny_state, "_meta.json"), "w") as f:
+        f.write('{"n_hashes": 8, "ban')  # torn mid-dump
+    with pytest.raises(SystemExit, match="corrupt _meta.json"):
+        cmd_stats(spark, tiny_state)
+    assert not os.path.exists(
+        os.path.join(tiny_state, "_meta.json.tmp")
+    )  # the atomic writer never leaves its tmp behind
+
+
 # -- finding 3: crash-safe tmp naming + stray sweep -------------------------
 
 

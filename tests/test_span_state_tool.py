@@ -136,6 +136,43 @@ def test_verify_detects_stale_spans(spark, sf_dir, span_state, tmp_path):
     assert cmd_verify(spark, span_state, None) == 0
 
 
+def test_mid_swap_crash_rolls_back_and_torn_spans_detected(
+    spark, sf_dir, span_state
+):
+    """Crash-recovery holes the r11 review found, pinned:
+
+    1. mid-swap crash (spans/ renamed aside, tmp not yet renamed in):
+       the next command's stray sweep must ROLL BACK to the complete
+       old copy, not leave the store missing;
+    2. spans/ gone entirely while _meta.json still records span_corpus
+       (torn refresh nothing can roll back): verify must FAIL with a
+       named reason, not print OK."""
+    import io
+    import shutil
+    from contextlib import redirect_stdout
+
+    from tools.dedup_state import _clean_stray_tmps, cmd_verify
+
+    spans = os.path.join(span_state, "spans")
+    before = _rows(read_spans(spark, span_state))
+
+    # 1. simulate the crash window between _write_swap's two renames
+    os.rename(spans, spans + "._old")
+    os.makedirs(spans + "._tmp")
+    _clean_stray_tmps(span_state)
+    assert os.path.isdir(spans) and not os.path.isdir(spans + "._old")
+    assert not os.path.isdir(spans + "._tmp")
+    assert _rows(read_spans(spark, span_state)) == before
+    assert cmd_verify(spark, span_state, None) == 0
+
+    # 2. spans store lost entirely, meta still advertises it
+    shutil.rmtree(spans)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cmd_verify(spark, span_state, None)
+    assert rc == 1 and "spans/ is missing" in buf.getvalue()
+
+
 def test_spans_rebuild_is_atomic_swap(spark, sf_dir, span_state, tmp_path):
     """Re-running `spans` (the post-ingest refresh) swaps the table in
     place — same contents for same corpus, no stray tmp/old dirs."""

@@ -102,6 +102,16 @@ _BAND_COLS = ("doc_id", "band_idx", "band_hash")
 _EDGE_COLS = ("id_a", "id_b")
 
 
+def _write_meta(state_dir: str, meta: dict) -> None:
+    """Atomic _meta.json replace (tmp file + rename): a crash mid-dump
+    must never leave a truncated meta that bricks every later command."""
+    path = os.path.join(state_dir, "_meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 def _load_meta(state_dir: str) -> dict:
     """Read _meta.json and hard-fail on a pre-versioned/older layout."""
     path = os.path.join(state_dir, "_meta.json")
@@ -113,6 +123,12 @@ def _load_meta(state_dir: str) -> dict:
             f"no _meta.json in {state_dir} — not a dedup_state directory "
             "(run init first)"
         )
+    except ValueError:
+        raise SystemExit(
+            f"corrupt _meta.json in {state_dir} (torn write from a crashed "
+            "pre-r11 tool?) — restore it or re-run init from the source "
+            "corpus"
+        )
     if meta.get("layout") != LAYOUT_VERSION:
         raise SystemExit(
             f"state layout too old (layout={meta.get('layout')!r}, tool "
@@ -123,12 +139,20 @@ def _load_meta(state_dir: str) -> dict:
 
 
 def _clean_stray_tmps(state_dir: str) -> None:
-    """Remove half-written tmp dirs a crashed earlier command left
-    behind. Current tmp names are dot-prefixed (Spark's partition
-    discovery ignores them) but a crash before the atomic rename still
-    leaves them on disk, and legacy `*._tmp` names (pre-r11) were
-    VISIBLE to partition discovery — either way they must not survive
-    into the next command's reads or generation numbering."""
+    """Recover from a crashed earlier command's leftovers.
+
+    Inside the generation stores: remove half-written tmp dirs (current
+    dot-prefixed names are invisible to Spark's partition discovery,
+    legacy `*._tmp` names were VISIBLE) — they must not survive into
+    the next command's reads or generation numbering.
+
+    At the state root: finish or roll back an interrupted _write_swap /
+    compact. The swap sequence is write(X._tmp) -> rename(X, X._old) ->
+    rename(X._tmp, X) -> rm(X._old); a crash can leave (a) X and
+    X._tmp (pre-swap: drop the tmp), (b) X._old and X._tmp but no X
+    (mid-swap: ROLL BACK to the old complete copy — the tmp is complete
+    too, but re-running the command is cheaper than guessing), or (c)
+    X and X._old (post-swap: drop the old copy)."""
     for store in ("bands", "edges", "spans"):
         root = os.path.join(state_dir, store)
         if not os.path.isdir(root):
@@ -136,6 +160,16 @@ def _clean_stray_tmps(state_dir: str) -> None:
         for d in os.listdir(root):
             if d.startswith(".tmp-") or d.endswith("._tmp"):
                 shutil.rmtree(os.path.join(root, d))
+    for name in ("clusters", "bands", "edges", "spans"):
+        path = os.path.join(state_dir, name)
+        old, tmp = path + "._old", path + "._tmp"
+        if os.path.isdir(old):
+            if os.path.isdir(path):
+                shutil.rmtree(old)  # swap completed, cleanup did not
+            else:
+                os.rename(old, path)  # mid-swap crash: roll back
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
 
 
 def _bucket_col(n_buckets: int):
@@ -277,8 +311,7 @@ def cmd_spans(spark, docs_path: str, state_dir: str, gram: int) -> None:
     _write_swap(iv, os.path.join(state_dir, "spans"))
     meta["span_gram"] = int(gram)
     meta["span_corpus"] = _corpus_fingerprint(docs.select("doc_id"))
-    with open(os.path.join(state_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f, sort_keys=True)
+    _write_meta(state_dir, meta)
     n = read_spans(spark, state_dir).count()
     print(f"spans: {n} duplicated-span intervals (gram={gram}) -> {state_dir}")
 
@@ -302,8 +335,7 @@ def cmd_init(spark, docs_path: str, state_dir: str, meta: dict) -> None:
     )
     _append_generation(bands, os.path.join(state_dir, "bands"), 0)
     _append_generation(edges, os.path.join(state_dir, "edges"), 0)
-    with open(os.path.join(state_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f, sort_keys=True)
+    _write_meta(state_dir, meta)
     n = read_clusters(spark, state_dir).count()
     print(f"init: {n} docs clustered into state at {state_dir}")
 
@@ -431,9 +463,15 @@ def cmd_verify(spark, state_dir: str, full_docs: str | None) -> int:
     # view, NOT maintained by ingest — if its recorded corpus snapshot
     # no longer matches the band index's doc set, consumers would read
     # intervals for text that has since gained new cross-doc spans
-    if "span_corpus" in meta and os.path.isdir(
-        os.path.join(state_dir, "spans")
-    ):
+    if "span_corpus" in meta:
+        if not os.path.isdir(os.path.join(state_dir, "spans")):
+            # meta advertises a spans table that is not on disk — a
+            # torn refresh _clean_stray_tmps could not roll back
+            print(
+                "VERIFY FAIL: _meta.json records span_corpus but spans/ "
+                "is missing — torn spans refresh; re-run `spans`"
+            )
+            return 1
         current = _corpus_fingerprint(bands.select("doc_id").distinct())
         if current != meta["span_corpus"]:
             print(
