@@ -1257,10 +1257,16 @@ def dup_span_rate_by_source(spark, sf_dir):
     "no global sort); deterministic total order via (count desc, md5).",
 )
 def dup_span_top_boilerplate(spark, sf_dir):
-    G = _SPAN_G
-    d = t(spark, sf_dir, "documents")
+    return top_boilerplate(t(spark, sf_dir, "documents"))
+
+
+def top_boilerplate(d, *, gram: int = _SPAN_G, k: int = 20):
+    """The boilerplate-leaderboard core over a (doc_id, text) frame —
+    extracted so tests can drive it on repartitioned input (the top-k
+    LIMIT is only well-defined because the (count desc, md5) order is
+    total; tests/test_span_state_tool.py pins partition-invariance)."""
     iv = dd.dup_span_intervals(
-        d.select("doc_id", "text"), "doc_id", "text", gram=G
+        d.select("doc_id", "text"), "doc_id", "text", gram=gram
     )
     tk = d.select(
         "doc_id",
@@ -1288,7 +1294,7 @@ def dup_span_top_boilerplate(spark, sf_dir):
         .orderBy(
             F.col("n_occurrences").desc(), F.col("span_md5").asc()
         )
-        .limit(20)
+        .limit(k)
     )
 
 

@@ -62,6 +62,21 @@ def test_isolated_phase_degrades_before_skipping(spark):
     assert skipped == [] and degraded == ["a"] and "a" in out
 
 
+def test_warm_sweep_session_runs(spark):
+    """The pre-sweep warm-up must execute cleanly on a real sf dir —
+    a silent per-table failure (it deliberately swallows into stderr)
+    would quietly reintroduce the q1 cold-start it exists to retire."""
+    import io
+    from contextlib import redirect_stderr
+
+    import bench
+
+    buf = io.StringIO()
+    with redirect_stderr(buf):
+        bench._warm_sweep_session(spark, "/root/testdata/sf0.001")
+    assert "failed" not in buf.getvalue()
+
+
 def test_isolated_set_rotation_partitions_top20():
     """The deterministic isolated-set rule (r10 verdict ask #3): two
     consecutive rounds' sets must partition the top-20-by-time entries
@@ -78,6 +93,11 @@ def test_isolated_set_rotation_partitions_top20():
     assert len(even) == len(odd) == 10
     # same round -> same set (repeated bench runs inside one round)
     assert _isolated_set(timings, 11) == odd
+    # execution order is most-expensive-first, so a deadline that
+    # truncates the phase costs the CHEAPEST tail, never the same
+    # alphabetically-late entries every round
+    for chosen in (even, odd):
+        assert chosen == sorted(chosen, key=lambda n: -timings[n])
 
 
 def test_current_round_matches_catalog_rotation():

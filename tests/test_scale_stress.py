@@ -122,6 +122,36 @@ def test_incremental_fold_on_5x_corpus(spark, sf_dir):
     assert n_bad == 0
 
 
+def test_span_intervals_on_5x_clone_corpus(spark, sf_dir):
+    """Span anchors under total duplication: 5 exact clones of every
+    doc make EVERY gram cross-document — the worst case for the
+    gram-keyed aggregates (every (gram, doc) row survives the nd >= 2
+    filter). Must complete, and the output has a closed form: each doc
+    with >= G tokens is covered by exactly one full-width interval."""
+    from dsp_spark.operators.dedup import dup_span_intervals
+
+    G = 8
+    docs = _xn(read_table(spark, sf_dir, "documents"), ["doc_id"]).select(
+        "doc_id", "text"
+    )
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    eligible = docs.select("doc_id", F.size(toks).alias("n")).where(
+        F.col("n") >= G
+    )
+    iv = dup_span_intervals(docs, "doc_id", "text", gram=G)
+    got = iv.join(eligible, "doc_id", "full").select(
+        "doc_id", "s", "e", "n"
+    )
+    bad = got.where(
+        F.col("s").isNull()  # eligible doc with no interval
+        | F.col("n").isNull()  # interval on an ineligible doc
+        | (F.col("s") != 1)
+        | (F.col("e") != F.col("n"))
+    ).count()
+    assert bad == 0
+    assert iv.count() == eligible.count()
+
+
 def test_fact_fact_join_at_5x(spark, sf_dir):
     li = _xn(read_table(spark, sf_dir, "lineitem"), ["l_orderkey"])
     o = _xn(

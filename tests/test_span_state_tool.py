@@ -96,6 +96,25 @@ def test_shared_scorers_match_catalog_entries(spark, sf_dir, span_state):
     assert _rows(got) == _rows(want)
 
 
+def test_top_boilerplate_deterministic_under_partitioning(spark, sf_dir):
+    """dup_span_top_boilerplate ends in a top-20 LIMIT: its row SET is
+    only well-defined because the order is total (count desc, md5).
+    Repartitioning the input must not change a single row."""
+    from dsp_spark import catalog
+    from dsp_spark.session import read_table
+
+    fn = catalog.entries()["dup_span_top_boilerplate"].fn
+    base = _rows(fn(spark, sf_dir))
+    assert base  # sf0.001 documents do share boilerplate spans
+
+    from dsp_spark.queries.dedup import top_boilerplate
+
+    docs = read_table(spark, sf_dir, "documents")
+    for parts in (1, 17):
+        got = _rows(top_boilerplate(docs.repartition(parts, "lang")))
+        assert got == base, f"partitioning {parts} changed the top-20"
+
+
 def test_verify_detects_stale_spans(spark, sf_dir, span_state, tmp_path):
     """An ingest after `spans` leaves the interval table built from a
     smaller corpus snapshot than the band index — verify must name it
