@@ -109,6 +109,41 @@ def test_current_round_matches_catalog_rotation():
     assert _current_round() == max(_driver_checked_rounds().values()) + 1
 
 
+def test_scale_normalization_ignores_only_codegen_column():
+    """The pre-gate SCALE.md drift check must flap-proof exactly the
+    codegen-stages cell (AQE runtime variance on eagerly-checkpointed
+    plans) while any load-bearing column drift still differs after
+    normalization."""
+    from tools.pre_gate import normalize_scale_table
+
+    a = "# h\n| e | 9 | 3 | y |  |  |  | 16 |\nfooter"
+    b = "# h\n| e | 9 | 3 | y |  |  |  | 17 |\nfooter"
+    assert normalize_scale_table(a) == normalize_scale_table(b)
+    c = "# h\n| e | 10 | 3 | y |  |  |  | 16 |\nfooter"   # exchanges moved
+    d = "# h\n| e | 9 | 4 | y |  |  |  | 16 |\nfooter"    # scans moved
+    e = "# h\n| e | 9 | 3 | y |  | CARTESIAN |  | 16 |\nfooter"
+    for other in (c, d, e):
+        assert normalize_scale_table(a) != normalize_scale_table(other)
+    # non-table lines (header, footer totals) never normalize away
+    assert "footer" in normalize_scale_table(a)
+
+
+def test_plan_lock_not_rewritten_on_bare_decreases(tmp_path, monkeypatch):
+    """A spurious one-off LOW reading (AQE variance) must not rebaseline
+    the lock — the next normal reading would then read as a phantom
+    regression and flap the gate. compare_lock still fails increases."""
+    from tools.scale_report import compare_lock
+
+    old = {"x": {"exchanges": 9, "global_windows": 0, "scans": 3}}
+    low = {"x": {"exchanges": 8, "global_windows": 0, "scans": 3}}
+    high = {"x": {"exchanges": 10, "global_windows": 0, "scans": 3}}
+    assert compare_lock(old, low) == []       # decrease: no regression
+    assert compare_lock(old, high)            # increase: flagged
+    # the rewrite-policy itself (accept-or-structural-only) is exercised
+    # end-to-end by tools/pre_gate.py runs; this pins the comparison
+    # semantics the policy relies on
+
+
 def test_gen_round_generates_all_sections():
     """ROUND.md must carry every section the judge reads: catalog
     delta, bench block, and the artifact checklist."""

@@ -53,6 +53,19 @@ ARTIFACT_GLOBS = (
 )
 
 
+def normalize_scale_table(text: str) -> str:
+    """SCALE.md with the trailing codegen-stages cell dropped from every
+    table row — the one column AQE runtime variance can flip ±1 on
+    entries that eagerly localCheckpoint mid-build (see step 2 below).
+    All load-bearing columns survive normalization."""
+    out = []
+    for line in text.splitlines():
+        if line.startswith("| ") and line.count("|") >= 9:
+            line = line.rsplit("|", 2)[0] + "|"
+        out.append(line)
+    return "\n".join(out)
+
+
 def classify_porcelain(lines: list[str]) -> tuple[list[str], list[str]]:
     """Split `git status --porcelain` lines into (other-dirty lines,
     dirty artifact paths). Rename/copy entries read 'R  old -> new';
@@ -99,22 +112,46 @@ def main() -> int:
             "scale_report: plan invariants violated (see stderr above)"
         )
 
-    # 2. SCALE.md drift vs committed — diff against HEAD, not the index:
-    #    a staged-but-uncommitted drift is still uncommitted at gate time
-    diff = subprocess.run(
-        ["git", "-C", ROOT, "diff", "HEAD", "--stat", "--", "SCALE.md"],
+    # 2. SCALE.md drift vs committed — compared MODULO the trailing
+    #    codegen-stages column: entries that eagerly localCheckpoint
+    #    mid-build (pagerank's iterative fold) let AQE runtime variance
+    #    flip that cell ±1 across identical regenerations (measured
+    #    r11), and a gate that flaps on it trains people to ignore it.
+    #    Every load-bearing column (exchanges, scans, cartesian, global
+    #    windows) still fails the gate on any drift; codegen-only drift
+    #    restores the committed copy and prints a note.
+    head = subprocess.run(
+        ["git", "-C", ROOT, "show", "HEAD:SCALE.md"],
         capture_output=True,
         text=True,
-    )
-    if diff.stdout.strip():
-        print(
-            "NOTE: SCALE.md drifted from the committed version — commit "
-            "the regenerated inventory with the round:\n" + diff.stdout,
-            file=sys.stderr,
-        )
-        # drift is not a hard failure (regeneration IS the fix), but an
-        # uncommitted drift at gate time is
-        failures.append("SCALE.md modified but not committed")
+    ).stdout
+    try:
+        with open(os.path.join(ROOT, "SCALE.md")) as f:
+            work = f.read()
+    except OSError:
+        work = ""
+
+    if work != head:
+        if normalize_scale_table(work) == normalize_scale_table(head):
+            print(
+                "NOTE: SCALE.md drift confined to the codegen-stages "
+                "column (AQE runtime variance) — restoring the committed "
+                "copy",
+                file=sys.stderr,
+            )
+            subprocess.run(
+                ["git", "-C", ROOT, "checkout", "--", "SCALE.md"],
+                check=False,
+            )
+        else:
+            print(
+                "NOTE: SCALE.md drifted from the committed version — "
+                "commit the regenerated inventory with the round",
+                file=sys.stderr,
+            )
+            # drift is not a hard failure (regeneration IS the fix), but
+            # an uncommitted drift at gate time is
+            failures.append("SCALE.md modified but not committed")
 
     # 3. driver window must contain every never-checked entry
     from dsp_spark.catalog import _driver_checked_rounds, entries
