@@ -62,7 +62,7 @@ def test_isolated_phase_degrades_before_skipping(spark):
     assert skipped == [] and degraded == ["a"] and "a" in out
 
 
-def test_warm_sweep_session_runs(spark):
+def test_warm_sweep_session_runs(spark, sf_dir):
     """The pre-sweep warm-up must execute cleanly on a real sf dir —
     a silent per-table failure (it deliberately swallows into stderr)
     would quietly reintroduce the q1 cold-start it exists to retire."""
@@ -73,7 +73,7 @@ def test_warm_sweep_session_runs(spark):
 
     buf = io.StringIO()
     with redirect_stderr(buf):
-        bench._warm_sweep_session(spark, "/root/testdata/sf0.001")
+        bench._warm_sweep_session(spark, sf_dir)
     assert "failed" not in buf.getvalue()
 
 

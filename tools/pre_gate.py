@@ -131,6 +131,20 @@ def main() -> int:
     except OSError:
         work = ""
 
+    # a STAGED drift is still uncommitted at gate time, even if step
+    # 1's regeneration wrote the worktree copy back to HEAD-equal
+    # content — diff the index explicitly so it can't hide
+    staged = subprocess.run(
+        ["git", "-C", ROOT, "diff", "--cached", "--stat", "--", "SCALE.md"],
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if staged and work == head:
+        failures.append(
+            "SCALE.md has STAGED changes that the regeneration does not "
+            "reproduce — unstage or commit them deliberately"
+        )
+
     if work != head:
         if normalize_scale_table(work) == normalize_scale_table(head):
             print(
@@ -139,8 +153,10 @@ def main() -> int:
                 "copy",
                 file=sys.stderr,
             )
+            # restore from HEAD, not the index — `checkout --` copies
+            # the staged version, which may itself be the drift
             subprocess.run(
-                ["git", "-C", ROOT, "checkout", "--", "SCALE.md"],
+                ["git", "-C", ROOT, "checkout", "HEAD", "--", "SCALE.md"],
                 check=False,
             )
         else:

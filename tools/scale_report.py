@@ -11,10 +11,13 @@ Also maintains PLAN_LOCK.json, the committed per-entry
 {exchanges, bcast, global_windows} lockfile: an entry whose exchange
 or global-window count INCREASED vs the committed lock is a plan
 regression and fails the run (and therefore pre_gate) — a refactor
-can't silently add a shuffle. Deliberate changes re-baseline with
---accept-plan-changes and commit the updated lock; decreases
-re-baseline automatically (still need committing, which the gate's
-dirty-artifact check enforces).
+can't silently add a shuffle. Deliberate changes (in EITHER direction)
+re-baseline with --accept-plan-changes and commit the updated lock;
+bare decreases observed without the flag are reported but NOT
+baselined, because AQE runtime variance on eagerly-checkpointed plans
+can read one-off lows (r11: graph_pagerank_dupgraph) and a silently
+lowered baseline turns the next normal reading into a phantom
+regression.
 """
 
 from __future__ import annotations
@@ -206,26 +209,52 @@ def main() -> int:
         )
         spark.stop()
         return 1
-    # Rewrite the lock only on --accept or a structural change (new /
-    # removed entries, format migration) — NOT on bare count decreases.
-    # Entries that eagerly localCheckpoint mid-build (pagerank's
-    # iterative fold) let AQE runtime variance infect the static plan
-    # by ±1 exchange/codegen stage across identical processes (measured
-    # r11: 20↔21 raw exchanges on graph_pagerank_dupgraph); silently
-    # baselining a spurious LOW reading would turn the next spurious
-    # high reading into a phantom regression and flap the gate.
-    # Deliberate improvements are recorded with --accept-plan-changes,
-    # same as regressions.
+    # Lock-rewrite policy (r11): bare count DECREASES are never
+    # baselined without --accept. Entries that eagerly localCheckpoint
+    # mid-build (pagerank's iterative fold) let AQE runtime variance
+    # infect the static plan by ±1 exchange/codegen stage across
+    # identical processes (measured r11: 20↔21 raw exchanges on
+    # graph_pagerank_dupgraph); silently baselining a spurious LOW
+    # reading would turn the next normal reading into a phantom
+    # regression and flap the gate. Structural changes (entry set,
+    # per-entry field migration like r9's `scans`, notes text, sf_dir)
+    # DO rewrite so new entries/fields baseline themselves — but with
+    # the gated counts of surviving entries FLOORED at their committed
+    # values, so a structural rewrite can't smuggle a decrease in.
+    old_entries = old_lock.get("entries", {})
+    common = set(old_entries) & set(new_lock["entries"])
     structural = (
         old_lock.get("sf_dir") != sf_dir
-        or set(old_lock.get("entries", {})) != set(new_lock["entries"])
+        or set(old_entries) != set(new_lock["entries"])
+        or any(set(old_entries[k]) != set(new_lock["entries"][k]) for k in common)
         or old_lock.get("notes") != new_lock["notes"]
     )
+    decreases = [
+        f"{k}.{f}: {old_entries[k][f]} -> {new_lock['entries'][k][f]}"
+        for k in sorted(common)
+        for f in ("exchanges", "global_windows", "scans")
+        if f in old_entries[k] and new_lock["entries"][k][f] < old_entries[k][f]
+    ]
     if accept or structural:
+        if not accept:
+            for k in common:
+                for f in ("exchanges", "global_windows", "scans"):
+                    if f in old_entries[k]:
+                        new_lock["entries"][k][f] = max(
+                            new_lock["entries"][k][f], old_entries[k][f]
+                        )
         with open(LOCK_PATH, "w") as f:
             json.dump(new_lock, f, indent=1, sort_keys=True)
         if regs:
             print(f"accepted {len(regs)} plan changes into PLAN_LOCK.json")
+        if decreases and accept:
+            print(f"baselined {len(decreases)} count decreases: {decreases}")
+    elif decreases:
+        print(
+            f"NOTE: {len(decreases)} plan-count decreases observed but NOT "
+            f"baselined (re-run with --accept-plan-changes if deliberate): "
+            f"{decreases}"
+        )
     print(f"wrote {out}: {len(rows)} entries")
     spark.stop()
     return 0
