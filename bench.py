@@ -305,26 +305,7 @@ def main() -> None:
     }
     _write_full(full)
 
-    headline = HEADLINE
-    qshort = {
-        k: round(timings[v], 2) for k, v in headline.items() if v in timings
-    }
-    line = json.dumps(
-        {
-            "metric": "catalog_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": qshort,
-            "sf": sf,
-            "n_queries": len(timings),
-            "wall_sec": round(wall, 1),
-            "relay_mps": throughput.get("relay_mps"),
-            "route_mps": throughput.get("route_mps"),
-            "relay_mbps": throughput.get("relay_mbps"),
-            "route_mbps": throughput.get("route_mbps"),
-        },
-        separators=(",", ":"),
-    )
+    line = _headline_line(total, timings, sf, wall, throughput, probe, env)
     # print BEFORE the isolated phase: if the driver's timeout fires
     # mid-rerun, the headline line and the in-sweep artifact already
     # exist — the isolated column is additive, never load-bearing
@@ -350,10 +331,15 @@ def main() -> None:
         # catalog's window rotation), so repeated runs inside one
         # round measure the same set.
         rnd = _current_round()
-        top = _isolated_set(timings, rnd)
+        carry = _isolated_carry(rnd)
+        top = _isolated_set(timings, rnd, carry)
         full["isolated_set_rule"] = {
             "round": rnd,
-            "rule": "sorted(top20_by_insweep)[round % 2 :: 2]",
+            "rule": (
+                "prev_round_degraded_or_skipped first, then "
+                "sorted(top20_by_insweep)[round % 2 :: 2]"
+            ),
+            "carried": [n for n in carry if n in top],
         }
         # Probe-scaled budget (r7 verdict ask #2): the old fixed 545 s
         # deadline was tuned to the builder's host (probe_spark_sec
@@ -405,40 +391,126 @@ def main() -> None:
     print(line, flush=True)
 
 
+def _headline_line(
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    wall: float,
+    throughput: dict,
+    probe: dict,
+    env: dict,
+) -> str:
+    """The ONE stdout JSON line the driver parses into BENCH_rN.json.
+
+    Must stay SHORT (the driver tail-captures stdout; a multi-KB line
+    truncates mid-line — round 1) and SELF-NORMALIZING (r11 verdict ask
+    #2): BENCH_rN.json is the only artifact the driver records, and
+    r11's +9.4% raw total / q1 1.52 s readings were adjudicated as
+    host-window noise only via builder-side BENCH_FULL/BENCH_NOTES.
+    With the probe fields in the parsed line, probe-units/entry falls
+    out of the driver artifact alone: probe_spark_sec is the frozen
+    best-of-10 denominator, probe_spark_med the robust divisor when
+    probe_spark_spread is high, loadavg1 the host load at fingerprint
+    time."""
+    qshort = {
+        k: round(timings[v], 2) for k, v in HEADLINE.items() if v in timings
+    }
+    return json.dumps(
+        {
+            "metric": "catalog_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": qshort,
+            "sf": sf,
+            "n_queries": len(timings),
+            "wall_sec": round(wall, 1),
+            "relay_mps": throughput.get("relay_mps"),
+            "route_mps": throughput.get("route_mps"),
+            "relay_mbps": throughput.get("relay_mbps"),
+            "route_mbps": throughput.get("route_mbps"),
+            "probe_spark_sec": probe.get("probe_spark_sec"),
+            "probe_spark_med": probe.get("probe_spark_med"),
+            "probe_spark_spread": probe.get("probe_spark_spread"),
+            "loadavg1": env.get("loadavg1"),
+        },
+        separators=(",", ":"),
+    )
+
+
 def _current_round() -> int:
-    """This round's number = newest committed CORRECTNESS_r*.json + 1 —
-    the same derivation the catalog's driver-window rotation uses, so
-    the isolated set is stable across repeated bench runs within a
-    round and flips deterministically at the round boundary."""
+    """This round's number = newest ON-DISK CORRECTNESS_r*.json + 1 —
+    the same derivation the catalog's driver-window rotation uses
+    (catalog._driver_checked_rounds globs the working tree, tracked or
+    not), so the isolated set is stable across repeated bench runs
+    within a round and flips as soon as the round's CORRECTNESS file
+    lands on disk — at the driver's write, NOT at commit (ADVICE r11:
+    the old docstring claimed 'committed', which was never true; the
+    on-disk flip is load-bearing for the cross-actor coverage argument
+    in _isolated_set and for gen_round's snapshot numbering)."""
     from dsp_spark.catalog import _driver_checked_rounds
 
     return max(_driver_checked_rounds().values(), default=0) + 1
 
 
-def _isolated_set(timings: dict[str, float], rnd: int) -> list[str]:
+def _isolated_carry(rnd: int) -> list[str]:
+    """The PREVIOUS round's isolated-phase debt: entries whose reading
+    in the committed gate snapshot BENCH_FULL_r{N-1}.json degraded to
+    best-of-1 or was skipped by the deadline. They run FIRST in this
+    round's isolated set, ahead of the parity stride (r11 verdict ask
+    #5), so no top-20 entry waits two rounds for a clean best-of-2.
+    Empty on any problem — the carry is additive, never load-bearing."""
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_FULL_r{rnd - 1:02d}.json",
+        )
+        with open(path) as f:
+            prev = json.load(f)
+        return list(
+            dict.fromkeys(
+                list(prev.get("isolated_degraded") or [])
+                + list(prev.get("isolated_skipped") or [])
+            )
+        )
+    except Exception:
+        return []
+
+
+def _isolated_set(
+    timings: dict[str, float], rnd: int, carry: list[str] | tuple = ()
+) -> list[str]:
     """Half of the top-20-by-in-sweep-time entries, chosen by round
     parity over an ALPHABETICAL stride so membership is stable across
     rounds: parity-0 and parity-1 rounds partition the top 20 exactly,
     so every expensive entry gets a clean isolated reading at least
     every 2 rounds (beats the r10 verdict's every-3-rounds ask).
+    Entries in `carry` (the previous round's degraded/skipped list —
+    _isolated_carry) are prepended and run before the stride half, so
+    a round's deadline casualties get the earliest, cleanest slots of
+    the next round instead of waiting out the parity cycle.
 
-    MEMBERSHIP is alphabetical-stride; EXECUTION ORDER is most-
-    expensive-first — the phase degrades/skips entries that start past
-    its deadline in list order, so alphabetical execution would starve
-    the same alphabetically-late entries every round they are members,
-    while expensive-first makes any truncation cost the cheapest tail.
+    MEMBERSHIP is alphabetical-stride; EXECUTION ORDER is carried-debt
+    first, then most-expensive-first — the phase degrades/skips entries
+    that start past its deadline in list order, so alphabetical
+    execution would starve the same alphabetically-late entries every
+    round they are members, while expensive-first makes any truncation
+    cost the cheapest tail.
 
-    Note the parity source: rnd comes from the committed CORRECTNESS
+    Note the parity source: rnd derives from the ON-DISK CORRECTNESS
     artifacts, so runs repeat the same set until the CURRENT round's
-    CORRECTNESS file lands on disk. The round driver writes that file
-    before its judging-time bench rerun, which therefore measures the
-    OPPOSITE half from the builder's gate-time snapshot — by design:
-    the two artifacts of one round union to full top-20 coverage, and
-    each actor's own sequence still alternates cleanly round-to-round.
+    CORRECTNESS file lands on disk (the driver writes it before its
+    judging-time bench rerun, which therefore measures the OPPOSITE
+    half from the builder's gate-time snapshot — by design: the two
+    artifacts of one round union to full top-20 coverage, and each
+    actor's own sequence still alternates cleanly round-to-round).
     """
     top20 = sorted(timings, key=lambda n: timings[n], reverse=True)[:20]
     half = sorted(top20)[rnd % 2 :: 2]
-    return sorted(half, key=lambda n: timings[n], reverse=True)
+    carried = [n for n in carry if n in timings]
+    rest = [n for n in half if n not in carried]
+    return sorted(carried, key=lambda n: timings[n], reverse=True) + sorted(
+        rest, key=lambda n: timings[n], reverse=True
+    )
 
 
 def _warm_sweep_session(spark, sf_dir: str) -> None:

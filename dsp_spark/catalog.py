@@ -195,8 +195,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 
 def _driver_checked_rounds() -> dict[str, int]:
     """name -> latest round with a PASSING driver correctness row,
-    parsed from the committed CORRECTNESS_r*.json artifacts next to the
-    package. A failed row (error, or any explicit mismatch) does NOT
+    parsed from the ON-DISK CORRECTNESS_r*.json artifacts next to the
+    package (glob over the working tree — tracked or not, so the
+    window rotates the moment the driver writes a round's file, before
+    any commit). A failed row (error, or any explicit mismatch) does NOT
     count as checked — the entry must rotate back into the window so
     the fix gets re-verified, not buried at the end of the iteration.
     Empty on any problem — ordering then falls back to the static list."""

@@ -102,11 +102,83 @@ def test_isolated_set_rotation_partitions_top20():
 
 def test_current_round_matches_catalog_rotation():
     """bench's round derivation must agree with the catalog's window
-    rotation source (committed CORRECTNESS artifacts)."""
+    rotation source (the ON-DISK CORRECTNESS artifacts — the window
+    rotates at the driver's file write, not at commit)."""
     from bench import _current_round
     from dsp_spark.catalog import _driver_checked_rounds
 
     assert _current_round() == max(_driver_checked_rounds().values()) + 1
+
+
+def test_isolated_set_carries_prior_debt_first():
+    """r11 verdict ask #5: the previous round's degraded/skipped
+    isolated entries run FIRST in the next round's set — ahead of the
+    parity stride — so a deadline casualty never waits two rounds for
+    a clean best-of-2. Carried names outside this round's timings are
+    dropped (renamed/removed entries must not crash the phase)."""
+    from bench import _isolated_set
+
+    timings = {f"e{i:02d}": 100.0 - i for i in range(30)}
+    carry = ["e25", "e03", "gone_entry"]  # e25 is outside the top 20
+    chosen = _isolated_set(timings, 11, carry)
+    # carried entries lead, expensive-first among themselves
+    assert chosen[:2] == ["e03", "e25"]
+    assert "gone_entry" not in chosen
+    # the stride half follows, deduplicated and expensive-first
+    stride = _isolated_set(timings, 11)
+    assert chosen[2:] == [n for n in stride if n not in ("e03", "e25")]
+    assert len(chosen) == len(set(chosen))
+    # empty carry leaves the r11-locked rotation rule untouched
+    assert _isolated_set(timings, 11, []) == stride
+
+
+def test_isolated_carry_reads_committed_r11_snapshot():
+    """_isolated_carry(12) must surface exactly the three entries the
+    r11 gate snapshot recorded as degraded (BENCH_FULL_r11.json is a
+    committed, immutable round artifact — a stable fixture)."""
+    from bench import _isolated_carry
+
+    assert _isolated_carry(12) == [
+        "graph_node_clustering_coeff",
+        "source_ngram_jaccard",
+        "zorder_zvalue_audit",
+    ]
+    # a round with no prior snapshot yields no carry, never an error
+    assert _isolated_carry(1) == []
+
+
+def test_headline_line_is_self_normalizing():
+    """r11 verdict ask #2: the stdout line the driver parses into
+    BENCH_rN.json must carry the host-normalization fields (probe
+    best/median/spread + loadavg) so a slow driver window can be
+    adjudicated from the driver artifact alone — and it must stay a
+    single short parseable JSON line."""
+    import json
+
+    from bench import HEADLINE, _headline_line
+
+    timings = {v: 0.5 for v in HEADLINE.values()}
+    line = _headline_line(
+        total=12.5,
+        timings=timings,
+        sf=0.1,
+        wall=60.0,
+        throughput={"relay_mps": 5e7, "route_mps": 5e6},
+        probe={
+            "probe_spark_sec": 0.42,
+            "probe_spark_med": 0.48,
+            "probe_spark_spread": 0.2,
+        },
+        env={"loadavg1": 3.1},
+    )
+    assert "\n" not in line and len(line) < 4096
+    rec = json.loads(line)
+    assert rec["probe_spark_sec"] == 0.42
+    assert rec["probe_spark_med"] == 0.48
+    assert rec["probe_spark_spread"] == 0.2
+    assert rec["loadavg1"] == 3.1
+    assert rec["n_queries"] == len(timings)
+    assert set(rec["queries"]) == set(HEADLINE)
 
 
 def test_scale_normalization_ignores_only_codegen_column():

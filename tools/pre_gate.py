@@ -57,13 +57,31 @@ def normalize_scale_table(text: str) -> str:
     """SCALE.md with the trailing codegen-stages cell dropped from every
     table row — the one column AQE runtime variance can flip ±1 on
     entries that eagerly localCheckpoint mid-build (see step 2 below).
-    All load-bearing columns survive normalization."""
+    All load-bearing columns survive normalization.
+
+    Since r12 the codegen column lives in the untracked appendix
+    SCALE_CODEGEN.md (r11 verdict ask #4: SCALE.md regen is now
+    byte-stable), so on current-format files this is an identity —
+    the 7-column rows never reach the 9-pipe threshold. Kept for
+    comparisons against pre-r12 committed copies and as the guard if
+    any post-AQE column ever returns to the gated body."""
     out = []
     for line in text.splitlines():
         if line.startswith("| ") and line.count("|") >= 9:
             line = line.rsplit("|", 2)[0] + "|"
         out.append(line)
     return "\n".join(out)
+
+
+def scale_staged_violation(head: str, work: str, staged: str) -> bool:
+    """True when the SCALE.md index content is neither the committed
+    copy nor this gate's regeneration — staged drift that must be
+    unstaged or committed deliberately. Covers the combination the old
+    `staged-diff and work == head` guard missed (ADVICE r11): staged
+    changes alongside codegen-only worktree drift, where the former
+    worktree restore (`git checkout HEAD --`) silently destroyed the
+    staged content."""
+    return staged != head and staged != work
 
 
 def classify_porcelain(lines: list[str]) -> tuple[list[str], list[str]]:
@@ -133,16 +151,21 @@ def main() -> int:
 
     # a STAGED drift is still uncommitted at gate time, even if step
     # 1's regeneration wrote the worktree copy back to HEAD-equal
-    # content — diff the index explicitly so it can't hide
-    staged = subprocess.run(
-        ["git", "-C", ROOT, "diff", "--cached", "--stat", "--", "SCALE.md"],
+    # content — compare the staged CONTENT explicitly so it can't hide.
+    # Fails whenever the index holds something that is neither the
+    # committed copy nor this gate's regeneration (ADVICE r11: the old
+    # `staged and work == head` guard missed the staged+codegen-drift
+    # combination, and the worktree restore below then destroyed the
+    # staged content via `checkout HEAD --`).
+    staged_content = subprocess.run(
+        ["git", "-C", ROOT, "show", ":SCALE.md"],
         capture_output=True,
         text=True,
-    ).stdout.strip()
-    if staged and work == head:
+    ).stdout
+    if scale_staged_violation(head, work, staged_content):
         failures.append(
-            "SCALE.md has STAGED changes that the regeneration does not "
-            "reproduce — unstage or commit them deliberately"
+            "SCALE.md has STAGED changes that match neither HEAD nor the "
+            "regeneration — unstage or commit them deliberately"
         )
 
     if work != head:
@@ -153,12 +176,13 @@ def main() -> int:
                 "copy",
                 file=sys.stderr,
             )
-            # restore from HEAD, not the index — `checkout --` copies
-            # the staged version, which may itself be the drift
-            subprocess.run(
-                ["git", "-C", ROOT, "checkout", "HEAD", "--", "SCALE.md"],
-                check=False,
-            )
+            # restore the WORKTREE only: write the already-read HEAD
+            # content back directly. `git checkout HEAD --` would also
+            # reset the index, silently destroying any staged SCALE.md
+            # content (the staged-content check above fails the gate on
+            # that case instead).
+            with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
+                f.write(head)
         else:
             print(
                 "NOTE: SCALE.md drifted from the committed version — "
