@@ -4,6 +4,7 @@ verified near-duplicate."""
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -165,6 +166,102 @@ def test_curate_stats_only_and_resume(spark, sf_dir, tmp_path):
         json.dump(stored, f)
     m4 = curate(spark, sf_dir, out, resume=True)
     assert json.dumps(m4, sort_keys=True) == j1
+
+
+def _boiler_corpus(spark, out_dir: str, n: int = 30, extra: int = 0) -> None:
+    """A corpus engineered so the curation funnel keeps EVERYTHING
+    (kept set == snapshot): per-doc-unique 7-char body tokens (passes
+    the quality rules, defeats near-dup/containment/decontam) plus one
+    shared 10-token boilerplate run in every even doc (a real cross-doc
+    duplicated span for the strip stage). No within-doc segment
+    repeats, so the self-repeat strip is the identity."""
+    boiler = (
+        "alpha bravo charlie delta echoes foxtrot golfer hotels "
+        "indigo juliet"
+    ).split()
+    rows = []
+    for d in range(n + extra):
+        body = [f"w{d:02d}x{i:02d}q" for i in range(40)]
+        toks = body[:5] + (boiler if d % 2 == 0 else []) + body[5:]
+        text = " ".join(toks)
+        rows.append((d, text, "en", f"src{d % 3}", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
+def test_curate_spans_state_parity(spark, tmp_path):
+    """--spans-state (r11 verdict ask #6): when the persisted span
+    state is FRESH for the input corpus and the kept set equals the
+    snapshot, curate --strip-spans produces IDENTICAL output whether
+    the intervals are recomputed in-plan (default) or read from the
+    persisted table — and a stale or wrong-corpus state is refused at
+    read time, never silently served."""
+    import json
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo")
+    from tools.curate import curate
+    from tools.dedup_state import DEFAULTS, cmd_init, cmd_spans
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    _boiler_corpus(spark, corpus)
+
+    # persisted span state over the SAME snapshot, gram=8 (the pin)
+    state = str(tmp_path / "state")
+    docs_pq = os.path.join(corpus, "documents.parquet")
+    cmd_init(spark, docs_pq, state, dict(DEFAULTS))
+    cmd_spans(spark, docs_pq, state, 8)
+
+    out_a = str(tmp_path / "inplan")
+    out_b = str(tmp_path / "persisted")
+    m_a = curate(spark, corpus, out_a, pack=False, strip_spans=True)
+    m_b = curate(
+        spark, corpus, out_b, pack=False, strip_spans=True,
+        spans_state=state,
+    )
+
+    # kept set == snapshot (nothing filtered), real spans stripped
+    assert m_a["after_decontam"] == m_a["input_docs"] == 30
+    assert m_a["span_tokens_removed"] == 15 * 10  # 10 tokens x 15 docs
+    assert m_a["self_segments_removed"] == 0
+    for k in ("input_docs", "after_quality", "after_exact_dedup",
+              "after_near_dedup", "after_containment", "after_decontam",
+              "span_tokens_removed", "self_segments_removed", "splits"):
+        assert m_a[k] == m_b[k], k
+
+    # identical rows out, column for column
+    cols = ["doc_id", "text", "lang", "source", "n_chars", "split", "shard"]
+    rows_a = sorted(
+        tuple(r) for r in spark.read.parquet(out_a).select(cols).collect()
+    )
+    rows_b = sorted(
+        tuple(r) for r in spark.read.parquet(out_b).select(cols).collect()
+    )
+    assert rows_a == rows_b
+
+    # resume identity includes the span source: a resume WITHOUT
+    # spans_state over the persisted-path output must recompute (the
+    # in-plan result is identical here, but the marker params differ)
+    marker = os.path.join(out_b, "_curate_manifest.json")
+    with open(marker) as f:
+        stored = json.load(f)
+    assert stored["params"]["spans_state"] is not None
+    assert stored["params"]["spans_state"]["gram"] == 8
+
+    # a state built for a DIFFERENT corpus snapshot is refused by name
+    corpus2 = str(tmp_path / "corpus2")
+    os.makedirs(corpus2)
+    _boiler_corpus(spark, corpus2, extra=2)
+    with pytest.raises(SystemExit, match="STALE"):
+        curate(
+            spark, corpus2, str(tmp_path / "x"), pack=False,
+            strip_spans=True, spans_state=state,
+        )
 
 
 def test_curate_strip_spans_stage(spark, sf_dir, tmp_path):

@@ -192,6 +192,37 @@ def test_mid_swap_crash_rolls_back_and_torn_spans_detected(
     assert rc == 1 and "spans/ is missing" in buf.getvalue()
 
 
+def test_read_spans_consumer_guards(spark, sf_dir, span_state):
+    """ADVICE r11: read_spans must validate at READ time instead of
+    relying on operators remembering to run `verify` — a gram mismatch
+    or a stale corpus snapshot silently serves wrong coverage numbers
+    to span_coverage/strip_dup_spans consumers."""
+    import shutil
+
+    from dsp_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    # fresh state + matching expectations: served
+    got = read_spans(
+        spark, span_state, expect_gram=GRAM, expect_corpus=docs
+    )
+    assert got.count() > 0
+
+    # wrong gram: refused by name
+    with pytest.raises(SystemExit, match="gram"):
+        read_spans(spark, span_state, expect_gram=GRAM - 4)
+
+    # corpus mismatch (consumer holds a different doc set): refused
+    with pytest.raises(SystemExit, match="STALE"):
+        read_spans(spark, span_state, expect_corpus=docs.limit(5))
+
+    # spans table gone while meta still advertises it: refused
+    shutil.rmtree(os.path.join(span_state, "spans"))
+    with pytest.raises(SystemExit, match="no spans table"):
+        read_spans(spark, span_state)
+
+
 def test_spans_rebuild_is_atomic_swap(spark, sf_dir, span_state, tmp_path):
     """Re-running `spans` (the post-ingest refresh) swaps the table in
     place — same contents for same corpus, no stray tmp/old dirs."""

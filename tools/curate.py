@@ -90,6 +90,22 @@ def _write_stage_manifest(path: str, fp: str, manifest: dict, extra: dict | None
         )
 
 
+def _spans_state_params(spans_state: str | None) -> dict | None:
+    """Resume-identity of a persisted span state: its gram + corpus
+    snapshot fingerprint from _meta.json (NOT the path — the same
+    directory re-materialized over a different corpus must not serve a
+    stale resumed output)."""
+    if not spans_state:
+        return None
+    from tools.dedup_state import _load_meta
+
+    meta = _load_meta(spans_state)
+    return {
+        "gram": meta.get("span_gram"),
+        "corpus": meta.get("span_corpus"),
+    }
+
+
 def curate(
     spark,
     sf_dir: str,
@@ -100,14 +116,20 @@ def curate(
     resume: bool = False,
     stats_only: bool = False,
     strip_spans: bool = False,
+    spans_state: str | None = None,
 ) -> dict:
     fp = _input_fingerprint(sf_dir)
     stage_a = os.path.join(out_dir, "_curate_manifest.json")
+    stage_params = {
+        "strip_spans": strip_spans,
+        "spans_state": _spans_state_params(spans_state),
+    }
     if resume and not stats_only:
         # strip_spans changes the curated TEXT itself, so it is part of
         # the stage's identity — a resume must never serve unstripped
-        # output to a --strip-spans run (or vice versa)
-        manifest = _load_stage_manifest(stage_a, fp, {"strip_spans": strip_spans})
+        # output to a --strip-spans run (or vice versa); likewise the
+        # span SOURCE (in-run recompute vs a persisted snapshot)
+        manifest = _load_stage_manifest(stage_a, fp, stage_params)
         if manifest is not None:
             print(f"resume: curated write up to date at {out_dir}", file=sys.stderr)
             final = spark.read.parquet(out_dir)
@@ -257,7 +279,53 @@ def curate(
     # own boilerplate should not count as a cross-doc witness twice).
     span_tokens_removed = None
     self_segments_removed = None
-    if strip_spans:
+    if strip_spans and spans_state:
+        # --spans-state: read the persisted interval table that
+        # tools/dedup_state.py `spans` materialized, instead of
+        # re-deriving gram anchors in-plan. SNAPSHOT SEMANTICS: the
+        # persisted spans reflect the STATE-BUILD corpus's witnesses,
+        # not the post-filter kept set — a span whose only other
+        # witnesses were filtered out upstream is still stripped (the
+        # in-run recompute below stays the default for exact
+        # kept-set-grain spans). read_spans hard-fails on a stale
+        # snapshot (fingerprint vs this input corpus) or a gram
+        # mismatch, so a post-ingest state can never silently serve
+        # pre-ingest intervals. Stage ORDER flips vs the default: the
+        # persisted intervals are token-position-keyed against the
+        # snapshot text, so the cross-doc strip must run BEFORE the
+        # self-repeat strip rewrites token positions (the default
+        # order's motivation — shrinking the in-run gram explode —
+        # doesn't apply when no explode runs). When a doc has no
+        # within-doc repeats the two orders produce identical text
+        # (parity-pinned in tests/test_curate.py).
+        from tools.dedup_state import read_spans
+
+        iv = read_spans(
+            spark,
+            spans_state,
+            expect_gram=8,
+            expect_corpus=docs.select("doc_id"),
+        )
+        stripped = dd.strip_dup_spans(
+            kept_n, "doc_id", "text", intervals=iv
+        ).localCheckpoint(eager=True)
+        span_tokens_removed = int(
+            stripped.agg(
+                F.coalesce(F.sum("tokens_removed"), F.lit(0))
+            ).collect()[0][0]
+        )
+        kept_n = stripped.drop("n_tokens", "tokens_removed")
+        selfst = dd.strip_self_repeats(kept_n, "doc_id", "text", seg_words=10)
+        selfst = selfst.withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).localCheckpoint(eager=True)
+        self_segments_removed = int(
+            selfst.agg(
+                F.coalesce(F.sum("segments_removed"), F.lit(0))
+            ).collect()[0][0]
+        )
+        kept_n = selfst.drop("n_segments", "segments_removed")
+    elif strip_spans:
         selfst = dd.strip_self_repeats(kept_n, "doc_id", "text", seg_words=10)
         self_segments_removed = int(
             selfst.agg(
@@ -311,7 +379,7 @@ def curate(
         final, range_cols=["n_chars"], target_partitions=8
     ).write.partitionBy("split").parquet(out_dir)
     # manifest AFTER the write = stage commit marker for --resume
-    _write_stage_manifest(stage_a, fp, manifest, {"strip_spans": strip_spans})
+    _write_stage_manifest(stage_a, fp, manifest, stage_params)
 
     return _maybe_pack(
         spark, final, manifest, out_dir, fp,
@@ -443,7 +511,18 @@ def main(argv=None) -> int:
         "spans (>= 8 tokens) from the surviving text — the Lee-et-al "
         "exact-substring APPLY step (dedup_span_strip)",
     )
+    p.add_argument(
+        "--spans-state",
+        help="with --strip-spans: read the cross-document span intervals "
+        "from this persisted dedup_state directory (tools/dedup_state.py "
+        "`spans`) instead of re-deriving gram anchors in-plan. The state "
+        "must be FRESH for this input corpus (snapshot fingerprint "
+        "checked) and built with gram=8; persisted spans reflect the "
+        "state-build corpus's witnesses, not the post-filter kept set",
+    )
     args = p.parse_args(argv)
+    if args.spans_state and not args.strip_spans:
+        p.error("--spans-state requires --strip-spans")
 
     from dsp_spark.session import get_session
 
@@ -452,6 +531,7 @@ def main(argv=None) -> int:
         spark, args.sf_dir, args.out, epoch=args.epoch,
         pack=not args.no_pack, resume=args.resume,
         stats_only=args.stats_only, strip_spans=args.strip_spans,
+        spans_state=args.spans_state,
     )
     print(json.dumps(manifest))
     return 0

@@ -279,11 +279,53 @@ def read_edges(spark, state_dir: str):
     return df.select(*_EDGE_COLS)
 
 
-def read_spans(spark, state_dir: str):
+def read_spans(
+    spark,
+    state_dir: str,
+    *,
+    expect_gram: int | None = None,
+    expect_corpus=None,
+):
     """The materialized duplicated-span interval table (doc_id, s, e),
     1-based inclusive token positions — written by the ``spans``
-    subcommand."""
-    df = spark.read.parquet(os.path.join(state_dir, "spans"))
+    subcommand.
+
+    Consumer-side validation (ADVICE r11: the bare read served a table
+    whose gram and corpus snapshot the caller had to remember to
+    ``verify``):
+
+    * ``expect_gram`` — fail unless the table was materialized with
+      exactly this token-run length (an 8-gram consumer silently
+      reading a 4-gram table over-strips);
+    * ``expect_corpus`` — a DataFrame with a ``doc_id`` column: fail
+      unless the table's recorded snapshot fingerprint matches this
+      doc set (after an ingest, spans/ still reflects the PRE-ingest
+      corpus until ``spans`` is re-run — new docs can create
+      duplicated runs inside old ones, so a stale table under-reports).
+      Costs one count+sum aggregate over the ids; skip it (None) when
+      the caller runs ``verify`` out-of-band."""
+    spans_dir = os.path.join(state_dir, "spans")
+    meta = _load_meta(state_dir)
+    if "span_gram" not in meta or not os.path.isdir(spans_dir):
+        raise SystemExit(
+            f"no spans table in {state_dir} — run the `spans` subcommand "
+            "first"
+        )
+    if expect_gram is not None and int(meta["span_gram"]) != int(expect_gram):
+        raise SystemExit(
+            f"span state was materialized with gram={meta['span_gram']} "
+            f"but the consumer expects gram={expect_gram} — re-run "
+            f"`spans --span-gram {expect_gram}`"
+        )
+    if expect_corpus is not None:
+        current = _corpus_fingerprint(expect_corpus.select("doc_id"))
+        if current != meta.get("span_corpus"):
+            raise SystemExit(
+                f"span state is STALE: built from snapshot "
+                f"{meta.get('span_corpus')} but the consumer's corpus is "
+                f"{current} — re-run `spans` against the current corpus"
+            )
+    df = spark.read.parquet(spans_dir)
     return df.select("doc_id", "s", "e")
 
 
