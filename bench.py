@@ -353,17 +353,20 @@ def main() -> None:
         # beats a named absence.
         factor = min(3.0, max(1.0, probe["probe_spark_sec"] / 0.60))
         budget = 545.0 * factor
-        # Guaranteed minimum isolated window (r9): the absolute budget
-        # is anchored at process start, so a sweep that overruns it
-        # (growing catalog x a contended host the <=1x clamp can't
-        # see) starved the isolated phase ENTIRELY — and past the hard
-        # deadline even the degrade path never fired, reproducing the
-        # r7 empty-column failure the budget was built to prevent.
-        # Anchor a floor at the sweep's END instead: at least 60s*f of
-        # degraded best-of-1 readings and 150s*f overall, bounding the
-        # overrun to ~2 min while never leaving the column empty. The
-        # early headline print and the in-sweep _write_full above keep
-        # a driver kill inside this window harmless.
+        # Guaranteed minimum isolated window (r9, work-aware since
+        # r12): the absolute budget is anchored at process start, so a
+        # sweep that overruns it (growing catalog x a contended host
+        # the <=1x clamp can't see) starved the isolated phase
+        # ENTIRELY — and past the hard deadline even the degrade path
+        # never fired, reproducing the r7 empty-column failure the
+        # budget was built to prevent. Anchor a floor at the sweep's
+        # END instead, sized to the SELECTED work (_isolated_floor —
+        # the fixed 60s*f floor starved 8 of 13 entries to best-of-1
+        # on r12's first gate attempt when the slow sweep exhausted
+        # the whole absolute budget). The early headline print and the
+        # in-sweep _write_full above keep a driver kill inside this
+        # window harmless.
+        soft_floor, hard_floor = _isolated_floor(timings, top, factor)
         t_iso = time.perf_counter()
         (
             full["queries_isolated"],
@@ -374,9 +377,9 @@ def main() -> None:
             qs,
             top,
             sf_dir,
-            deadline=max(t_wall0 + budget, t_iso + 60.0 * factor),
+            deadline=max(t_wall0 + budget, t_iso + soft_floor),
             hard_deadline=max(
-                t_wall0 + 1.5 * budget, t_iso + 150.0 * factor
+                t_wall0 + 1.5 * budget, t_iso + hard_floor
             ),
         )
         full["isolated_budget_sec"] = round(budget, 1)
@@ -450,6 +453,40 @@ def _current_round() -> int:
     from dsp_spark.catalog import _driver_checked_rounds
 
     return max(_driver_checked_rounds().values(), default=0) + 1
+
+
+def _isolated_floor(
+    timings: dict[str, float], top: list[str], factor: float
+) -> tuple[float, float]:
+    """Work-aware end-of-sweep floors (soft, hard) for the isolated
+    phase, in seconds anchored at the phase start.
+
+    The r9 fixed floor (60s*f soft / 150s*f hard) treated the floor as
+    a last-resort guarantee under an absolute process-start budget
+    that normally leaves headroom. At 247 entries that assumption
+    broke: a mildly contended sweep exhausts the 545 s budget on its
+    own (r12 first gate attempt: 167 s in-sweep / ~560 s sweep wall at
+    probe best 0.44 — the best-of-10 probe caught an idle burst the
+    sweep never saw, so the <=1x factor clamp could not stretch the
+    budget), and the fixed 60 s floor then degraded 8 of 13 selected
+    entries to best-of-1 for a selection whose full best-of-2 protocol
+    needs ~140 s. The selection's cost is KNOWN when the floor is
+    computed — size it to the work: warmup + 2 timed runs ~= 3.2x the
+    in-sweep reading (isolated readings are usually at or below
+    in-sweep), +2 s/entry gc/drain overhead, x1.3 contingency for the
+    soft floor and x2.0 for the hard one. Caps (300s*f soft / 420s*f
+    hard) keep the worst-case bench overrun bounded at ~setup cost of
+    two extra minutes vs r9-r11; the 60s/150s minima keep the empty-
+    column guarantee for a degenerate tiny selection. The in-sweep
+    timings already embody the host's ACTUAL pace during this run, so
+    the floor self-scales with contention without trusting the probe.
+    """
+    est = sum(3.2 * timings[n] for n in top if n in timings) + 2.0 * len(
+        top
+    )
+    soft = min(max(60.0, 1.3 * est), 300.0) * factor
+    hard = min(max(150.0, 2.0 * est), 420.0) * factor
+    return soft, hard
 
 
 def _isolated_carry(rnd: int) -> list[str]:

@@ -7,6 +7,8 @@ from __future__ import annotations
 import sys
 import time
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 
@@ -130,6 +132,38 @@ def test_isolated_set_carries_prior_debt_first():
     assert len(chosen) == len(set(chosen))
     # empty carry leaves the r11-locked rotation rule untouched
     assert _isolated_set(timings, 11, []) == stride
+
+
+def test_isolated_floor_scales_with_selected_work():
+    """r12: the end-of-sweep floor must size itself to the SELECTED
+    entries' known in-sweep cost (the fixed 60s floor starved 8 of 13
+    entries to best-of-1 when a contended sweep exhausted the absolute
+    budget), while keeping the r9 minimum and a bounded cap."""
+    from bench import _isolated_floor
+
+    # r12 first-gate-attempt shape: 13 entries, ~35 s in-sweep total
+    timings = {f"e{i}": 2.7 for i in range(13)}
+    top = list(timings)
+    soft, hard = _isolated_floor(timings, top, 1.0)
+    est = 3.2 * 35.1 + 2.0 * 13
+    assert soft == pytest.approx(1.3 * est, rel=1e-6)
+    assert hard == pytest.approx(2.0 * est, rel=1e-6)
+    assert soft > 140.0  # the full best-of-2 protocol actually fits
+
+    # degenerate tiny selection keeps the r9 empty-column guarantee
+    soft, hard = _isolated_floor({"a": 0.1}, ["a"], 1.0)
+    assert (soft, hard) == (60.0, 150.0)
+
+    # a pathological selection is capped, scaled by the host factor
+    big = {f"b{i}": 50.0 for i in range(20)}
+    soft, hard = _isolated_floor(big, list(big), 2.0)
+    assert (soft, hard) == (600.0, 840.0)
+
+    # unknown names (renamed entries) contribute only overhead
+    soft_known, _ = _isolated_floor({"a": 30.0}, ["a"], 1.0)
+    soft_ghost, _ = _isolated_floor({"a": 30.0}, ["a", "ghost"], 1.0)
+    assert soft_known > 60.0  # above the minimum, so the delta shows
+    assert soft_ghost == pytest.approx(soft_known + 1.3 * 2.0)
 
 
 def test_isolated_carry_reads_committed_r11_snapshot():
