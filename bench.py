@@ -327,9 +327,10 @@ def main() -> None:
         # stride-2 keyed by round parity, so membership is stable
         # across rounds and every top-20 entry gets a clean best-of-2
         # reading at least every 2 rounds. The round number derives
-        # from the committed CORRECTNESS artifacts (same rule as the
-        # catalog's window rotation), so repeated runs inside one
-        # round measure the same set.
+        # from the ON-DISK CORRECTNESS artifacts, tracked or not (same
+        # rule as the catalog's window rotation — see _current_round),
+        # so repeated runs inside one round measure the same set and
+        # the set flips at the driver's write, not at commit.
         rnd = _current_round()
         carry = _isolated_carry(rnd)
         top = _isolated_set(timings, rnd, carry)
@@ -372,6 +373,7 @@ def main() -> None:
             full["queries_isolated"],
             full["isolated_skipped"],
             full["isolated_degraded"],
+            full["isolated_errored"],
         ) = _isolated_phase(
             spark,
             qs,
@@ -474,18 +476,21 @@ def _isolated_floor(
     computed — size it to the work: warmup + 2 timed runs ~= 3.2x the
     in-sweep reading (isolated readings are usually at or below
     in-sweep), +2 s/entry gc/drain overhead, x1.3 contingency for the
-    soft floor and x2.0 for the hard one. Caps (300s*f soft / 420s*f
-    hard) keep the worst-case bench overrun bounded at ~setup cost of
-    two extra minutes vs r9-r11; the 60s/150s minima keep the empty-
-    column guarantee for a degenerate tiny selection. The in-sweep
-    timings already embody the host's ACTUAL pace during this run, so
-    the floor self-scales with contention without trusting the probe.
+    soft floor and x2.0 for the hard one. The in-sweep timings already
+    embody the host's ACTUAL pace during this run, so the est-derived
+    branch self-scales with contention and must NOT be multiplied by
+    the probe factor again (doing so double-counted slowness: a
+    factor-3 host with 3x in-sweep timings got a 9x floor). The probe
+    factor applies only to the fixed bounds: the 60s/150s minima (the
+    r9 empty-column guarantee, which has no timing signal to scale
+    from) and the 300s/420s caps (the bounded-overrun promise, stated
+    in host-time units).
     """
     est = sum(3.2 * timings[n] for n in top if n in timings) + 2.0 * len(
         top
     )
-    soft = min(max(60.0, 1.3 * est), 300.0) * factor
-    hard = min(max(150.0, 2.0 * est), 420.0) * factor
+    soft = min(max(60.0 * factor, 1.3 * est), 300.0 * factor)
+    hard = min(max(150.0 * factor, 2.0 * est), 420.0 * factor)
     return soft, hard
 
 
@@ -495,7 +500,12 @@ def _isolated_carry(rnd: int) -> list[str]:
     best-of-1 or was skipped by the deadline. They run FIRST in this
     round's isolated set, ahead of the parity stride (r11 verdict ask
     #5), so no top-20 entry waits two rounds for a clean best-of-2.
-    Empty on any problem — the carry is additive, never load-bearing."""
+    Entries in `isolated_errored` (exception, not deadline) are
+    deliberately NOT carried — a persistently failing entry would
+    otherwise occupy the front of the floor-bounded window forever;
+    it re-enters via the normal parity stride instead, where its
+    failure stays visible without taxing the carries. Empty on any
+    problem — the carry is additive, never load-bearing."""
     try:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -592,7 +602,7 @@ def _isolated_phase(
     deadline: float,
     hard_deadline: float | None = None,
     restart: bool = True,
-) -> tuple[dict, list[str], list[str]]:
+) -> tuple[dict, list[str], list[str], list[str]]:
     """Best-of-2 per entry on a context restarted after the sweep, one
     full-scale untimed warmup each (the sweep already C2-compiled the
     generated classes in this JVM; the codegen cache survives a context
@@ -610,7 +620,7 @@ def _isolated_phase(
         # nothing will run: skip the context restart too (and let the
         # unit test exercise the skip contract without killing the
         # session it was handed)
-        return {}, list(names), []
+        return {}, list(names), [], []
 
     if restart:  # tests pass False: a getOrCreate-shared session must
         # survive the suite, and the degrade logic is what's under test
@@ -627,6 +637,7 @@ def _isolated_phase(
     out: dict[str, float] = {}
     skipped: list[str] = []
     degraded: list[str] = []
+    errored: list[str] = []
     for name in names:
         now = time.perf_counter()
         if now > hard_deadline:
@@ -650,10 +661,16 @@ def _isolated_phase(
             if not warm:
                 degraded.append(name)
         except Exception as e:
+            # An exception is NOT a deadline casualty: record it in
+            # its own bucket so _isolated_carry never re-front-loads a
+            # persistently failing entry round after round (it would
+            # burn the cleanest slot of the floor-bounded window every
+            # round while pushing healthy entries toward the degrade
+            # deadline). Deadline skips stay carried.
             print(f"isolated {name} failed: {e}", file=sys.stderr)
-            skipped.append(name)
+            errored.append(name)
         _drain_session(spark)
-    return out, skipped, degraded
+    return out, skipped, degraded, errored
 
 
 def _calibration_probe(spark) -> dict:

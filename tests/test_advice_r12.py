@@ -28,28 +28,49 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def _bf(value, rnd):
+    return json.dumps(
+        {"value": value, "isolated_set_rule": {"round": rnd}}
+    )
+
+
 def test_snapshot_bench_refuses_overwrite(tmp_path, monkeypatch):
-    """ADVICE r11 #1 (gen_round.py): the round number derives from
-    ON-DISK CORRECTNESS files, so a post-round gen_round rerun (e.g. a
-    ROUND.md refresh after the driver writes the round's CORRECTNESS)
-    computes the NEXT round's number — the snapshot write must refuse
-    to mint a mislabeled judge artifact or clobber a committed
-    gate-time one."""
+    """ADVICE r11 #1 + r12 review (gen_round.py): the round number
+    derives from ON-DISK CORRECTNESS files, so a post-round gen_round
+    rerun (e.g. a ROUND.md refresh after the driver writes the round's
+    CORRECTNESS) computes the NEXT round's number. The bare
+    exists-check of the first fix still MINTED round-N data under
+    BENCH_FULL_r{N+1} and then made the mislabel permanent. The guard
+    now keys on bench_full's own recorded round: only a file recording
+    round n may become BENCH_FULL_r{n}; a genuine gate snapshot is
+    immutable; a mislabeled mint is self-corrected by the legit gate."""
     import tools.gen_round as gr
 
     monkeypatch.setattr(gr, "ROOT", str(tmp_path))
-    (tmp_path / "bench_full.json").write_text('{"value": 1}')
     target = tmp_path / "BENCH_FULL_r05.json"
+    # legit gate: bench_full records round 5, snapshot round 5 -> write
+    (tmp_path / "bench_full.json").write_text(_bf(1, 5))
     gr._snapshot_bench(5)
-    assert json.loads(target.read_text()) == {"value": 1}
-    # a rerun with a regenerated/stale bench_full must NOT overwrite
-    (tmp_path / "bench_full.json").write_text('{"value": 2}')
-    gr._snapshot_bench(5)
-    assert json.loads(target.read_text()) == {"value": 1}
-    # and a missing bench_full is a clean no-op
-    (tmp_path / "bench_full.json").unlink()
+    assert json.loads(target.read_text())["value"] == 1
+    # post-round rerun: CORRECTNESS_r05 landed, n=6, bench_full still
+    # records 5 -> the mint is REFUSED (old behavior: wrote r06)
     gr._snapshot_bench(6)
     assert not (tmp_path / "BENCH_FULL_r06.json").exists()
+    # regenerated/stale bench_full (records 5) can't clobber r05 either
+    (tmp_path / "bench_full.json").write_text(_bf(2, 5))
+    gr._snapshot_bench(5)
+    assert json.loads(target.read_text())["value"] == 1
+    # ^ refused because target already records round 5 (immutable)
+    # mislabeled pre-guard mint: r06 exists but records round 5 — the
+    # legit round-6 gate (bench_full recording 6) self-corrects it
+    (tmp_path / "BENCH_FULL_r06.json").write_text(_bf(9, 5))
+    (tmp_path / "bench_full.json").write_text(_bf(3, 6))
+    gr._snapshot_bench(6)
+    assert json.loads((tmp_path / "BENCH_FULL_r06.json").read_text())["value"] == 3
+    # and a missing bench_full is a clean no-op
+    (tmp_path / "bench_full.json").unlink()
+    gr._snapshot_bench(7)
+    assert not (tmp_path / "BENCH_FULL_r07.json").exists()
 
 
 def test_scale_staged_violation_covers_codegen_drift_combo():

@@ -38,11 +38,12 @@ def test_isolated_phase_deadline_skips_are_named(spark):
     }
     # hard deadline already passed: everything skips (hard_deadline
     # defaults to deadline, preserving the pre-degrade contract)
-    out, skipped, degraded = bench._isolated_phase(
+    out, skipped, degraded, errored = bench._isolated_phase(
         spark, qs, ["a", "b"], "/root/testdata/sf0.001",
         deadline=time.perf_counter() - 1,
     )
-    assert out == {} and skipped == ["a", "b"] and degraded == []
+    assert out == {} and skipped == ["a", "b"]
+    assert degraded == [] and errored == []
 
 
 def test_isolated_phase_degrades_before_skipping(spark):
@@ -55,13 +56,53 @@ def test_isolated_phase_degrades_before_skipping(spark):
     import bench
 
     qs = {"a": lambda s, d: s.range(10).selectExpr("id AS v")}
-    out, skipped, degraded = bench._isolated_phase(
+    out, skipped, degraded, errored = bench._isolated_phase(
         spark, qs, ["a"], "/root/testdata/sf0.001",
         deadline=time.perf_counter() - 1,       # soft: already passed
         hard_deadline=time.perf_counter() + 120,  # hard: plenty left
         restart=False,
     )
     assert skipped == [] and degraded == ["a"] and "a" in out
+    assert errored == []
+
+
+def test_isolated_phase_errors_are_not_deadline_skips(spark):
+    """A raising entry lands in the errored bucket, not skipped —
+    _isolated_carry re-front-loads degraded+skipped every round, and a
+    persistently failing entry must not occupy the carry slots forever
+    (it re-enters via the parity stride, where its failure stays
+    visible)."""
+    import bench
+
+    def boom(s, d):
+        raise RuntimeError("synthetic failure")
+
+    qs = {"ok": lambda s, d: s.range(10).selectExpr("id AS v"),
+          "bad": boom}
+    out, skipped, degraded, errored = bench._isolated_phase(
+        spark, qs, ["ok", "bad"], "/root/testdata/sf0.001",
+        deadline=time.perf_counter() + 120,
+        hard_deadline=time.perf_counter() + 240,
+        restart=False,
+    )
+    assert "ok" in out and errored == ["bad"] and skipped == []
+
+
+def test_isolated_carry_excludes_errored(tmp_path, monkeypatch):
+    """The carry reads only degraded + deadline-skipped from the prior
+    snapshot; isolated_errored is deliberately left out."""
+    import json
+
+    import bench
+
+    snap = tmp_path / "BENCH_FULL_r41.json"
+    snap.write_text(json.dumps({
+        "isolated_degraded": ["d1"],
+        "isolated_skipped": ["s1"],
+        "isolated_errored": ["e1"],
+    }))
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    assert bench._isolated_carry(42) == ["d1", "s1"]
 
 
 def test_warm_sweep_session_runs(spark, sf_dir):
@@ -158,6 +199,18 @@ def test_isolated_floor_scales_with_selected_work():
     big = {f"b{i}": 50.0 for i in range(20)}
     soft, hard = _isolated_floor(big, list(big), 2.0)
     assert (soft, hard) == (600.0, 840.0)
+
+    # the est-derived branch must NOT be rescaled by the probe factor:
+    # in-sweep timings already embody the host's pace, so a slow host
+    # with proportionally slower timings would otherwise get a
+    # factor^2 floor (review finding). Mid-range est inside both
+    # factors' minima/caps, factor 1 vs 2 -> identical floors.
+    mid = {f"m{i}": 4.0 for i in range(13)}  # est=192.4, floors mid-band
+    s1, h1 = _isolated_floor(mid, list(mid), 1.0)
+    s2, h2 = _isolated_floor(mid, list(mid), 2.0)
+    assert (s1, h1) == (s2, h2)
+    # ...while the minima DO scale (degenerate selection, slow host)
+    assert _isolated_floor({"a": 0.1}, ["a"], 3.0) == (180.0, 450.0)
 
     # unknown names (renamed entries) contribute only overhead
     soft_known, _ = _isolated_floor({"a": 30.0}, ["a"], 1.0)

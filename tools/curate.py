@@ -145,6 +145,25 @@ def curate(
     from dsp_spark.session import read_table
 
     docs = read_table(spark, sf_dir, "documents")
+
+    # Fail-fast span-state validation (r12 review): read_spans' gram +
+    # corpus-fingerprint guards used to fire only at stage 3d, AFTER
+    # the whole quality->dedup->containment->decontam funnel had run —
+    # at target scale a stale state aborted the run with hours of
+    # compute already spent. The meta read is free and the fingerprint
+    # check is one cheap doc_id scan, so refuse BEFORE stage 0 and
+    # carry the validated interval table into stage 3d.
+    span_iv = None
+    if strip_spans and spans_state:
+        from tools.dedup_state import read_spans
+
+        span_iv = read_spans(
+            spark,
+            spans_state,
+            expect_gram=8,
+            expect_corpus=docs.select("doc_id"),
+        )
+
     n_input = docs.count()
 
     # 0. pre-flight DQ audit (report-only): a real run refuses to curate
@@ -279,18 +298,35 @@ def curate(
     # own boilerplate should not count as a cross-doc witness twice).
     span_tokens_removed = None
     self_segments_removed = None
+
+    def _strip_stage(df, strip_fn, removed_col, drop_cols, last):
+        """One strip pass shared by both span modes (the two branches
+        below differ only in strip ORDER and span source — keeping the
+        checkpoint/count/drop mechanics in one place stops the
+        copy-paste drift a future counter edit would cause). The
+        checkpoint is load-bearing: the result feeds both the
+        removed-counter agg and the downstream funnel, and without it
+        the strip recomputes. `last` recomputes n_chars on the final
+        strip of the pair (the text changed)."""
+        out = strip_fn(df)
+        if last:
+            out = out.withColumn("n_chars", F.length("text").cast("long"))
+        out = out.localCheckpoint(eager=True)
+        removed = int(
+            out.agg(F.coalesce(F.sum(removed_col), F.lit(0))).collect()[0][0]
+        )
+        return out.drop(*drop_cols), removed
+
     if strip_spans and spans_state:
-        # --spans-state: read the persisted interval table that
-        # tools/dedup_state.py `spans` materialized, instead of
+        # --spans-state: use the persisted interval table that
+        # tools/dedup_state.py `spans` materialized (validated against
+        # this corpus BEFORE stage 0, see span_iv above), instead of
         # re-deriving gram anchors in-plan. SNAPSHOT SEMANTICS: the
         # persisted spans reflect the STATE-BUILD corpus's witnesses,
         # not the post-filter kept set — a span whose only other
         # witnesses were filtered out upstream is still stripped (the
         # in-run recompute below stays the default for exact
-        # kept-set-grain spans). read_spans hard-fails on a stale
-        # snapshot (fingerprint vs this input corpus) or a gram
-        # mismatch, so a post-ingest state can never silently serve
-        # pre-ingest intervals. Stage ORDER flips vs the default: the
+        # kept-set-grain spans). Stage ORDER flips vs the default: the
         # persisted intervals are token-position-keyed against the
         # snapshot text, so the cross-doc strip must run BEFORE the
         # self-repeat strip rewrites token positions (the default
@@ -298,51 +334,35 @@ def curate(
         # doesn't apply when no explode runs). When a doc has no
         # within-doc repeats the two orders produce identical text
         # (parity-pinned in tests/test_curate.py).
-        from tools.dedup_state import read_spans
-
-        iv = read_spans(
-            spark,
-            spans_state,
-            expect_gram=8,
-            expect_corpus=docs.select("doc_id"),
+        kept_n, span_tokens_removed = _strip_stage(
+            kept_n,
+            lambda df: dd.strip_dup_spans(
+                df, "doc_id", "text", intervals=span_iv
+            ),
+            "tokens_removed", ("n_tokens", "tokens_removed"), last=False,
         )
-        stripped = dd.strip_dup_spans(
-            kept_n, "doc_id", "text", intervals=iv
-        ).localCheckpoint(eager=True)
-        span_tokens_removed = int(
-            stripped.agg(
-                F.coalesce(F.sum("tokens_removed"), F.lit(0))
-            ).collect()[0][0]
+        kept_n, self_segments_removed = _strip_stage(
+            kept_n,
+            lambda df: dd.strip_self_repeats(
+                df, "doc_id", "text", seg_words=10
+            ),
+            "segments_removed", ("n_segments", "segments_removed"),
+            last=True,
         )
-        kept_n = stripped.drop("n_tokens", "tokens_removed")
-        selfst = dd.strip_self_repeats(kept_n, "doc_id", "text", seg_words=10)
-        selfst = selfst.withColumn(
-            "n_chars", F.length("text").cast("long")
-        ).localCheckpoint(eager=True)
-        self_segments_removed = int(
-            selfst.agg(
-                F.coalesce(F.sum("segments_removed"), F.lit(0))
-            ).collect()[0][0]
-        )
-        kept_n = selfst.drop("n_segments", "segments_removed")
     elif strip_spans:
-        selfst = dd.strip_self_repeats(kept_n, "doc_id", "text", seg_words=10)
-        self_segments_removed = int(
-            selfst.agg(
-                F.coalesce(F.sum("segments_removed"), F.lit(0))
-            ).collect()[0][0]
+        kept_n, self_segments_removed = _strip_stage(
+            kept_n,
+            lambda df: dd.strip_self_repeats(
+                df, "doc_id", "text", seg_words=10
+            ),
+            "segments_removed", ("n_segments", "segments_removed"),
+            last=False,
         )
-        kept_n = selfst.drop("n_segments", "segments_removed")
-        stripped = dd.strip_dup_spans(kept_n, "doc_id", "text", gram=8)
-        stripped = stripped.withColumn(
-            "n_chars", F.length("text").cast("long")
-        ).localCheckpoint(eager=True)
-        span_tokens_removed = int(
-            stripped.agg(
-                F.coalesce(F.sum("tokens_removed"), F.lit(0))
-            ).collect()[0][0]
+        kept_n, span_tokens_removed = _strip_stage(
+            kept_n,
+            lambda df: dd.strip_dup_spans(df, "doc_id", "text", gram=8),
+            "tokens_removed", ("n_tokens", "tokens_removed"), last=True,
         )
-        kept_n = stripped.drop("n_tokens", "tokens_removed")
 
     # 4. stable split + shard assignment
     final = kept_n.withColumn(

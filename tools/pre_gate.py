@@ -157,12 +157,24 @@ def main() -> int:
     # `staged and work == head` guard missed the staged+codegen-drift
     # combination, and the worktree restore below then destroyed the
     # staged content via `checkout HEAD --`).
-    staged_content = subprocess.run(
+    staged_proc = subprocess.run(
         ["git", "-C", ROOT, "show", ":SCALE.md"],
         capture_output=True,
         text=True,
-    ).stdout
-    if scale_staged_violation(head, work, staged_content):
+    )
+    if staged_proc.returncode != 0:
+        # r12 review: an unchecked failure here (index.lock held by a
+        # concurrent git process, unmerged index stages mid-conflict)
+        # yields empty stdout that matches neither HEAD nor the regen
+        # and used to fail the gate with a phantom "STAGED changes"
+        # diagnosis. Still fail closed, but say what actually broke.
+        failures.append(
+            "could not read the index copy of SCALE.md "
+            f"(`git show :SCALE.md` rc={staged_proc.returncode}: "
+            f"{staged_proc.stderr.strip()}) — resolve the git state "
+            "and re-run the gate"
+        )
+    elif scale_staged_violation(head, work, staged_proc.stdout):
         failures.append(
             "SCALE.md has STAGED changes that match neither HEAD nor the "
             "regeneration — unstage or commit them deliberately"
