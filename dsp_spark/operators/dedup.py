@@ -397,7 +397,7 @@ def containment_pairs(
 
 
 def connected_components(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     id_col: str,
     *,
@@ -407,6 +407,12 @@ def connected_components(
     edges_per_partition: int = 4_000_000,
 ) -> DataFrame:
     """(id, component) where component = the min node id in the component.
+
+    ``nodes=None`` labels EDGE-INCIDENT nodes only (no singleton
+    re-attach): when the caller's node set is exactly the edges'
+    endpoint set (incremental_components' contracted graph), the
+    singleton anti-join is empty by construction and skipping it saves
+    a corpus-grain join + union.
 
     The clustering step of near-dedup: LSH/Jaccard pairs are edges, each
     connected component is one duplicate group (keep min id, drop the
@@ -437,7 +443,9 @@ def connected_components(
     """
     from pyspark.sql.types import StructField, StructType
 
-    id_type = nodes.schema[id_col].dataType
+    id_type = (nodes if nodes is not None else edges).schema[
+        id_col if nodes is not None else src
+    ].dataType
     uf_schema = StructType(
         [StructField("node", id_type), StructField("root", id_type)]
     )
@@ -471,6 +479,49 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=True)
     )
+
+    # Fast path: when the whole edge set fits ONE contraction partition
+    # (always true once the residual graph has shrunk; at catalog scale
+    # true immediately), a single union-find pass already returns FINAL
+    # roots — no label fold, no edge rewrite, no second fixpoint count,
+    # no chain resolution, no multi-round loop. Root nodes are absent
+    # from the union-find output (only non-roots carry a parent), so
+    # coalesce(root, own id) completes the labeling. Cuts the blocking
+    # job count per call in half; the general loop below is untouched
+    # and takes over past `edges_per_partition`.
+    def _out(labels: DataFrame) -> DataFrame:
+        if nodes is None:
+            return labels.select(
+                F.col("node").alias(id_col), F.col("label").alias("component")
+            )
+        singletons = (
+            nodes.select(F.col(id_col).alias("node"))
+            .join(labels.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("label"))
+        )
+        return labels.unionByName(singletons).select(
+            F.col("node").alias(id_col), F.col("label").alias("component")
+        )
+
+    n_edges_first = E.count()
+    if n_edges_first == 0:
+        empty = E.select(
+            F.col("u").alias("node"), F.col("u").alias("label")
+        )
+        return _out(empty)
+    if n_edges_first <= edges_per_partition:
+        delta1 = E.coalesce(1).mapInPandas(local_uf, schema=uf_schema)
+        labels = (
+            E.select("u")
+            .union(E.select("v"))
+            .distinct()
+            .select(F.col("u").alias("node"))
+            .join(delta1, "node", "left")
+            .select("node", F.coalesce("root", "node").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        return _out(labels)
+
     # Only edge-incident nodes can ever change label; iterating over the
     # full node set would drag every singleton (the vast majority of a
     # near-dup corpus) through each round's joins. Singletons re-attach
@@ -484,14 +535,16 @@ def connected_components(
     )
     rounds = 0
     single_partition_rounds = True
+    n_edges = n_edges_first
     for _ in range(max_iter):
         # count() on the checkpointed edges doubles as the fixpoint test
-        # and sizes the contraction: coalescing to ~edges_per_partition
-        # per task means the whole residual graph lands in one partition
-        # as soon as it fits, so the next local union-find finishes it in
-        # a single round. At full scale this is a no-op until the edge
-        # list has already shrunk by the partition count.
-        n_edges = E.count()
+        # and sizes the contraction (the first round reuses the count
+        # the fast-path check above already paid for): coalescing to
+        # ~edges_per_partition per task means the whole residual graph
+        # lands in one partition as soon as it fits, so the next local
+        # union-find finishes it in a single round. At full scale this
+        # is a no-op until the edge list has already shrunk by the
+        # partition count.
         if n_edges == 0:
             break
         target = max(1, -(-n_edges // edges_per_partition))
@@ -522,6 +575,7 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        n_edges = E.count()
     # resolve residual mapping chains (a -> b -> c when partitions
     # discover overlapping unions in one round): pointer halving,
     # label := label(label), converges in log(chain depth) passes.
@@ -545,14 +599,7 @@ def connected_components(
             .isEmpty()
         ):
             break
-    singletons = (
-        nodes.select(F.col(id_col).alias("node"))
-        .join(labels.select("node"), "node", "left_anti")
-        .select("node", F.col("node").alias("label"))
-    )
-    return labels.unionByName(singletons).select(
-        F.col("node").alias(id_col), F.col("label").alias("component")
-    )
+    return _out(labels)
 
 
 def lsh_new_edges(
@@ -662,18 +709,19 @@ def incremental_components(
             F.greatest("u", "v").alias("id_b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    touched = (
-        contracted.select(F.col("id_a").alias("node"))
-        .union(contracted.select("id_b"))
-        .distinct()
-    )
+    # nodes=None: the node set of interest is exactly the contracted
+    # edges' endpoints, so the singleton re-attach (and the separate
+    # `touched` node-set computation plus its consumer join) would be
+    # dead weight — components' labels table IS the touched mapping.
+    # No eager checkpoints here either: connected_components checkpoints
+    # its own edge list and label table, and `upd` below is a filter
+    # over that checkpointed frame, so both consumers replay only a
+    # trivial local filter, not the contraction.
     upd = (
-        connected_components(touched, contracted, "node")
+        connected_components(None, contracted, "node")
         .where(F.col("node") != F.col("component"))  # identity rows are no-ops
         .select(F.col("node").alias("old"), F.col("component").alias("new"))
-        .localCheckpoint(eager=True)
     )
     base_out = (
         state.join(upd, state["component"] == upd["old"], "left")
@@ -800,7 +848,10 @@ def dup_span_intervals(
         .where(F.col("nd") >= min_docs)
         .select("gram")
     )
-    hits = gpos.join(dupg, "gram", "left_semi").select("_sid", "pos").distinct()
+    # no distinct: gpos is one row per (doc, pos) by construction (a
+    # posexplode of the position sequence), and the semi-join preserves
+    # that — a distinct here would be a pure extra exchange
+    hits = gpos.join(dupg, "gram", "left_semi").select("_sid", "pos")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("_sid").orderBy("pos")
