@@ -842,12 +842,26 @@ def dup_span_intervals(
         # position join-back; the per-position array_join string build
         # dominates the scan, so compute it once
         gpos = gpos.localCheckpoint(eager=True)
-    dupg = (
-        gpos.groupBy("gram")
-        .agg(F.count_distinct("_sid").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("gram")
-    )
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" == "min doc != max doc": a
+        # plain min/max partial agg folds map-side into two bigints per
+        # gram — measured ~2x cheaper than the COUNT(DISTINCT) rewrite,
+        # which expands to a two-phase distinct aggregation (every
+        # (gram, doc) pair shuffles). Same skew behavior (both shuffle
+        # on gram with map-side reduction), identical selected set.
+        dupg = (
+            gpos.groupBy("gram")
+            .agg(F.min("_sid").alias("_a"), F.max("_sid").alias("_b"))
+            .where(F.col("_a") != F.col("_b"))
+            .select("gram")
+        )
+    else:
+        dupg = (
+            gpos.groupBy("gram")
+            .agg(F.count_distinct("_sid").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("gram")
+        )
     # no distinct: gpos is one row per (doc, pos) by construction (a
     # posexplode of the position sequence), and the semi-join preserves
     # that — a distinct here would be a pure extra exchange
