@@ -454,6 +454,7 @@ def connected_components(
         import pandas as pd
 
         parent: dict = {}
+        seen: set = set()
 
         def find(x):
             r = x
@@ -465,13 +466,20 @@ def connected_components(
 
         for pdf in batches:
             for u, v in zip(pdf["u"], pdf["v"]):
+                seen.add(u)
+                seen.add(v)
                 ru, rv = find(u), find(v)
                 if ru != rv:
                     if rv < ru:
                         ru, rv = rv, ru
                     parent[rv] = ru
-        if parent:
-            ns = list(parent)
+        # Emit EVERY endpoint (roots label themselves): the fast path
+        # below consumes this as the complete label table, so no
+        # distinct-endpoints join is needed to re-attach root nodes.
+        # The multi-round loop's fold treats the extra identity rows
+        # as no-ops (coalesce keeps the unchanged label).
+        if seen:
+            ns = list(seen)
             yield pd.DataFrame({"node": ns, "root": [find(n) for n in ns]})
 
     E = (
@@ -510,15 +518,15 @@ def connected_components(
         )
         return _out(empty)
     if n_edges_first <= edges_per_partition:
-        delta1 = E.coalesce(1).mapInPandas(local_uf, schema=uf_schema)
-        labels = (
-            E.select("u")
-            .union(E.select("v"))
-            .distinct()
-            .select(F.col("u").alias("node"))
-            .join(delta1, "node", "left")
-            .select("node", F.coalesce("root", "node").alias("label"))
-            .localCheckpoint(eager=True)
+        # local_uf emits one (node, final root) row per distinct
+        # endpoint, so its output IS the complete label table: no
+        # distinct-endpoints union, no re-attach join, and no eager
+        # checkpoint — E is already checkpointed, so a consumer that
+        # replays this branch re-runs only one single-task union-find
+        # pass, which is cheaper than materializing the labels as a
+        # separate blocking job.
+        labels = E.coalesce(1).mapInPandas(local_uf, schema=uf_schema).select(
+            F.col("node"), F.col("root").alias("label")
         )
         return _out(labels)
 
