@@ -832,14 +832,28 @@ def dup_span_intervals(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     base = df.select(F.col(id_col).alias("_sid"), toks.alias("_l"))
     g = gram
+    # gram identity = xxhash64 over the g token hashes, NOT the joined
+    # gram string: tokens are whitespace-split (never contain ' '), so
+    # the join string is injective in the token tuple and the tuple
+    # hash keys the identical grouping up to 64-bit collisions
+    # (~n_grams^2 / 2^65 — ~1e-7 at sf0.1, and the anchors are
+    # internal, never surfaced, so the oracle needs no mirror).
+    # Measured at sf0.1: the per-position array_join allocated a ~60 B
+    # string per corpus gram and the checkpoint + both gram-keyed
+    # exchanges carried it; hashing tokens once and mixing 8 int64s
+    # per position cut the full interval pipeline 1.67 s -> 1.04 s
+    # with bit-identical spans (guide §2.3: shuffle fewer bytes,
+    # narrower types — applied to the checkpoint too).
+    mix = ", ".join(f"element_at(_th, i + {j})" for j in range(g))
     gpos = (
         base.where(F.size("_l") >= g)
+        .withColumn("_th", F.expr("transform(_l, t -> xxhash64(t))"))
         .select(
             "_sid",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(_l) - {g} + 1), "
-                    f"i -> struct(i AS pos, array_join(slice(_l, i, {g}), ' ') AS gram))"
+                    f"transform(sequence(1, size(_th) - {g} + 1), "
+                    f"i -> struct(i AS pos, xxhash64({mix}) AS gram))"
                 )
             ).alias("z"),
         )
@@ -847,8 +861,9 @@ def dup_span_intervals(
     )
     if checkpoint:
         # the gram relation feeds BOTH the dup-gram aggregate and the
-        # position join-back; the per-position array_join string build
-        # dominates the scan, so compute it once
+        # position join-back; the tokenize + per-position hash mix
+        # dominates the scan, so compute it once (and the checkpoint
+        # now stores 8-byte gram hashes, not ~60 B gram strings)
         gpos = gpos.localCheckpoint(eager=True)
     if min_docs == 2:
         # "appears in >= 2 distinct docs" == "min doc != max doc": a
