@@ -447,20 +447,20 @@ _MERGE_K = 64
 )
 def bpe_merge_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    # size >= 2 BEFORE the transform: sequence(1, 0) would DESCEND in
+    # size >= 2 BEFORE the explode: sequence(1, 0) would DESCEND in
     # Spark and index tk[-1]/tk[1] out of bounds on 1-token docs
     tk = d.select(textops.tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    # int-sequence explode + row-level indexing (the _bpe_pair_counts /
+    # source_ngram_jaccard codegen shape — no interpreted per-doc
+    # struct-array build)
     pairs = tk.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(tk[i-1] AS l, tk[i] AS r))"
-            )
-        ).alias("p")
+        "tk",
+        F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+    ).select(
+        F.expr("tk[i-1]").alias("left_tok"), F.expr("tk[i]").alias("right_tok")
     )
     return (
-        pairs.select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
-        .filter((F.col("left_tok") != "") & (F.col("right_tok") != ""))
+        pairs.filter((F.col("left_tok") != "") & (F.col("right_tok") != ""))
         .groupBy("left_tok", "right_tok")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "left_tok", "right_tok")
@@ -505,16 +505,18 @@ def _bpe_pair_counts(docs):
     tk = docs.select(_bpe_tokens(F.col("s")).alias("tk")).filter(
         F.size("tk") >= 2
     )
+    # int-sequence explode + row-level array indexing, not a
+    # transform() building a per-doc struct array: the struct-array
+    # HOF ran interpreted per position, while this shape keeps
+    # generate -> index -> partial agg fused in whole-stage codegen
+    # (same rewrite as source_ngram_jaccard's postings, measured
+    # there at -32% for the scan stage)
     pairs = tk.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> struct(tk[i-1] AS l, tk[i] AS r))"
-            )
-        ).alias("p")
-    )
+        "tk",
+        F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+    ).select(F.expr("tk[i-1]").alias("l"), F.expr("tk[i]").alias("r"))
     return (
-        pairs.groupBy("p.l", "p.r")
+        pairs.groupBy("l", "r")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .select(
             F.translate("l", _BPE_SEP, " ").alias("left_tok"),
@@ -1190,15 +1192,19 @@ def text_bigram_lm_score(spark, sf_dir):
     tk = d.select(
         "doc_id", textops.tokens("text").alias("ws")
     ).where(F.size("ws") >= 2)
+    # int-sequence explode + row-level indexing (the codegen shape of
+    # _bpe_pair_counts / source_ngram_jaccard): no interpreted per-doc
+    # struct-array build, and BOTH consumers of bg (the model agg and
+    # the corpus-sized score join) re-derive it inside codegen
     bg = tk.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 1),"
-                " (w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+        "ws",
+        F.explode(F.expr("sequence(1, size(ws) - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("element_at(ws, i)").alias("w1"),
+        F.expr("element_at(ws, i + 1)").alias("w2"),
+    )
     cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     cw1 = cbg.groupBy("w1").agg(F.sum("c").alias("c1"))
     scored = (
@@ -1511,14 +1517,23 @@ def text_ngram_topk_per_lang(spark, sf_dir):
     # inline re-splits the text per lambda reference (Catalyst does not
     # CSE inside higher-order functions) — 3x the regex work, measured
     # 4.9 s vs 1.0 s at sf0.1
-    bigrams = F.expr(
-        "CASE WHEN size(tk) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(tk) - 1), "
-        "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) END"
-    )
+    # int-sequence explode + row-level concat (the codegen shape of
+    # _bpe_pair_counts / source_ngram_jaccard); size(tk) >= 2 guard via
+    # the where, since sequence(1, 0) would descend
     counts = (
         d.select("lang", F.expr("split(text, '\\\\s+')").alias("tk"))
-        .select("lang", F.explode(bigrams).alias("bigram"))
+        .where(F.size("tk") >= 2)
+        .select(
+            "lang",
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+        )
+        .select(
+            "lang",
+            F.expr(
+                "concat(element_at(tk, i), ' ', element_at(tk, i + 1))"
+            ).alias("bigram"),
+        )
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
     )
