@@ -656,13 +656,22 @@ def semantic_dedup_survivors(spark, sf_dir):
     from dsp_spark.functions.vectors import dot, norm
     from dsp_spark.session import spread
 
-    assign = embedding_kmeans_assign(spark, sf_dir).select(
-        "vec_id", "centroid_id"
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("seed_id"), "embedding"
     )
+    # assignment is a per-row broadcast fold (assign_nearest_centroid,
+    # the exact operator embedding_kmeans_assign wraps) — computing it
+    # inline instead of joining that entry's output back on vec_id
+    # removes one corpus scan and the vec_id exchange outright; the
+    # eager checkpoint materializes the assigned rows once for their
+    # three consumers (both pair-join sides + the anti-join left)
     e = (
-        spread(t(spark, sf_dir, "embeddings"))
-        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
-        .join(assign, "vec_id")
+        sim.assign_nearest_centroid(
+            spread(emb), seeds, centroid_id_col="seed_id", keep_vec=True
+        )
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"), "centroid_id")
+        .localCheckpoint(eager=True)
     )
     a = e.alias("a").hint("shuffle_hash")
     b = e.alias("b").hint("shuffle_hash")
