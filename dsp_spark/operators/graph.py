@@ -205,16 +205,25 @@ def pagerank(
     node_ids = nodes.select(F.col(id_col).alias("node"))
     ranks = node_ids.select("node", F.lit(1_000_000).cast("bigint").alias("pr6"))
     for i in range(iters):
-        r = ranks.withColumnRenamed("node", "u")
-        contribs = (
-            edges.join(r, "u")
-            .join(deg, "u")
-            .select(
+        if i == 0:
+            # uniform init: every node starts at the literal 1e6
+            # micro-ranks, so the first round's contribution needs no
+            # rank join at all — one full edge-keyed join removed
+            contribs = edges.join(deg, "u").select(
                 F.col("v").alias("node"),
-                # contribution at 1e-8 grain: floor((pr6*100)/deg)
-                F.expr("(pr6 * 100) div deg").alias("c8"),
+                F.expr("(1000000L * 100) div deg").alias("c8"),
             )
-        )
+        else:
+            r = ranks.withColumnRenamed("node", "u")
+            contribs = (
+                edges.join(r, "u")
+                .join(deg, "u")
+                .select(
+                    F.col("v").alias("node"),
+                    # contribution at 1e-8 grain: floor((pr6*100)/deg)
+                    F.expr("(pr6 * 100) div deg").alias("c8"),
+                )
+            )
         sums = contribs.groupBy("node").agg(F.sum("c8").alias("s8"))
         # pr' = teleport + damping * s8/1e8, half-up at 1e-6 grain:
         # pr6' = t6 + (d100*s8 + 5000) div 10000  with damping = d100/100

@@ -115,12 +115,14 @@ def graph_degree_distribution(spark, sf_dir):
     pairs = dd.minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=8, bands=2, k=5
     )
-    edges = pairs.select(
-        F.col("id_a").alias("u"), F.col("id_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    # degree needs no directed edge list: each pair contributes one to
+    # both endpoints, so explode the endpoint array instead of a union
+    # that duplicates the whole LSH subplan in the physical plan
+    deg = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("degree"))
     )
-    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
     return (
         deg.select(
             "degree",
