@@ -392,45 +392,64 @@ def power_iteration(
     identical doubles. Start vector is the constant unit vector
     (1/8, ..., 1/8) for dim=64.
 
-    Plan shape per round: one broadcast of the 64-row v onto the
-    exploded matrix, one id-keyed co-partitioned join for y back onto
-    X, one 64-key partial-agg exchange for w, one single-row norm
-    broadcast. The exploded matrix is checkpointed once and reused by
-    all rounds.
+    Plan shape per round: y = X v is a ROW-LOCAL dot — the rounded
+    per-term decimals all live inside one row, and decimal addition is
+    exact, so the fold runs in-row as an exact integer sum of
+    1e-10-unit terms (k = round(round(x*v,10) * 1e10): |term| <= ~1e12
+    keeps the double product within 1e-4 of the integer, and the
+    64-term sum < 2^53, so CAST(sum AS DOUBLE)/1e10 is bit-equal to
+    the oracle's CAST(decimal_sum AS DOUBLE)). That removes both
+    id-keyed exchanges (the y groupBy and the X |><| y join) the
+    exploded-matrix formulation paid per round; the only corpus-wide
+    exchange left is the 64-key partial agg for w = X^T y, plus a
+    single-row norm broadcast. v rides along as a broadcast 64-element
+    array (1-row cross join), zip_with-sliced to each row's own
+    length, so ragged rows keep join-on-pos semantics.
     """
     if iters < 1:
         raise ValueError(f"power_iteration needs iters >= 1, got {iters}")
-    x = (
-        emb.select(
-            F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("p", "xv")
-        )
-        .select("vid", (F.col("p") + 1).cast("int").alias("pos"),
-                F.col("xv").cast("double").alias("xv"))
-        .localCheckpoint(eager=True)
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("xv"),
     )
-    v = x.select("pos").distinct().select(
-        "pos", F.lit(0.125).cast("double").alias("vv")
-    )
+
+    def y_col(terms: str) -> F.Column:
+        return (
+            F.expr(f"CAST(aggregate({terms}, 0L, (acc, t) -> acc + t) AS DOUBLE)")
+            / F.lit(10000000000.0)
+        ).alias("y")
+
+    varr = None
     w = None
     nrm = None
-    for _ in range(iters):
-        y = (
-            x.join(F.broadcast(v), "pos")
-            .groupBy("vid")
-            .agg(
-                F.sum(
-                    F.round(F.col("xv") * F.col("vv"), 10).cast("decimal(28,10)")
-                )
-                .cast("double")
-                .alias("y")
+    for i in range(iters):
+        if i == 0:
+            # constant start vector: every vv is the literal 0.125
+            rows = e.select(
+                "vid",
+                "xv",
+                y_col(
+                    "transform(xv, x -> CAST(round(round("
+                    "x * CAST(0.125 AS DOUBLE), 10) * 10000000000.0, 0)"
+                    " AS BIGINT))"
+                ),
             )
-        )
+        else:
+            rows = e.crossJoin(F.broadcast(varr)).select(
+                "vid",
+                "xv",
+                y_col(
+                    "zip_with(xv, slice(varr, 1, size(xv)), (x, v) -> "
+                    "CAST(round(round(x * v, 10) * 10000000000.0, 0)"
+                    " AS BIGINT))"
+                ),
+            )
         w = (
-            x.join(y, "vid")
-            .groupBy("pos")
+            rows.select(F.posexplode("xv").alias("p", "x"), "y")
+            .groupBy((F.col("p") + 1).cast("int").alias("pos"))
             .agg(
                 F.sum(
-                    F.round(F.col("y") * F.col("xv"), 8).cast("decimal(28,8)")
+                    F.round(F.col("y") * F.col("x"), 8).cast("decimal(28,8)")
                 )
                 .cast("double")
                 .alias("w")
@@ -449,7 +468,17 @@ def power_iteration(
         # per iteration
         wn = w.crossJoin(F.broadcast(n1)).localCheckpoint(eager=True)
         nrm = wn
-        v = wn.select("pos", F.round(F.col("w") / F.col("nrm"), 8).alias("vv"))
+        varr = (
+            wn.select(
+                "pos", F.round(F.col("w") / F.col("nrm"), 8).alias("vv")
+            )
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, vv))),"
+                    " s -> s.vv)"
+                ).alias("varr")
+            )
+        )
     return nrm.select(
         F.col("pos").alias("dim"),
         F.round(F.col("w") / F.col("nrm"), 6).alias("loading"),
