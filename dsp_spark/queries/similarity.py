@@ -744,22 +744,64 @@ def semantic_dedup_survivors(spark, sf_dir):
     "vec_id) make the sets — and so the recall — engine-exact.",
 )
 def ann_recall_at_k(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from dsp_spark.functions.vectors import dot, norm
+
+    # one fused pass instead of two top-k runs joined back together:
+    # the brute-force and in-bucket ranks are windows over the SAME
+    # (query_id)-partitioned scored cross join (a pair is an ANN
+    # candidate iff its buckets match), and the recall counts are one
+    # groupBy on that same key — one corpus scan and one exchange where
+    # the two-operator formulation paid two scans and re-shuffled each
+    # top-k for the (query, neighbor) hit join. Ranks, tiebreaks and
+    # the inner-join-on-n_ann semantics (queries with an empty bucket
+    # emit no row) are unchanged.
     e = t(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") < 5)
-    bf = sim.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
-    ann = sim.lsh_ann_topk(e, queries, PLANES, k=10).select(
-        "query_id", F.col("vec_id").alias("ann_vec_id")
+    bexpr = sim.bucket_sql(PLANES, "embedding", "spark")
+    c = e.select(
+        "vec_id",
+        "embedding",
+        norm("embedding").alias("nrm"),
+        F.expr(bexpr).alias("bucket"),
     )
-    n_ann = ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
-    hits = bf.join(
-        ann,
-        (bf.query_id == ann.query_id) & (bf.vec_id == ann.ann_vec_id),
-        "left",
-    ).groupBy(bf.query_id).agg(
-        F.count("ann_vec_id").alias("n_hits"),
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        norm("embedding").alias("q_nrm"),
+        F.expr(bexpr).alias("q_bucket"),
+    )
+    simc = F.round(dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            simc.alias("sim"),
+            (F.col("bucket") == F.col("q_bucket")).alias("inb"),
+        )
+    )
+    wb = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    wa = W.partitionBy("query_id", "inb").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    r = scored.select(
+        "query_id",
+        (F.row_number().over(wb) <= 10).alias("bf_top"),
+        ((F.row_number().over(wa) <= 10) & F.col("inb")).alias("ann_top"),
     )
     return (
-        hits.join(n_ann, "query_id")
+        r.groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("ann_top"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ann"),
+            F.sum(F.when(F.col("ann_top") & F.col("bf_top"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .where(F.col("n_ann") > 0)
         .select(
             "query_id",
             "n_ann",
