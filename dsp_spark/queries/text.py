@@ -1648,11 +1648,19 @@ def text_bm25_top_terms(spark, sf_dir):
     tok = d.select("doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # doc length from the tf relation (vocab-bounded), not a second
-    # corpus-scale explode
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    # corpus-scale explode — and as a doc-partitioned window rather
+    # than a groupBy + join back, so the doc_id exchange it forces is
+    # the SAME one the final top-3 window needs (one barrier instead
+    # of an aggregate job + a join)
+    wd = W.partitionBy("doc_id")
+    tfd = tf.withColumn("dl", F.sum("tf").over(wd))
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.round(
@@ -1664,8 +1672,7 @@ def text_bm25_top_terms(spark, sf_dir):
         8,
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(stats))
+        tfd.join(F.broadcast(stats))
         .join(F.broadcast(df), "term")
         .select(
             "doc_id",
