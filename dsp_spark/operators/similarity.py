@@ -107,26 +107,38 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest coarse centroids.
 
-    Centroids are broadcast (a codebook is small by construction — even
-    65k centroids x 1k dims is ~256 MB); assignment is a narrow
-    map-side cross join + ranked window, no corpus shuffle. Similarity
-    is cosine rounded to 6 digits, ties broken by cent_id, so the
-    assignment is deterministic and engine-independent.
+    Centroids are broadcast as ONE packed array-of-structs row (a
+    codebook is small by construction — even 65k centroids x 1k dims
+    is ~256 MB); assignment is a per-row sorted-slice fold over the
+    candidates: ascending (-sim, cent_id) struct sort == the ranked
+    window's (sim DESC, cent_id ASC), so the selection is identical —
+    but the fold is pure map-side, where the window formulation
+    shuffled corpus x K scored rows by id. Similarity is cosine
+    rounded to 6 digits, ties broken by cent_id, so the assignment is
+    deterministic and engine-independent. (Only divergence from the
+    old window: a NaN similarity — possible solely for zero-norm
+    vectors — sorts last here where the window ranked it first.)
     """
-    c = centroids.select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(vec_col).alias("c_nrm"),
+    packed = centroids.select(
+        F.struct(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            norm(vec_col).alias("cnrm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cands"))
+    probed = F.expr(
+        f"""
+        transform(slice(array_sort(transform(cands, c -> struct(
+            -round(aggregate(zip_with({vec_col}, c.cvec,
+                                      (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                             0D, (acc, v) -> acc + v) / (nrm * c.cnrm), 6) AS negsim,
+            c.cid AS cid))), 1, {int(nprobe)}), s -> s.cid)
+        """
     )
-    v = df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("nrm"))
-    sim = F.round(dot(vec_col, "c_vec") / (F.col("nrm") * F.col("c_nrm")), 6)
-    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cent_id"))
     return (
-        v.crossJoin(F.broadcast(c))
-        .withColumn("c_sim", sim)
-        .withColumn("c_rn", F.row_number().over(w))
-        .filter(F.col("c_rn") <= nprobe)
-        .select(id_col, vec_col, "nrm", F.col("cent_id").alias("cell"))
+        df.select(F.col(id_col), F.col(vec_col), norm(vec_col).alias("nrm"))
+        .crossJoin(F.broadcast(packed))
+        .select(id_col, vec_col, "nrm", F.explode(probed).alias("cell"))
     )
 
 
