@@ -1467,11 +1467,15 @@ def events_ewma_last16(spark, sf_dir):
     "hour filled with the most recent hourly closing value, then "
     "audited per user (grid size, observed vs filled hours, checksum "
     "of the filled series in exact cents). The grid never has leading "
-    "NULLs because it starts at an observed hour. Grid rows = users x "
-    "span-hours — independent of event count, so at 100 TB the "
-    "sequence() explode is generated (no shuffle) and the only "
-    "data-grain exchanges are the per-(user,hour) reduce and the "
-    "user-partitioned fill window; nothing is globally sorted.",
+    "NULLs because it starts at an observed hour — so the filled "
+    "series telescopes: each observation carries its value for "
+    "exactly (next observed hour - its hour) grid hours (1 for the "
+    "last), making every audit column a sum over OBSERVED rows only. "
+    "The plan therefore never materializes the grid at all: one "
+    "per-(user,hour) map-side reduce (max struct = last event of the "
+    "hour), one user-partitioned lead window at observed-hour grain, "
+    "one groupBy on the same key — grid rows = users x span-hours "
+    "exist only arithmetically, and nothing is globally sorted.",
 )
 def events_resample_locf_audit(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select(
@@ -1481,41 +1485,33 @@ def events_resample_locf_audit(spark, sf_dir):
         F.date_trunc("hour", "ts").alias("hour"),
         (dec("value") * 100).cast("bigint").alias("cents"),
     )
-    wlast = W.partitionBy("user_id", "hour").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    # last event of the hour == max (ts, event_id) struct (event_id is
+    # the unique tiebreak, so the carried cents are deterministic) —
+    # a partial aggregate instead of an event-grain window shuffle
+    hv = ev.groupBy("user_id", "hour").agg(
+        F.max(F.struct("ts", "event_id", "cents"))["cents"].alias("obs_cents")
     )
-    hv = (
-        ev.withColumn("rn", F.row_number().over(wlast))
-        .where(F.col("rn") == 1)
-        .select("user_id", "hour", F.col("cents").alias("obs_cents"))
+    wl = W.partitionBy("user_id").orderBy("hour")
+    spans = hv.withColumn(
+        "span",
+        F.coalesce(
+            (
+                (
+                    F.unix_timestamp(F.lead("hour").over(wl))
+                    - F.unix_timestamp("hour")
+                )
+                / 3600
+            ).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ),
     )
-    grid = (
-        ev.groupBy("user_id")
-        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-            ).alias("hour"),
-        )
-    )
-    wfill = (
-        W.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = grid.join(hv, ["user_id", "hour"], "left").withColumn(
-        "fill_cents", F.last("obs_cents", ignorenulls=True).over(wfill)
-    )
-    return filled.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n_hours"),
-        F.sum(F.when(F.col("obs_cents").isNotNull(), 1).otherwise(0))
+    return spans.groupBy("user_id").agg(
+        F.sum("span").cast("bigint").alias("n_hours"),
+        F.count("*").cast("bigint").alias("n_observed"),
+        (F.sum("span") - F.count("*")).cast("bigint").alias("n_gap_filled"),
+        F.sum(F.col("obs_cents") * F.col("span"))
         .cast("bigint")
-        .alias("n_observed"),
-        F.sum(F.when(F.col("obs_cents").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_gap_filled"),
-        F.sum("fill_cents").cast("bigint").alias("filled_cents_sum"),
+        .alias("filled_cents_sum"),
     )
 
 
