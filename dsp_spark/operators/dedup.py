@@ -1108,12 +1108,14 @@ def strip_self_repeats(
     original whitespace is not preserved) plus ``n_segments`` and
     ``segments_removed`` columns; all other columns pass through.
 
-    Scale: one scan-side segment explode, one (doc, segment)-
-    partitioned window, one doc-keyed agg + join back — text shuffles
-    once, keyed by its own doc.
+    Scale: ZERO shuffles — "first occurrence of each distinct segment"
+    is a per-row property (a segment is kept iff its position is the
+    array's first occurrence of its value, ``array_position(segs, s)
+    == pos``), so the whole strip is one in-row projection: no segment
+    explode, no (doc, segment) window exchange carrying segment text,
+    and no corpus-sized join back for the extra columns. Per-row cost
+    is O(segments²) string compares, bounded by document width.
     """
-    from pyspark.sql import Window as W
-
     w = F.split(F.col(text_col), r"\s+")
     n = seg_words
     segs = F.transform(
@@ -1122,35 +1124,16 @@ def strip_self_repeats(
         ),
         lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
     )
-    e = df.select(F.col(id_col).alias("_sid"), segs.alias("_segs")).select(
-        "_sid", F.posexplode("_segs").alias("seg_no", "segment")
+    tmp = df.withColumn("_segs", segs)
+    kept = F.filter(
+        F.col("_segs"),
+        lambda s, i: F.array_position(F.col("_segs"), s) == i + F.lit(1),
     )
-    win = W.partitionBy("_sid", "segment").orderBy("seg_no")
-    ranked = e.withColumn("rn", F.row_number().over(win))
-    agg = ranked.groupBy("_sid").agg(
-        F.count("*").cast("int").alias("n_segments"),
-        (
-            F.count("*")
-            - F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
-        )
-        .cast("int")
-        .alias("segments_removed"),
-        F.expr(
-            "array_join(transform(array_sort("
-            "collect_list(CASE WHEN rn = 1 THEN struct(seg_no, segment) END)), "
-            "p -> p.segment), ' ')"
-        ).alias("_stripped"),
-    )
-    if set(df.columns) <= {id_col, text_col}:
-        # nothing else to carry: skip the corpus-sized join back
-        return agg.select(
-            F.col("_sid").alias(id_col),
-            "n_segments",
-            "segments_removed",
-            F.col("_stripped").alias(text_col),
-        )
-    return (
-        df.drop(text_col)
-        .join(agg.withColumnRenamed("_sid", id_col), id_col, "inner")
-        .withColumnRenamed("_stripped", text_col)
+    others = [c for c in df.columns if c not in (id_col, text_col)]
+    return tmp.select(
+        id_col,
+        *others,
+        F.size("_segs").cast("int").alias("n_segments"),
+        (F.size("_segs") - F.size(kept)).cast("int").alias("segments_removed"),
+        F.array_join(kept, " ").alias(text_col),
     )
