@@ -1109,18 +1109,23 @@ def events_dau_wau_mau(spark, sf_dir):
     ).select(
         "user_id", "k", F.expr("date_add(day, k)").alias("report_day")
     )
-    return (
+    # (user, report_day) with the smallest supporting lag replaces the
+    # triple filtered COUNT(DISTINCT): min(k) == 0 <=> active that day
+    # (dau), min(k) <= 6 <=> active in the trailing week (wau), and the
+    # group existing at all is the trailing-30-day membership (mau) —
+    # one partial-agg exchange instead of a 3x Expand + two-phase
+    # distinct over the same fan-out.
+    mk = (
         exp.join(days.withColumnRenamed("day", "report_day"), "report_day")
-        .groupBy(F.col("report_day").cast("timestamp").alias("day"))
-        .agg(
-            F.countDistinct(F.when(F.col("k") == 0, F.col("user_id")))
-            .cast("bigint")
-            .alias("dau"),
-            F.countDistinct(F.when(F.col("k") <= 6, F.col("user_id")))
-            .cast("bigint")
-            .alias("wau"),
-            F.countDistinct("user_id").cast("bigint").alias("mau"),
-        )
+        .groupBy("report_day", "user_id")
+        .agg(F.min("k").alias("min_k"))
+    )
+    return mk.groupBy(
+        F.col("report_day").cast("timestamp").alias("day")
+    ).agg(
+        F.sum((F.col("min_k") == 0).cast("int")).cast("bigint").alias("dau"),
+        F.sum((F.col("min_k") <= 6).cast("int")).cast("bigint").alias("wau"),
+        F.count("*").cast("bigint").alias("mau"),
     )
 
 
