@@ -110,6 +110,13 @@ def lsh_pairs_from_signatures(
     between the pair generator and signature-sharing entries.
     """
     bands_df = _bands_of(sig, id_col, n_hashes=n_hashes, bands=bands)
+    return lsh_pairs_from_bands(bands_df, id_col)
+
+
+def lsh_pairs_from_bands(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Band self-join over an EXISTING (id, band_idx, band_hash) table
+    (e.g. a checkpointed/persisted band index shared with an
+    asymmetric probe join)."""
     # shuffle-hash, not broadcast: both sides then shuffle on the same
     # (band_idx, band_hash) key with identical child plans, so Spark's
     # ReuseExchange computes the signatures ONCE (2x saving) — and at
@@ -619,9 +626,16 @@ def lsh_new_edges(
     n_hashes: int = 8,
     bands: int = 2,
     k: int = 5,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs involving >= 1 NEW doc — the edge delta an
     ingest batch contributes to the near-dup graph.
+
+    ``band_index``: an already-materialized (id, band_idx, band_hash)
+    table for the FULL corpus under the same banding scheme (the
+    persisted band index of a real pipeline). When given, ``docs``/
+    ``text_col`` are not re-hashed at all — callers that also need the
+    base side's pairs (cluster maintenance) share ONE signature pass.
 
     ``new_nodes`` (one ``id_col`` column) is the ingest batch's ids.
     Its band rows BROADCAST against the full band table (the
@@ -639,13 +653,18 @@ def lsh_new_edges(
     because a catalog entry must be a pure function of the tables.
     Returns (id_a < id_b) distinct pairs.
     """
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes=n_hashes, k=k)
-    # materialized once: this IS the persisted band index of the real
-    # pipeline — without it the probe side and the batch-filter side
-    # would each re-scan the corpus text and recompute signatures
-    all_bands = _bands_of(sig, id_col, n_hashes=n_hashes, bands=bands).localCheckpoint(
-        eager=True
-    )
+    if band_index is not None:
+        all_bands = band_index
+    else:
+        sig = minhash_signatures(
+            docs, id_col, text_col, n_hashes=n_hashes, k=k
+        )
+        # materialized once: this IS the persisted band index of the real
+        # pipeline — without it the probe side and the batch-filter side
+        # would each re-scan the corpus text and recompute signatures
+        all_bands = _bands_of(
+            sig, id_col, n_hashes=n_hashes, bands=bands
+        ).localCheckpoint(eager=True)
     new_bands = all_bands.join(
         F.broadcast(new_nodes.select(id_col)), id_col, "semi"
     )

@@ -519,17 +519,28 @@ def dedup_clusters_incremental(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 2 == 0)
     new_ids = docs.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    # ONE corpus signature pass: the checkpointed full band index is
+    # both the base side's pair generator (filtered to even ids — band
+    # rows are per-doc, so the filter IS the base band table) and the
+    # probe index lsh_new_edges joins the batch against. This is the
+    # persisted-band-index shape of the real pipeline; recomputing
+    # base bands separately would re-hash half the corpus.
+    sig = dd.minhash_signatures(docs, "doc_id", "text", n_hashes=8, k=5)
+    all_bands = dd._bands_of(
+        sig, "doc_id", n_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
+    base_pairs = dd.lsh_pairs_from_bands(
+        all_bands.where(F.col("doc_id") % 2 == 0), "doc_id"
+    )
     # "persisted" state, rebuilt in-plan because a catalog entry is a
     # pure function of the tables; checkpointed so the two label-join
     # consumers in the fold don't re-run the base contraction
-    base_pairs = dd.minhash_lsh_pairs(
-        base, "doc_id", "text", n_hashes=8, bands=2, k=5
-    )
     state = dd.connected_components(base, base_pairs, "doc_id").localCheckpoint(
         eager=True
     )
     new_edges = dd.lsh_new_edges(
-        docs, new_ids, "doc_id", "text", n_hashes=8, bands=2, k=5
+        docs, new_ids, "doc_id", "text", n_hashes=8, bands=2, k=5,
+        band_index=all_bands,
     )
     out = dd.incremental_components(state, new_ids, new_edges, "doc_id")
     return out.select("doc_id", F.col("component").alias("cluster_id"))

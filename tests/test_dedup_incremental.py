@@ -142,6 +142,36 @@ def test_lsh_new_edges_broadcasts_batch_side(spark, sf_dir):
     assert plans.count_exchanges(e) <= 3
 
 
+def test_lsh_new_edges_accepts_shared_band_index(spark, sf_dir):
+    """A precomputed full-corpus band index (the persisted-index shape
+    cluster maintenance shares with the base pair generator) must give
+    the exact edge set the self-derived path computes."""
+    from dsp_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    new_ids = docs.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    own = dd.lsh_new_edges(docs, new_ids, "doc_id", "text",
+                           n_hashes=8, bands=2, k=5)
+    sig = dd.minhash_signatures(docs, "doc_id", "text", n_hashes=8, k=5)
+    idx = dd._bands_of(sig, "doc_id", n_hashes=8, bands=2).localCheckpoint(
+        eager=True
+    )
+    shared = dd.lsh_new_edges(docs, new_ids, "doc_id", "text",
+                              n_hashes=8, bands=2, k=5, band_index=idx)
+    assert shared.exceptAll(own).count() == 0
+    assert own.exceptAll(shared).count() == 0
+    # the filtered index is also the base side's band table: pairs from
+    # it must equal pairs recomputed from the base docs directly
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    direct = dd.minhash_lsh_pairs(base, "doc_id", "text",
+                                  n_hashes=8, bands=2, k=5)
+    from_idx = dd.lsh_pairs_from_bands(
+        idx.where(F.col("doc_id") % 2 == 0), "doc_id"
+    )
+    assert direct.exceptAll(from_idx).count() == 0
+    assert from_idx.exceptAll(direct).count() == 0
+
+
 def test_entry_matches_full_clusters_entry(spark, sf_dir):
     """End to end at sf: the incremental entry's assignment equals the
     batch dedup_clusters entry (full recompute) row for row."""
