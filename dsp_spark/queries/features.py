@@ -117,24 +117,50 @@ def feature_target_encoding_loo(spark, sf_dir):
 def part_price_qty_elasticity(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
+    # Exact int64 hi/lo accumulation instead of per-row BigDecimal
+    # arithmetic: x, y are positive cent amounts < ~1.1e7, so the
+    # cross products fit int64 exactly (xx, xy < ~1.2e14) and only
+    # their SUMS can overflow. Splitting each product at 2^23
+    # (hi = p >> 23 < 1.4e7, lo = p mod 2^23 < 8.4e6) keeps both
+    # partial sums inside int64 up to ~7e11 rows PER BRAND (~30x the
+    # 100 TB share of the hottest brand); the exact total is
+    # reassembled as hi*2^23 + lo in DECIMAL at the 25-row brand
+    # grain, so the emitted doubles are bit-identical to the oracle's
+    # CAST(SUM(...) AS DECIMAL(38,0)) while every per-row op is a
+    # codegen long multiply/shift.
     j = li.join(
         F.broadcast(p.select("p_partkey", "p_brand")),
         li.l_partkey == F.col("p_partkey"),
     ).select(
         "p_brand",
-        (dec("l_extendedprice") * 100).cast("decimal(19,0)").alias("x"),
-        (dec("l_quantity") * 100).cast("decimal(19,0)").alias("y"),
+        (dec("l_extendedprice") * 100).cast("bigint").alias("x"),
+        (dec("l_quantity") * 100).cast("bigint").alias("y"),
     )
-    s = j.groupBy("p_brand").agg(
+    sh = 23
+    j = j.withColumn("xx", F.col("x") * F.col("x")).withColumn(
+        "xy", F.col("x") * F.col("y")
+    )
+    hi = lambda c: F.shiftright(c, sh)
+    lo = lambda c: F.col(c) - F.shiftleft(F.shiftright(c, sh), sh)
+    a = j.groupBy("p_brand").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("decimal(38,0)").cast("double").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x"))
-        .cast("decimal(38,0)")
+        F.sum("x").alias("sxi"),
+        F.sum("y").alias("syi"),
+        F.sum(hi("xx")).alias("xxh"),
+        F.sum(lo("xx")).alias("xxl"),
+        F.sum(hi("xy")).alias("xyh"),
+        F.sum(lo("xy")).alias("xyl"),
+    )
+    two = F.lit(1 << sh).cast("decimal(38,0)")
+    s = a.select(
+        "p_brand",
+        "n",
+        F.col("sxi").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.col("syi").cast("decimal(38,0)").cast("double").alias("sy"),
+        (F.col("xxh").cast("decimal(38,0)") * two + F.col("xxl").cast("decimal(38,0)"))
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("x") * F.col("y"))
-        .cast("decimal(38,0)")
+        (F.col("xyh").cast("decimal(38,0)") * two + F.col("xyl").cast("decimal(38,0)"))
         .cast("double")
         .alias("sxy"),
     )
@@ -627,16 +653,33 @@ def orders_chi2_priority_by_segment(spark, sf_dir):
 )
 def lineitem_anova_returnflag(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    cents = (dec("l_extendedprice") * 100).cast("decimal(19,0)")
+    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    # Exact int64 hi/lo accumulation of cents^2 (< 1.2e14, always an
+    # exact long product): hi = sq >> 23 and lo = sq mod 2^23 keep both
+    # partial sums inside int64 up to ~6.5e11 rows per returnflag
+    # group (~3x the 100 TB share), and the exact DECIMAL(38,0) sumsq
+    # reassembles as hi*2^23 + lo at the 3-row group grain — per-row
+    # work is codegen long arithmetic, no BigDecimal.
+    sh = 23
+    sq = F.col("cents") * F.col("cents")
     s = (
         li.select(F.col("l_returnflag").alias("grp"), cents.alias("cents"))
         .groupBy("grp")
         .agg(
             F.count("*").cast("bigint").alias("n_g"),
             F.sum("cents").cast("decimal(19,0)").alias("sum_g"),
-            F.sum(F.col("cents") * F.col("cents"))
-            .cast("decimal(38,0)")
-            .alias("sumsq_g"),
+            F.sum(F.shiftright(sq, sh)).alias("_sqh"),
+            F.sum(sq - F.shiftleft(F.shiftright(sq, sh), sh)).alias("_sql"),
+        )
+        .select(
+            "grp",
+            "n_g",
+            "sum_g",
+            (
+                F.col("_sqh").cast("decimal(38,0)")
+                * F.lit(1 << sh).cast("decimal(38,0)")
+                + F.col("_sql").cast("decimal(38,0)")
+            ).alias("sumsq_g"),
         )
         # 3-row group table materialized once: the grand fold and the
         # per-group output would otherwise rescan lineitem
