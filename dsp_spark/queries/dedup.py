@@ -718,18 +718,27 @@ def dedup_minhash_est_vs_exact(spark, sf_dir):
         d, "doc_id", "text", n_hashes=8, k=5
     ).localCheckpoint()
     # shared banding scheme — the pair generator and this entry can
-    # never diverge on band layout
-    pairs = dd.lsh_pairs_from_signatures(sig, "doc_id", n_hashes=8, bands=2)
+    # never diverge on band layout. The candidate list is consumed
+    # twice (the fringe prune AND the final join spine), so it is
+    # materialized once — without this the band self-join runs twice
+    # (measured: entry execute 2.01 -> 0.85 s at sf0.1). It is the
+    # same O(near-dup fringe) table the other verified entries
+    # checkpoint.
+    pairs = dd.lsh_pairs_from_signatures(
+        sig, "doc_id", n_hashes=8, bands=2
+    ).localCheckpoint(eager=True)
     # tokenize ONLY the candidate fringe: the exact-Jaccard side must
     # not re-tokenize the whole corpus per join branch (same pruning
-    # dedup_lsh_verified uses) — this, not signature reuse, is where
-    # the entry's time went
+    # dedup_lsh_verified uses). Materialized once because ta and tb
+    # hash-partition on different keys — no exchange reuse, so a lazy
+    # toks would tokenize the fringe twice (0.85 -> 0.47 s).
     fringe = pairs.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
     toks = (
         d.join(fringe, "doc_id", "left_semi")
         .select("doc_id", F.array_distinct(_to.tokens("text")).alias("tk"))
+        .localCheckpoint(eager=True)
     )
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
