@@ -97,17 +97,33 @@ def quantile_sketch_prices(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     price = F.col("o_totalprice")
     cents = (price.cast("decimal(12,2)") * 100).cast("bigint")
-    exact50 = F.percentile(cents, F.lit(0.5))
-    band = lambda p: (
-        F.abs(F.percentile_approx(price, F.lit(p), F.lit(10000))
-              - F.percentile(price, F.lit(p)))
-        <= 0.05 * F.percentile(price, F.lit(p))
+    # one exact-percentile buffer and one approx sketch, each queried
+    # at both points (array form), instead of five independent agg
+    # buffers over the same rows — the per-row insert work is the agg's
+    # whole cost here (measured 1.13 -> 0.87 s; values identical, the
+    # array-form sketch sees the same inserts so it answers the same)
+    ex = F.percentile(price, F.array(F.lit(0.5), F.lit(0.9)))
+    ap = F.percentile_approx(
+        price, F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
     )
-    return o.groupBy("o_orderstatus").agg(
+    g = o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        exact50.cast("double").alias("exact_p50_cents"),
-        band(0.5).alias("p50_within_tol"),
-        band(0.9).alias("p90_within_tol"),
+        F.percentile(cents, F.lit(0.5))
+        .cast("double")
+        .alias("exact_p50_cents"),
+        ex.alias("_ex"),
+        ap.alias("_ap"),
+    )
+    band = lambda i: (
+        F.abs(F.element_at("_ap", i) - F.element_at("_ex", i))
+        <= 0.05 * F.element_at("_ex", i)
+    )
+    return g.select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_p50_cents",
+        band(1).alias("p50_within_tol"),
+        band(2).alias("p90_within_tol"),
     )
 
 
