@@ -657,11 +657,20 @@ def grouping_sets_orders(spark, sf_dir):
 )
 def percentile_prices_by_status(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", 0.25).alias("p25"),
-        F.percentile("o_totalprice", 0.50).alias("p50"),
-        F.percentile("o_totalprice", 0.75).alias("p75"),
-        F.percentile("o_totalprice", 0.90).alias("p90"),
+    # one percentile buffer queried at all four points (array form):
+    # four scalar calls would each build their own per-group value
+    # buffer over the same rows
+    ps = F.percentile(
+        "o_totalprice",
+        F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75, 0.90)]),
+    )
+    g = o.groupBy("o_orderstatus").agg(ps.alias("_ps"))
+    return g.select(
+        "o_orderstatus",
+        F.element_at("_ps", 1).alias("p25"),
+        F.element_at("_ps", 2).alias("p50"),
+        F.element_at("_ps", 3).alias("p75"),
+        F.element_at("_ps", 4).alias("p90"),
     )
 
 

@@ -526,12 +526,22 @@ def sample_balanced_classes(spark, sf_dir):
 )
 def doc_length_percentiles_by_source(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
+    # one percentile buffer queried at all three points (array form)
+    ps = F.percentile(
+        "n_chars", F.array(*[F.lit(p) for p in (0.50, 0.90, 0.99)])
+    )
+    g = d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.percentile("n_chars", 0.50).alias("p50"),
-        F.percentile("n_chars", 0.90).alias("p90"),
-        F.percentile("n_chars", 0.99).alias("p99"),
+        ps.alias("_ps"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        F.element_at("_ps", 1).alias("p50"),
+        F.element_at("_ps", 2).alias("p90"),
+        F.element_at("_ps", 3).alias("p99"),
+        "max_chars",
     )
 
 

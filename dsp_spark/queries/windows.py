@@ -1209,13 +1209,22 @@ def events_funnel_time_to_convert(spark, sf_dir):
         .cast("bigint")
         .alias("s_click_purchase"),
     )
-    return per_user.agg(
+    # one percentile buffer per stage-gap column, each queried at both
+    # points (array form) instead of two buffers per column
+    both = F.array(F.lit(0.50), F.lit(0.90))
+    g = per_user.agg(
         F.count("s_view_click").cast("bigint").alias("n_clicked"),
-        F.percentile("s_view_click", 0.50).alias("p50_view_click_s"),
-        F.percentile("s_view_click", 0.90).alias("p90_view_click_s"),
+        F.percentile("s_view_click", both).alias("_vc"),
         F.count("s_click_purchase").cast("bigint").alias("n_purchased"),
-        F.percentile("s_click_purchase", 0.50).alias("p50_click_purchase_s"),
-        F.percentile("s_click_purchase", 0.90).alias("p90_click_purchase_s"),
+        F.percentile("s_click_purchase", both).alias("_cp"),
+    )
+    return g.select(
+        "n_clicked",
+        F.element_at("_vc", 1).alias("p50_view_click_s"),
+        F.element_at("_vc", 2).alias("p90_view_click_s"),
+        "n_purchased",
+        F.element_at("_cp", 1).alias("p50_click_purchase_s"),
+        F.element_at("_cp", 2).alias("p90_click_purchase_s"),
     )
 
 
