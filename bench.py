@@ -342,6 +342,12 @@ def main() -> None:
             ),
             "carried": [n for n in carry if n in top],
         }
+        # persist the recorded round BEFORE the isolated phase runs: a
+        # phase-level failure (or a driver kill mid-phase) must not
+        # leave the pre-try bench_full.json on disk with no recorded
+        # round — gen_round keys its gate-snapshot mint on it (advisor
+        # r12, low #1)
+        _write_full(full)
         # Probe-scaled budget (r7 verdict ask #2): the old fixed 545 s
         # deadline was tuned to the builder's host (probe_spark_sec
         # ~0.60) and the driver's slower r7 rerun swept past it,
