@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
-from dsp_spark.queries._util import t
+from dsp_spark.queries._util import cents as _cents_of, t
 
 
 @register(
@@ -140,9 +140,7 @@ def merge_upsert_orders(spark, sf_dir):
     base = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
-        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
+        _cents_of("o_totalprice").alias("cents"),
     )
     updates = base.where(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
@@ -320,7 +318,7 @@ def cdc_changelog_net_effect(spark, sf_dir):
         .when(F.col("event_type") == "error", "D")
         .otherwise("U")
     )
-    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    cents = _cents_of("value")
     w = W.partitionBy("user_id")
     ordered = ev.select(
         "user_id",

@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
-from dsp_spark.queries._util import dec, t
+from dsp_spark.queries._util import cents as _cents_of, dec, t
 
 
 @register(
@@ -60,7 +60,7 @@ def feature_target_encoding_loo(spark, sf_dir):
     ).select(
         "o_orderkey",
         F.col("c_mktsegment").alias("segment"),
-        (dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        _cents_of("o_totalprice").alias("cents"),
     )
     s = j.groupBy("segment").agg(
         F.sum("cents").cast("bigint").alias("seg_sum"),
@@ -127,14 +127,18 @@ def part_price_qty_elasticity(spark, sf_dir):
     # reassembled as hi*2^23 + lo in DECIMAL at the 25-row brand
     # grain, so the emitted doubles are bit-identical to the oracle's
     # CAST(SUM(...) AS DECIMAL(38,0)) while every per-row op is a
-    # codegen long multiply/shift.
+    # codegen long multiply/shift. sxi/syi are PLAIN bigint sums of
+    # the first-power cents (x <= ~1.1e7, y <= ~5e3): they wrap
+    # SILENTLY (non-ANSI) only past ~8.4e11 / ~1.8e15 rows per brand —
+    # ~30x / ~70000x the hottest brand's 100 TB share; split them at
+    # 2^23 too if per-brand volume ever approaches that (r13 advisor).
     j = li.join(
         F.broadcast(p.select("p_partkey", "p_brand")),
         li.l_partkey == F.col("p_partkey"),
     ).select(
         "p_brand",
-        (dec("l_extendedprice") * 100).cast("bigint").alias("x"),
-        (dec("l_quantity") * 100).cast("bigint").alias("y"),
+        _cents_of("l_extendedprice").alias("x"),
+        _cents_of("l_quantity").alias("y"),
     )
     sh = 23
     j = j.withColumn("xx", F.col("x") * F.col("x")).withColumn(
@@ -213,7 +217,7 @@ def parts_skyline_per_brand(spark, sf_dir):
         "p_partkey",
         "p_brand",
         "p_size",
-        (dec("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        _cents_of("p_retailprice").alias("price_cents"),
     )
     g = d.groupBy("p_brand", "price_cents").agg(
         F.max("p_size").cast("int").alias("smax")
@@ -457,7 +461,7 @@ def orders_interpurchase_km(spark, sf_dir):
 def supplier_hhi_by_parttype(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    cents = _cents_of("l_extendedprice")
     j = (
         li.join(
             F.broadcast(p.select("p_partkey", "p_type")),
@@ -653,7 +657,7 @@ def orders_chi2_priority_by_segment(spark, sf_dir):
 )
 def lineitem_anova_returnflag(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    cents = (dec("l_extendedprice") * 100).cast("bigint")
+    cents = _cents_of("l_extendedprice")
     # Exact int64 hi/lo accumulation of cents^2 (< 1.2e14, always an
     # exact long product): hi = sq >> 23 and lo = sq mod 2^23 keep both
     # partial sums inside int64 up to ~6.5e11 rows per returnflag

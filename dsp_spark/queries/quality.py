@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
-from dsp_spark.queries._util import t
+from dsp_spark.queries._util import cents as _cents_of, t
 
 # Allowed language codes for the documents table; anything else counts
 # as a constraint violation (ISO-639-1 whitelist a curation run pins).
@@ -544,9 +544,7 @@ def privacy_k_anonymity_audit(spark, sf_dir):
 )
 def dq_benford_totalprice(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents_of("o_totalprice")
     digits = o.select(cents.alias("c")).where(F.col("c") > 0).select(
         F.substring(F.col("c").cast("string"), 1, 1)
         .cast("int")
@@ -616,9 +614,7 @@ def dq_iqr_outlier_fences(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = o.select(
         F.col("o_orderpriority").alias("priority"),
-        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
+        _cents_of("o_totalprice").alias("cents"),
     )
     wp = W.partitionBy("priority")
     ranked = c.select(
@@ -813,9 +809,7 @@ def dq_psi_price_drift(spark, sf_dir):
     # the cast chain exists ONCE; `div` has no Column-API form, so the
     # bucket derives from the named column via expr (o_totalprice > 0,
     # where div == floor division on both engines)
-    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
-        "bigint"
-    )
+    cents = _cents_of("o_totalprice")
     b = o.withColumn("cents", cents).select(
         F.least(F.expr("cents div 6000000"), F.lit(9))
         .cast("int")

@@ -16,11 +16,31 @@ from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
 from dsp_spark.operators import prefix
-from dsp_spark.queries._util import MONEY, PCT, dec, dsum, t
+from dsp_spark.queries._util import (
+    MONEY,
+    PCT,
+    cents,
+    dec,
+    dsum,
+    hilo,
+    hilo_out,
+    hilo_sum,
+    hilo_total,
+    t,
+    unscale,
+)
 
 # ---------------------------------------------------------------------------
 # Aggregations
 # ---------------------------------------------------------------------------
+
+
+def _rev_units():
+    """price*(1-disc) in exact integer 1e-4 currency units — the int64
+    form of the decimal revenue product (see _util.cents for the exact-
+    equivalence argument; terms <= ~1.1e9, hilo partial sums overflow
+    only past ~1.1e12 rows per group)."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
 
 
 @register(
@@ -46,22 +66,55 @@ from dsp_spark.queries._util import MONEY, PCT, dec, dsum, t
 )
 def q1_pricing_summary(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast(PCT)
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount", PCT))
-    charge = disc_price * (one + dec("l_tax", PCT))
-    return (
+    # Exact int64 cent accumulation instead of per-row BigDecimal
+    # (guide §1.2 step 2; the r13 elasticity pattern generalized —
+    # see _util.cents/hilo). Per-row terms: qty/disc cents are tiny;
+    # price cents <= ~1.1e7; disc_price units (1e-4) <= ~1.1e9;
+    # charge units (1e-6) <= ~1.2e11. The product sums and the price
+    # sum split at 2^23 so every partial stays in int64 past ~1.1e12
+    # rows PER GROUP (>3x the hottest group's 100 TB share); qty/disc
+    # plain sums overflow only past 1.8e15 / 9.2e17 rows per group.
+    # Exact DECIMAL reassembly + exact unscale at the 6-row output
+    # grain keeps every double bit-identical to the oracle's
+    # CAST(SUM(DECIMAL...) AS DOUBLE).
+    qc, pc = cents("l_quantity"), cents("l_extendedprice")
+    dc, tc = cents("l_discount"), cents("l_tax")
+    disc_u = pc * (100 - dc)  # 1e-4 currency units
+    charge_u = disc_u * (100 + tc)  # 1e-6 currency units
+    ph, pl = hilo(pc)
+    dh, dl = hilo(disc_u)
+    ch, cl = hilo(charge_u)
+    a = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(dec("l_quantity")).alias("sum_qty"),
-            dsum(dec("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            (dsum(dec("l_quantity")) / F.count("*")).alias("avg_qty"),
-            (dsum(dec("l_extendedprice")) / F.count("*")).alias("avg_price"),
-            (dsum(dec("l_discount", PCT)) / F.count("*")).alias("avg_disc"),
+            F.sum(qc).alias("_sq"),
+            F.sum(ph).alias("_sph"),
+            F.sum(pl).alias("_spl"),
+            F.sum(dh).alias("_sdh"),
+            F.sum(dl).alias("_sdl"),
+            F.sum(ch).alias("_sch"),
+            F.sum(cl).alias("_scl"),
+            F.sum(dc).alias("_sd"),
             F.count("*").alias("count_order"),
         )
+    )
+    sum_qty = unscale(F.col("_sq").cast("decimal(38,0)"), 2)
+    sum_base = unscale(hilo_total(F.col("_sph"), F.col("_spl")), 2)
+    sum_disc_price = unscale(hilo_total(F.col("_sdh"), F.col("_sdl")), 4)
+    sum_charge = unscale(hilo_total(F.col("_sch"), F.col("_scl")), 6)
+    avg_disc = unscale(F.col("_sd").cast("decimal(38,0)"), 2)
+    return a.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        sum_disc_price.alias("sum_disc_price"),
+        sum_charge.alias("sum_charge"),
+        (sum_qty / F.col("count_order")).alias("avg_qty"),
+        (sum_base / F.col("count_order")).alias("avg_price"),
+        (avg_disc / F.col("count_order")).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -84,7 +137,9 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.05)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(dec("l_extendedprice") * dec("l_discount", PCT)).alias("revenue"))
+    ).agg(*hilo_sum(cents("l_extendedprice") * cents("l_discount"), "r")).select(
+        hilo_out("r", 4).alias("revenue")
+    )
 
 
 @register(
@@ -120,8 +175,20 @@ def distinct_stats_orders(spark, sf_dir):
 )
 def rollup_lineitem_status(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum(dec("l_quantity")).alias("sum_qty")
+    # exact int64 qty cents (see q1): the ROLLUP expand tripled the
+    # per-row BigDecimal work; grand-total bound 1.8e15 rows
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents("l_quantity")).alias("_sq"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            unscale(F.col("_sq").cast("decimal(38,0)"), 2).alias("sum_qty"),
+        )
     )
 
 
@@ -136,8 +203,17 @@ def rollup_lineitem_status(spark, sf_dir):
 )
 def cube_orders_priority(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), dsum(dec("o_totalprice")).alias("sum_price")
+    # int64 price cents (see q1; grand-total overflow bound ~1.5e11
+    # rows at <= ~6e7-cent order totals)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(cents("o_totalprice")).alias("_sp"))
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            unscale(F.col("_sp").cast("decimal(38,0)"), 2).alias("sum_price"),
+        )
     )
 
 
@@ -153,12 +229,18 @@ def cube_orders_priority(spark, sf_dir):
 )
 def pivot_qty_by_linestatus(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # int64 qty cents (see q1); a value-absent pivot cell stays NULL
+    # through unscale, matching the oracle's ELSE-less CASE sum
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(dsum(dec("l_quantity")))
+        .agg(F.sum(cents("l_quantity")))
     )
-    return out.withColumnRenamed("O", "qty_O").withColumnRenamed("F", "qty_F")
+    return out.select(
+        "l_returnflag",
+        unscale(F.col("O").cast("decimal(38,0)"), 2).alias("qty_O"),
+        unscale(F.col("F").cast("decimal(38,0)"), 2).alias("qty_F"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -192,12 +274,17 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    one = F.lit(1).cast(PCT)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(dec("l_extendedprice") * (one - dec("l_discount", PCT))).alias("revenue"))
+        .agg(*hilo_sum(_rev_units(), "r"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            hilo_out("r", 4).alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -228,7 +315,6 @@ def q5_regional_supplier_volume(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    one = F.lit(1).cast(PCT)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -236,7 +322,8 @@ def q5_regional_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), (s.s_nationkey == n.n_nationkey) & (c.c_nationkey == n.n_nationkey))
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(dec("l_extendedprice") * (one - dec("l_discount", PCT))).alias("revenue"))
+        .agg(*hilo_sum(_rev_units(), "r"))
+        .select("n_name", hilo_out("r", 4).alias("revenue"))
     )
 
 
@@ -262,13 +349,18 @@ def q10_returned_items(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
-    one = F.lit(1).cast(PCT)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(dec("l_extendedprice") * (one - dec("l_discount", PCT))).alias("revenue"))
+        .agg(*hilo_sum(_rev_units(), "r"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            hilo_out("r", 4).alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -574,10 +666,9 @@ def q4_order_priority(spark, sf_dir):
 def q14_promo_revenue(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    one = F.lit(1).cast(PCT)
-    disc_price = dec("l_extendedprice") * (one - dec("l_discount", PCT))
-    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
-        F.lit(0).cast(MONEY)
+    disc_u = _rev_units()
+    promo_u = F.when(F.col("p_type") == "PROMO", disc_u).otherwise(
+        F.lit(0).cast("bigint")
     )
     return (
         li.filter(
@@ -585,8 +676,9 @@ def q14_promo_revenue(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(p, li.l_partkey == p.p_partkey)
-        .agg(
-            (F.lit(100.0) * dsum(promo) / dsum(disc_price)).alias(
+        .agg(*hilo_sum(promo_u, "p"), *hilo_sum(disc_u, "d"))
+        .select(
+            (F.lit(100.0) * hilo_out("p", 4) / hilo_out("d", 4)).alias(
                 "promo_revenue_pct"
             )
         )
@@ -610,11 +702,20 @@ def q14_promo_revenue(spark, sf_dir):
 def q18_large_orders(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # int64 qty cents; HAVING sum > 120 <=> cent sum > 12000 (both
+    # sides scaled by the exact factor 100), and the 150k-group hash
+    # agg buffers one long instead of a decimal per group
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-        .agg(dsum(dec("l_quantity")).alias("sum_qty"))
-        .filter(F.col("sum_qty") > 120)
+        .agg(F.sum(cents("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 12000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            unscale(F.col("_sq").cast("decimal(38,0)"), 2).alias("sum_qty"),
+        )
     )
 
 
@@ -735,8 +836,13 @@ def top100_orders_global(spark, sf_dir):
 )
 def orders_yoy_growth(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    yr = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
-        dsum(dec("o_totalprice")).alias("revenue")
+    yr = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(cents("o_totalprice")).alias("_sp"))
+        .select(
+            "yr",
+            unscale(F.col("_sp").cast("decimal(38,0)"), 2).alias("revenue"),
+        )
     )
     w = W.orderBy("yr")
     return yr.select(
@@ -775,10 +881,19 @@ def orders_yoy_growth(spark, sf_dir):
 )
 def customer_rfm_segments(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        dsum(dec("o_totalprice")).alias("monetary"),
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents("o_totalprice")).alias("_sp"),
+        )
+        .select(
+            "custkey",
+            "last_order",
+            "frequency",
+            unscale(F.col("_sp").cast("decimal(38,0)"), 2).alias("monetary"),
+        )
     )
     rfm = rfm.localCheckpoint()  # one orders scan+shuffle, period
     # last_order melts to epoch seconds: the session runs in UTC so the
@@ -902,11 +1017,7 @@ def _brand_baskets(spark, sf_dir):
 def orders_abc_pareto(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("cents")
+        F.sum(cents("o_totalprice")).cast("bigint").alias("cents")
     )
     ranked = prefix.global_ntile(
         per_cust,
@@ -1054,7 +1165,13 @@ def orders_cohort_revenue(spark, sf_dir):
         )
         .agg(
             F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
-            dsum(dec("o_totalprice")).alias("revenue"),
+            F.sum(cents("o_totalprice")).alias("_sp"),
+        )
+        .select(
+            "cohort_month",
+            "order_month",
+            "n_active",
+            unscale(F.col("_sp").cast("decimal(38,0)"), 2).alias("revenue"),
         )
     )
 
@@ -1282,11 +1399,11 @@ def fuzzy_part_name_pairs(spark, sf_dir):
 )
 def orders_seasonal_index(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    cents = (dec("o_totalprice") * 100).cast("bigint")
+    price_c = cents("o_totalprice")
     # materialize the 12-row month table once: the total would
     # otherwise rescan orders
     m = o.groupBy(F.month("o_orderdate").cast("int").alias("mon")).agg(
-        F.sum(cents).cast("bigint").alias("cents"),
+        F.sum(price_c).cast("bigint").alias("cents"),
         F.count("*").cast("bigint").alias("n_orders"),
     ).localCheckpoint(eager=True)
     tot = m.agg(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
-from dsp_spark.queries._util import t
+from dsp_spark.queries._util import cents as _cents_of, t
 
 
 @register(
@@ -96,7 +96,7 @@ def hll_user_rollup_merge(spark, sf_dir):
 def quantile_sketch_prices(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     price = F.col("o_totalprice")
-    cents = (price.cast("decimal(12,2)") * 100).cast("bigint")
+    cents = _cents_of(price)
     # one exact-percentile buffer and one approx sketch, each queried
     # at both points (array form), instead of five independent agg
     # buffers over the same rows — the per-row insert work is the agg's
@@ -795,7 +795,7 @@ def quantiles_loghist_by_key(spark, sf_dir):
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "events")
-    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents_of("value")
     # mirror the streaming _qh_bin contract: a negative value must fail
     # LOUDLY on both engines, not silently land in bin 0 with the wrong
     # sign and magnitude (the claimed batch/stream parity would break

@@ -19,7 +19,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
-from dsp_spark.queries._util import MONEY, PCT, dec, dsum, t
+from dsp_spark.queries._util import (
+    MONEY,
+    PCT,
+    cents,
+    dec,
+    dsum,
+    hilo_out,
+    hilo_sum,
+    t,
+)
 
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,2)) "
@@ -30,6 +39,15 @@ _REV_SQL = (
 def _rev():
     one = F.lit(1).cast(PCT)
     return dec("l_extendedprice") * (one - dec("l_discount", PCT))
+
+
+def _rev_u():
+    """price*(1-disc) in exact integer 1e-4 currency units — the int64
+    form of _rev() (guide §1.2 step 2; see _util.cents for the exact-
+    equivalence argument and hilo_sum/hilo_out for the overflow-safe
+    accumulation: terms <= ~1.1e9, lo partial sums overflow only past
+    ~1.1e12 rows per group)."""
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
 
 
 @register(
@@ -99,7 +117,13 @@ def q7_nation_volume(spark, sf_dir):
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(dsum(_rev()).alias("volume"))
+        .agg(*hilo_sum(_rev_u(), "v"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            hilo_out("v", 4).alias("volume"),
+        )
     )
 
 
@@ -143,8 +167,11 @@ def q8_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    zero = F.lit(0).cast(MONEY)
-    vol = _rev().alias("volume")
+    # int64 1e-4-unit volume terms (see _rev_u): the numerator rides the
+    # same exact accumulation through a when() gate, and both sums
+    # surface as the identical doubles the decimal path emitted before
+    # the one final division
+    vol = _rev_u().alias("volume")
     all_nations = (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -155,11 +182,16 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .select(F.year("o_orderdate").alias("o_year"), vol, "supp_nation")
     )
-    num = F.sum(
-        F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(zero)
-    ).cast("double")
-    return all_nations.groupBy("o_year").agg(
-        (num / F.sum("volume").cast("double")).alias("mkt_share")
+    num_term = F.when(
+        F.col("supp_nation") == "NATION_5", F.col("volume")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        all_nations.groupBy("o_year")
+        .agg(*hilo_sum(num_term, "n"), *hilo_sum(F.col("volume"), "d"))
+        .select(
+            "o_year",
+            (hilo_out("n", 4) / hilo_out("d", 4)).alias("mkt_share"),
+        )
     )
 
 
@@ -194,7 +226,8 @@ def q9_product_type_profit(spark, sf_dir):
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(dsum(_rev()).alias("sum_profit"))
+        .agg(*hilo_sum(_rev_u(), "v"))
+        .select("nation", "o_year", hilo_out("v", 4).alias("sum_profit"))
     )
 
 
@@ -256,8 +289,10 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = t(spark, sf_dir, "supplier")
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(_rev()).alias("total_revenue")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(*hilo_sum(_rev_u(), "r"))
+        .select("supplier_no", hilo_out("r", 4).alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -333,13 +368,17 @@ def q17_small_quantity_revenue(spark, sf_dir):
     li_b = li.join(pk, li.l_partkey == F.col("p_partkey")).drop(
         "p_partkey"
     )
+    # int64 qty cents: q*5*cnt < sum_q is scale-invariant (both sides
+    # x100 exactly), and the final price sum accumulates hilo-safe
     part_agg = li_b.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        F.sum(dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt_qty")
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.count("*").alias("cnt_qty"),
     )
     return (
         li_b.join(part_agg, F.col("agg_partkey") == F.col("l_partkey"))
-        .filter(dec("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty"))
-        .agg((dsum(dec("l_extendedprice")) / 7.0).alias("avg_yearly"))
+        .filter(cents("l_quantity") * 5 * F.col("cnt_qty") < F.col("sum_qty_c"))
+        .agg(*hilo_sum(cents("l_extendedprice"), "p"))
+        .select((hilo_out("p", 2) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -387,7 +426,8 @@ def q19_discounted_revenue(spark, sf_dir):
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(dsum(_rev()).alias("revenue"))
+        .agg(*hilo_sum(_rev_u(), "r"))
+        .select(hilo_out("r", 4).alias("revenue"))
     )
 
 
@@ -889,8 +929,8 @@ def part_type_unit_value_index(spark, sf_dir):
     ).select(
         "p_type",
         F.year("l_shipdate").cast("int").alias("yr"),
-        (dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
-        (dec("l_quantity") * 100).cast("bigint").alias("qty100"),
+        cents("l_extendedprice").alias("cents"),
+        cents("l_quantity").alias("qty100"),
     )
     agg = j.groupBy("p_type", "yr").agg(
         F.count("*").cast("bigint").alias("n_lines"),

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from dsp_spark.catalog import register
 from dsp_spark.operators.asof import asof_join
-from dsp_spark.queries._util import dec, dsum, t
+from dsp_spark.queries._util import cents as _cents_of, dec, dsum, t
 
 GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
 
@@ -1039,9 +1039,7 @@ def events_twap_per_user(spark, sf_dir):
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seg = e.select(
         "user_id",
-        (F.col("value").cast("decimal(12,2)") * 100)
-        .cast("bigint")
-        .alias("v100"),
+        _cents_of("value").alias("v100"),
         F.floor(
             (
                 F.unix_micros(F.lead("ts").over(w))
@@ -1418,7 +1416,7 @@ def orders_open_backlog_daily(spark, sf_dir):
 def events_ewma_last16(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    cents = (dec("value") * 100).cast("bigint")
+    cents = _cents_of("value")
     x = (
         ev.select("user_id", "ts", "event_id", cents.alias("cents"))
         .withColumn("rn", F.row_number().over(w))
@@ -1497,7 +1495,7 @@ def events_resample_locf_audit(spark, sf_dir):
         "ts",
         "event_id",
         F.date_trunc("hour", "ts").alias("hour"),
-        (dec("value") * 100).cast("bigint").alias("cents"),
+        _cents_of("value").alias("cents"),
     )
     # last event of the hour == max (ts, event_id) struct (event_id is
     # the unique tiebreak, so the carried cents are deterministic) —
@@ -1867,7 +1865,7 @@ def events_bounce_rate_by_type(spark, sf_dir):
 )
 def events_level_shift_detect(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    cents = (dec("value") * 100).cast("bigint")
+    cents = _cents_of("value")
     h = ev.groupBy(
         F.col("event_type"), F.date_trunc("hour", "ts").alias("hour_start")
     ).agg(
@@ -2094,7 +2092,7 @@ def events_interarrival_burstiness(spark, sf_dir):
 )
 def events_cusum_alarm(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    cents = (dec("value") * 100).cast("bigint")
+    cents = _cents_of("value")
     # materialize the tiny hourly table once: target derivation and
     # the join would otherwise each rescan events
     h = ev.groupBy(
