@@ -849,7 +849,14 @@ def dup_span_intervals(
     windows — the same plan dedup_dup_span_fraction audits.
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    base = df.select(F.col(id_col).alias("_sid"), toks.alias("_l"))
+    # spread BEFORE the tokenize+hash+explode pass: a single-file
+    # parquet corpus scans as ONE partition (one row group), so the
+    # whole gram build — the dominant per-row work of every span
+    # consumer — would run on one core, and the checkpoint below would
+    # store one partition, serializing the map side of BOTH gram
+    # exchanges too. At 100 TB the scan has thousands of splits and
+    # spread() is a partition-count no-op (guide §2.5 input skew).
+    base = spread(df).select(F.col(id_col).alias("_sid"), toks.alias("_l"))
     g = gram
     # gram identity = xxhash64 over the g token hashes, NOT the joined
     # gram string: tokens are whitespace-split (never contain ' '), so
@@ -1133,8 +1140,16 @@ def strip_self_repeats(
     == pos``), so the whole strip is one in-row projection: no segment
     explode, no (doc, segment) window exchange carrying segment text,
     and no corpus-sized join back for the extra columns. Per-row cost
-    is O(segments²) string compares, bounded by document width.
+    is O(segments²) string compares, bounded by document width; if
+    document length ever becomes unbounded, cap via a length guard or
+    fall back to the windowed form above a segment-count threshold.
+
+    Null ``text_col`` rows are DROPPED (r13 advisor): the oracle's
+    ``range(NULL)`` is empty, as was the pre-r13 explode/agg path —
+    the in-row projection would otherwise emit a null-metrics row.
+    The corpus has no null text today, so the guard is free.
     """
+    df = df.where(F.col(text_col).isNotNull())
     w = F.split(F.col(text_col), r"\s+")
     n = seg_words
     segs = F.transform(

@@ -10,6 +10,7 @@ from dsp_spark.catalog import register
 from dsp_spark.operators import prefix, textops
 from dsp_spark.operators.multimodal import N_FAKE_FEATURES, extract_features
 from dsp_spark.queries._util import t
+from dsp_spark.session import spread
 
 
 @register(
@@ -448,7 +449,9 @@ _MERGE_K = 64
 def bpe_merge_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # size >= 2 BEFORE the explode: sequence(1, 0) would DESCEND in
-    # Spark and index tk[-1]/tk[1] out of bounds on 1-token docs
+    # Spark and index tk[-1]/tk[1] out of bounds on 1-token docs.
+    # NO spread (measured r14: 0.38 -> 0.63 s — the pair projection is
+    # too light to pay for the extra exchange at this corpus size)
     tk = d.select(textops.tokens("text").alias("tk")).filter(F.size("tk") >= 2)
     # int-sequence explode + row-level indexing (the _bpe_pair_counts /
     # source_ngram_jaccard codegen shape — no interpreted per-doc
@@ -568,7 +571,9 @@ def _bpe_learn_merges(docs) -> list[tuple[str, str, int]]:
     # (round r additionally applies r regex passes), so without this the
     # parquet scan + whitespace collapse runs K times (~20% of the
     # trainer's cost at sf0.1); at 100 TB the equivalent is persisting
-    # the tokenized corpus before the merge loop
+    # the tokenized corpus before the merge loop. NO spread (measured
+    # r14: 1.49 -> 1.79 s — each round is argmax-barrier bound, and 32
+    # tiny tasks per round cost more than the one-core map work saved)
     base = docs.localCheckpoint(eager=True)
     try:
         docs = base
@@ -1189,6 +1194,9 @@ def text_tfidf_top_terms(spark, sf_dir):
 )
 def text_bigram_lm_score(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # NO spread here (measured r14): the bigram projection is light
+    # enough that the added exchange+barrier cost more than the
+    # single-partition map work it parallelized (1.09 -> 1.37 s A/B)
     tk = d.select(
         "doc_id", textops.tokens("text").alias("ws")
     ).where(F.size("ws") >= 2)
@@ -1396,8 +1404,12 @@ def vocab_drift_snapshots(spark, sf_dir):
 )
 def lang_id_confusion(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # spread: the argmax CASE fold re-evaluates per-language stopword
+    # filters over every doc's token array scan-side; on the
+    # single-partition test scan that work would pin to one core
+    # (no-op at real scan parallelism)
     return (
-        d.select(
+        spread(d).select(
             F.col("lang").alias("lang_true"),
             F.expr(_PRED_SPARK).alias("lang_pred"),
         )
@@ -2022,8 +2034,14 @@ def source_ngram_pairs(d):
     # (measured at sf0.1: postings stage 3.12 s -> 2.11 s, identical
     # rows; guide §4 "keep work inside codegen" applied to a
     # JVM-internal boundary)
+    # spread the single-partition corpus scan first: the explode +
+    # substring + partial-distinct chain below is ~300 gram rows per
+    # doc and would otherwise run entirely on one core (one-row-group
+    # parquet input); at 100 TB the scan is already thousands of
+    # splits and spread() no-ops (guide §2.5 input skew)
     post = (
-        d.select(
+        spread(d)
+        .select(
             "source",
             "text",
             F.explode(
