@@ -319,79 +319,7 @@ def main() -> None:
     # notes file. Fresh context again; same-JVM codegen cache keeps
     # warmup cheap.
     try:
-        # Deterministic rotation (r10 verdict ask #3): the floor-bounded
-        # isolated phase reaches ~10-15 entries per round, so a fixed
-        # top-15-by-time set refreshed the expensive tail slowly (r10:
-        # 8 of 15 degraded to best-of-1). Instead, take the top 20 by
-        # in-sweep time and run HALF of them per round — alphabetical
-        # stride-2 keyed by round parity, so membership is stable
-        # across rounds and every top-20 entry gets a clean best-of-2
-        # reading at least every 2 rounds. The round number derives
-        # from the ON-DISK CORRECTNESS artifacts, tracked or not (same
-        # rule as the catalog's window rotation — see _current_round),
-        # so repeated runs inside one round measure the same set and
-        # the set flips at the driver's write, not at commit.
-        rnd = _current_round()
-        carry = _isolated_carry(rnd)
-        top = _isolated_set(timings, rnd, carry)
-        full["isolated_set_rule"] = {
-            "round": rnd,
-            "rule": (
-                "prev_round_degraded_or_skipped first, then "
-                "sorted(top20_by_insweep)[round % 2 :: 2]"
-            ),
-            "carried": [n for n in carry if n in top],
-        }
-        # persist the recorded round BEFORE the isolated phase runs: a
-        # phase-level failure (or a driver kill mid-phase) must not
-        # leave the pre-try bench_full.json on disk with no recorded
-        # round — gen_round keys its gate-snapshot mint on it (advisor
-        # r12, low #1)
-        _write_full(full)
-        # Probe-scaled budget (r7 verdict ask #2): the old fixed 545 s
-        # deadline was tuned to the builder's host (probe_spark_sec
-        # ~0.60) and the driver's slower r7 rerun swept past it,
-        # skipping the ENTIRE isolated column from the authoritative
-        # artifact. The probe exists to measure host speed — use it:
-        # slower hosts get proportionally more time (clamped at 3x so
-        # a pathological probe can't unbound the run), and past the
-        # deadline entries DEGRADE to best-of-1 with no warmup for a
-        # further half-budget before skipping — a degraded reading
-        # beats a named absence.
-        factor = min(3.0, max(1.0, probe["probe_spark_sec"] / 0.60))
-        budget = 545.0 * factor
-        # Guaranteed minimum isolated window (r9, work-aware since
-        # r12): the absolute budget is anchored at process start, so a
-        # sweep that overruns it (growing catalog x a contended host
-        # the <=1x clamp can't see) starved the isolated phase
-        # ENTIRELY — and past the hard deadline even the degrade path
-        # never fired, reproducing the r7 empty-column failure the
-        # budget was built to prevent. Anchor a floor at the sweep's
-        # END instead, sized to the SELECTED work (_isolated_floor —
-        # the fixed 60s*f floor starved 8 of 13 entries to best-of-1
-        # on r12's first gate attempt when the slow sweep exhausted
-        # the whole absolute budget). The early headline print and the
-        # in-sweep _write_full above keep a driver kill inside this
-        # window harmless.
-        soft_floor, hard_floor = _isolated_floor(timings, top, factor)
-        t_iso = time.perf_counter()
-        (
-            full["queries_isolated"],
-            full["isolated_skipped"],
-            full["isolated_degraded"],
-            full["isolated_errored"],
-        ) = _isolated_phase(
-            spark,
-            qs,
-            top,
-            sf_dir,
-            deadline=max(t_wall0 + budget, t_iso + soft_floor),
-            hard_deadline=max(
-                t_wall0 + 1.5 * budget, t_iso + hard_floor
-            ),
-        )
-        full["isolated_budget_sec"] = round(budget, 1)
-        _write_full(full)
+        _run_isolated_block(spark, qs, full, timings, probe, sf_dir, t_wall0)
     except Exception as e:  # additive phase: never fail the bench run
         print(f"isolated phase failed: {e}", file=sys.stderr)
     # Re-print the IDENTICAL headline line as the very last stdout act
@@ -400,6 +328,89 @@ def main() -> None:
     # the driver's tail capture when the phase runs to completion. Two
     # identical lines parse to the same record either way.
     print(line, flush=True)
+
+
+def _run_isolated_block(
+    spark, qs, full, timings, probe, sf_dir, t_wall0
+) -> None:
+    """The post-sweep isolated phase, extracted so its persist-before-
+    phase contract is behaviorally testable (r13 advisor: the old pin
+    asserted source-text ordering).
+
+    Deterministic rotation (r10 verdict ask #3): the floor-bounded
+    isolated phase reaches ~10-15 entries per round, so a fixed
+    top-15-by-time set refreshed the expensive tail slowly (r10:
+    8 of 15 degraded to best-of-1). Instead, take the top 20 by
+    in-sweep time and run HALF of them per round — alphabetical
+    stride-2 keyed by round parity, so membership is stable
+    across rounds and every top-20 entry gets a clean best-of-2
+    reading at least every 2 rounds. The round number derives
+    from the ON-DISK CORRECTNESS artifacts, tracked or not (same
+    rule as the catalog's window rotation — see _current_round),
+    so repeated runs inside one round measure the same set and
+    the set flips at the driver's write, not at commit.
+    """
+    rnd = _current_round()
+    carry = _isolated_carry(rnd)
+    top = _isolated_set(timings, rnd, carry)
+    full["isolated_set_rule"] = {
+        "round": rnd,
+        "rule": (
+            "prev_round_degraded_or_skipped first, then "
+            "sorted(top20_by_insweep)[round % 2 :: 2]"
+        ),
+        "carried": [n for n in carry if n in top],
+    }
+    # persist the recorded round BEFORE the isolated phase runs: a
+    # phase-level failure (or a driver kill mid-phase) must not
+    # leave the pre-try bench_full.json on disk with no recorded
+    # round — gen_round keys its gate-snapshot mint on it (advisor
+    # r12, low #1)
+    _write_full(full)
+    # Probe-scaled budget (r7 verdict ask #2): the old fixed 545 s
+    # deadline was tuned to the builder's host (probe_spark_sec
+    # ~0.60) and the driver's slower r7 rerun swept past it,
+    # skipping the ENTIRE isolated column from the authoritative
+    # artifact. The probe exists to measure host speed — use it:
+    # slower hosts get proportionally more time (clamped at 3x so
+    # a pathological probe can't unbound the run), and past the
+    # deadline entries DEGRADE to best-of-1 with no warmup for a
+    # further half-budget before skipping — a degraded reading
+    # beats a named absence.
+    factor = min(3.0, max(1.0, probe["probe_spark_sec"] / 0.60))
+    budget = 545.0 * factor
+    # Guaranteed minimum isolated window (r9, work-aware since
+    # r12): the absolute budget is anchored at process start, so a
+    # sweep that overruns it (growing catalog x a contended host
+    # the <=1x clamp can't see) starved the isolated phase
+    # ENTIRELY — and past the hard deadline even the degrade path
+    # never fired, reproducing the r7 empty-column failure the
+    # budget was built to prevent. Anchor a floor at the sweep's
+    # END instead, sized to the SELECTED work (_isolated_floor —
+    # the fixed 60s*f floor starved 8 of 13 entries to best-of-1
+    # on r12's first gate attempt when the slow sweep exhausted
+    # the whole absolute budget). The early headline print and the
+    # in-sweep _write_full above keep a driver kill inside this
+    # window harmless.
+    soft_floor, hard_floor = _isolated_floor(timings, top, factor)
+    t_iso = time.perf_counter()
+    (
+        full["queries_isolated"],
+        full["isolated_skipped"],
+        full["isolated_degraded"],
+        full["isolated_errored"],
+    ) = _isolated_phase(
+        spark,
+        qs,
+        top,
+        sf_dir,
+        deadline=max(t_wall0 + budget, t_iso + soft_floor),
+        hard_deadline=max(
+            t_wall0 + 1.5 * budget, t_iso + hard_floor
+        ),
+    )
+    full["isolated_budget_sec"] = round(budget, 1)
+    _write_full(full)
 
 
 def _headline_line(

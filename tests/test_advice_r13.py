@@ -20,28 +20,48 @@ Two findings, two pins:
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# derive the repo root from this file, like the rest of the suite —
+# a hardcoded absolute path breaks if the checkout moves (r13 advisor)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_isolated_set_rule_persisted_before_phase():
+def test_isolated_set_rule_persisted_before_phase(monkeypatch):
     """The recorded round must hit disk before the isolated phase can
-    fail: in main()'s source, a _write_full call sits after the
-    isolated_set_rule assignment and before the _isolated_phase call."""
-    import inspect
-
+    fail: behavioral pin (r13 advisor — the old source-text substring
+    pin broke on unrelated edits and could pass vacuously). The block
+    is now the real function main() calls (_run_isolated_block);
+    inject a phase failure and assert the last _write_full BEFORE the
+    failure already carried isolated_set_rule."""
     import bench
 
-    src = inspect.getsource(bench.main)
-    i_rule = src.index('full["isolated_set_rule"]')
-    i_phase = src.index("_isolated_phase(")
-    between = src[i_rule:i_phase]
-    assert "_write_full(full)" in between, (
+    written: list[dict] = []
+
+    def capture(full):
+        written.append(json.loads(json.dumps(full)))
+
+    def boom(*a, **k):
+        raise RuntimeError("phase failure injected by test")
+
+    monkeypatch.setattr(bench, "_write_full", capture)
+    monkeypatch.setattr(bench, "_isolated_phase", boom)
+    monkeypatch.setattr(bench, "_current_round", lambda: 7)
+    timings = {"q": 0.1}
+    full = {"queries": dict(timings)}
+    try:
+        bench._run_isolated_block(
+            None, {}, full, timings, {"probe_spark_sec": 0.6}, "x", 0.0
+        )
+    except RuntimeError:
+        pass
+    assert written and "isolated_set_rule" in written[-1], (
         "isolated_set_rule must be persisted before _isolated_phase "
         "runs, or a phase failure strands bench_full.json without a "
         "recorded round"
     )
+    assert written[-1]["isolated_set_rule"]["round"] == 7
 
 
 def test_snapshot_bench_refuses_unparseable_target(tmp_path, monkeypatch):
