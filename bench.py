@@ -260,6 +260,15 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     wall = round(time.perf_counter() - t_all, 4)
 
+    # Post-sweep drift probe (r12 verdict ask #2): same pinned job,
+    # same session the sweep just used, timed BEFORE the isolated
+    # phase so it brackets exactly the sweep window. Guarded like the
+    # isolated phase — a probe failure must never cost the headline.
+    try:
+        probe.update(_post_sweep_probe(spark))
+    except Exception as e:
+        print(f"post-sweep probe failed: {e}", file=sys.stderr)
+
     # Full per-query detail goes to a file; the stdout line must stay SHORT
     # (the driver keeps only a tail of stdout — a multi-KB JSON line gets
     # truncated mid-line and fails to parse, as happened in round 1).
@@ -453,6 +462,12 @@ def _headline_line(
             "probe_spark_sec": probe.get("probe_spark_sec"),
             "probe_spark_med": probe.get("probe_spark_med"),
             "probe_spark_spread": probe.get("probe_spark_spread"),
+            # post-sweep rerun of the same pinned probe (r12 verdict
+            # ask #2): post/pre far from 1 => host drifted MID-sweep
+            # and per-query deltas in this window are individually
+            # unadjudicable; read rule in BENCH_NOTES.md
+            "probe_spark_post": probe.get("probe_spark_post"),
+            "probe_spark_post_med": probe.get("probe_spark_post_med"),
             "loadavg1": env.get("loadavg1"),
         },
         separators=(",", ":"),
@@ -721,22 +736,8 @@ def _calibration_probe(spark) -> dict:
             acc = (acc + i * 2654435761) & 0xFFFFFFFF
         cpu_sec = min(cpu_sec, time.perf_counter() - t0)
 
-    from pyspark.sql import functions as F
-
     def job():
-        return (
-            spark.range(30_000_000)
-            .select(
-                (F.col("id") % 9973).alias("k"),
-                (F.col("id") * 2654435761 % 1000003).alias("v"),
-            )
-            .groupBy("k")
-            .agg(
-                F.sum("v").alias("s"),
-                F.count("*").alias("c"),
-                F.avg("v").alias("a"),
-            )
-        )
+        return _probe_job(spark)
 
     # 10 warmups + best-of-10, not 2+3: the probe runs ONCE per
     # process, and on a fresh JVM the first ~10 executions sit in the
@@ -767,6 +768,60 @@ def _calibration_probe(spark) -> dict:
         # can pick the robust one when spread is high; probe_spark_sec
         # stays the frozen historical denominator.
         "probe_spark_med": round(sorted(reps)[len(reps) // 2], 4),
+    }
+
+
+def _probe_job(spark):
+    """The pinned synthetic probe job (range -> 2-key derive ->
+    hash-shuffle groupBy -> agg). ONE definition shared by the
+    pre-sweep calibration probe and the post-sweep drift probe —
+    the pre/post ratio is only meaningful if both time the identical
+    plan. Sizes are FROZEN (see _calibration_probe)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(30_000_000)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            (F.col("id") * 2654435761 % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("*").alias("c"),
+            F.avg("v").alias("a"),
+        )
+    )
+
+
+def _post_sweep_probe(spark) -> dict:
+    """Re-run the SAME pinned Spark probe after the sweep, before the
+    isolated phase (r12 verdict ask #2): a single pre-sweep probe
+    adjudicates whole-sweep host speed but cannot see MID-sweep drift —
+    r12's q6/asof/dedup_minhash window deltas each exceeded the probe
+    ratio individually and needed a separate builder-side gate run to
+    clear. With probe_spark_post in the parsed headline line, a
+    post/pre ratio far from 1 mechanically marks the window's
+    per-query deltas as individually unadjudicable (host drifted
+    mid-sweep), straight from the driver artifact.
+
+    2 warmups instead of 10: the probe job's generated code was
+    C2-compiled by the pre-sweep probe in this same JVM, so the cold
+    window the pre-probe's 10 warmups retire does not exist here;
+    the 10 timed reps + GC discipline are identical."""
+    for _ in range(2):
+        _probe_job(spark).write.format("noop").mode("overwrite").save()
+    reps: list[float] = []
+    for _ in range(10):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _probe_job(spark).write.format("noop").mode("overwrite").save()
+        reps.append(time.perf_counter() - t0)
+    best = min(reps)
+    return {
+        "probe_spark_post": round(best, 4),
+        "probe_spark_post_med": round(sorted(reps)[len(reps) // 2], 4),
+        "probe_spark_post_spread": round(max(reps) / best - 1.0, 4),
     }
 
 

@@ -255,6 +255,8 @@ def test_headline_line_is_self_normalizing():
             "probe_spark_sec": 0.42,
             "probe_spark_med": 0.48,
             "probe_spark_spread": 0.2,
+            "probe_spark_post": 0.44,
+            "probe_spark_post_med": 0.51,
         },
         env={"loadavg1": 3.1},
     )
@@ -263,6 +265,11 @@ def test_headline_line_is_self_normalizing():
     assert rec["probe_spark_sec"] == 0.42
     assert rec["probe_spark_med"] == 0.48
     assert rec["probe_spark_spread"] == 0.2
+    # r12 verdict ask #2: the post-sweep rerun of the same pinned
+    # probe brackets the sweep window, so mid-sweep host drift is
+    # adjudicable from the parsed driver artifact alone
+    assert rec["probe_spark_post"] == 0.44
+    assert rec["probe_spark_post_med"] == 0.51
     assert rec["loadavg1"] == 3.1
     assert rec["n_queries"] == len(timings)
     assert set(rec["queries"]) == set(HEADLINE)
