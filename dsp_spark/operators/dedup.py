@@ -849,14 +849,20 @@ def dup_span_intervals(
     windows — the same plan dedup_dup_span_fraction audits.
     """
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    # spread BEFORE the tokenize+hash+explode pass: a single-file
-    # parquet corpus scans as ONE partition (one row group), so the
-    # whole gram build — the dominant per-row work of every span
-    # consumer — would run on one core, and the checkpoint below would
-    # store one partition, serializing the map side of BOTH gram
-    # exchanges too. At 100 TB the scan has thousands of splits and
-    # spread() is a partition-count no-op (guide §2.5 input skew).
-    base = spread(df).select(F.col(id_col).alias("_sid"), toks.alias("_l"))
+    # NO spread() here, decided by measurement (r14): an earlier r14
+    # session added spread before the tokenize+hash+explode pass
+    # (single-file parquet scans as one partition), but since the r13
+    # hash-narrowing (xxhash64 token-tuple keys, no 60 B gram strings)
+    # the single-core gram build is cheap enough that the added
+    # round-robin exchange + stage barrier LOSES: interleaved
+    # spread-on/off A/B at sf0.1 across two sessions, 14 pairs —
+    # dup_span_top_boilerplate 2.54 vs 1.51 s median,
+    # dedup_span_strip 1.99 vs 1.69, dup_span_rate_by_source 2.28 vs
+    # 1.83 and 1.50 vs 1.26, dedup_dup_span_fraction 1.77 vs 1.71
+    # (flat). The heavy-map-side spreads that DID survive measurement
+    # live in source_ngram_pairs and lang_id_confusion (queries/
+    # text.py), where per-row work is ~an order of magnitude higher.
+    base = df.select(F.col(id_col).alias("_sid"), toks.alias("_l"))
     g = gram
     # gram identity = xxhash64 over the g token hashes, NOT the joined
     # gram string: tokens are whitespace-split (never contain ' '), so
