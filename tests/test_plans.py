@@ -81,6 +81,11 @@ ALLOWED_GLOBAL_WINDOWS = {
     # one offsets-cumsum per prefix-op call: ≤ `buckets` (64) rows each
     "corpus_token_budget_select": 1,
     "orders_abc_pareto": 3,  # offsets + 2 windows on the 10-row decile rollup
+    # one 64-row offsets-cumsum per single-dim NTILE pipeline (r14:
+    # the melted multi helper — whose offsets window was partitioned
+    # by _dim — was replaced by two concurrent per-dim pipelines,
+    # measured 2.90 -> 2.33 s; the window input stays `buckets`-bounded)
+    "zorder_zvalue_audit": 2,
     "orders_yoy_growth": 1,  # year grain (~7 rows)
     "dq_events_freshness": 1,  # event_type grain (handful of streams)
     "dq_volume_shift_daily": 1,  # calendar-day spine
