@@ -498,63 +498,117 @@ def power_iteration(
     )
 
 
-def pq_parts(
+# ---------------------------------------------------------------------------
+# PQ building blocks — packed for IN-ROW encode/score (r14, guide §2.4:
+# the r13 ivf_assign in-row-fold pattern applied to PQ). The old shape
+# (pq_parts) materialized `enc` through a (id, m) argmax groupBy and
+# summed ADC partial dots through a (query_id, id) groupBy — two
+# corpus-sized exchanges per PQ query. Both decisions are per-row
+# against broadcast-sized tables (the codebook is ksub rows by
+# construction; the ADC table is queries x m x ksub), so they fold
+# in-row and the only corpus exchange left in a PQ plan is the final
+# per-query top-k window. Tie-breaks, rounding grains and defaults are
+# single-sourced here so the PQ variants can never diverge.
+# ---------------------------------------------------------------------------
+
+# keys of the per-query ADC lookup map are m * _PQ_MKEY + code; any
+# ksub <= _PQ_MKEY is collision-free
+_PQ_MKEY = 1024
+
+
+def _pq_subdot(vec_col: str, other: str, mi: int, sub: int) -> str:
+    """Sub-vector dot for subspace `mi` — the SAME zip_with left-fold
+    as functions.vectors.dot over the same slices, so doubles are
+    bit-identical to the old exploded formulation."""
+    a = f"slice({vec_col}, {mi * sub + 1}, {sub})"
+    b = f"slice({other}, {mi * sub + 1}, {sub})"
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebook_packed(
     corpus,
-    queries,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 8,
-    sub: int = 8,
     ksub: int = 16,
 ):
-    """Shared PQ building blocks for :func:`pq_topk` / :func:`ivfpq_topk`
-    (ONE implementation of codebook/encode/ADC so tie-breaks, rounding
-    grains and defaults can never diverge between the PQ variants):
-
-    * ``cb``  — the broadcastable codebook: the first ``ksub`` vectors'
-      subvectors per subspace (a trained codebook drops in identically);
-    * ``enc`` — per-(vector, subspace) max-dot code via map-side
-      struct-argmax (ties to the lowest code id); the only corpus-sized
-      shuffle carries (id, m, code), never vectors;
-    * ``adc`` — the queries x m x ksub partial-dot lookup table,
-      DECIMAL(18,8)-rounded so downstream sums are order-independent.
-    """
-    from dsp_spark.functions.vectors import dot
-
-    def explode_subs(df, out):
-        return df.select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.slice(F.col(vec_col), i * sub + 1, sub)
-                        for i in range(m)
-                    ]
-                )
-            ).alias("m", out),
+    """ONE broadcastable row: ``_pq_cb`` = array<struct<code, cvec>>
+    of the first ``ksub`` vectors, sorted by code (a trained codebook
+    drops in identically — it is broadcast either way)."""
+    return (
+        corpus.where(F.col(id_col) < ksub)
+        .select(
+            F.struct(
+                F.col(id_col).cast("bigint").alias("code"),
+                F.col(vec_col).alias("cvec"),
+            ).alias("c")
         )
+        .agg(F.array_sort(F.collect_list("c")).alias("_pq_cb"))
+    )
 
-    subs = explode_subs(corpus, "sv")
-    cb = subs.where(F.col(id_col) < ksub).select(
-        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+
+def pq_codes_col(
+    vec_col: str = "embedding", *, m: int = 8, sub: int = 8
+) -> F.Column:
+    """In-row PQ encode against a crossJoined ``_pq_cb``: per subspace,
+    the max-dot code with ties to the LOWEST code — ascending
+    (-round(dot, 6), code) struct sort == the old max(struct(d6,
+    -code)) argmax exactly. Zero corpus shuffle (the old enc shuffled
+    (id, m, code) through a groupBy)."""
+    return F.array(
+        *[
+            F.expr(
+                "element_at(array_sort(transform(_pq_cb, c -> struct("
+                f"-round({_pq_subdot(vec_col, 'c.cvec', mi, sub)}, 6) AS negd, "
+                "c.code AS code))), 1).code"
+            )
+            for mi in range(m)
+        ]
     )
-    d6 = F.round(dot("sv", "cv"), 6)
-    enc = (
-        subs.join(F.broadcast(cb), "m")
-        .select(F.col(id_col), "m", d6.alias("d6"), "code")
-        .groupBy(id_col, "m")
-        .agg(F.max(F.struct("d6", (-F.col("code")).alias("nc"))).alias("b"))
-        .select(id_col, "m", (-F.col("b.nc")).cast("bigint").alias("code"))
-    )
-    q = explode_subs(queries, "qv").withColumnRenamed(id_col, "query_id")
-    adc = q.join(F.broadcast(cb), "m").select(
-        "query_id",
-        "m",
-        "code",
-        F.round(dot("qv", "cv"), 8).cast("decimal(18,8)").alias("pdot"),
-    )
-    return cb, enc, adc
+
+
+def pq_adc_map_col(
+    vec_col: str = "embedding", *, m: int = 8, sub: int = 8
+) -> F.Column:
+    """Per-QUERY ADC lookup table as one in-row map (build against a
+    crossJoined ``_pq_cb``): m*{_PQ_MKEY}+code -> DECIMAL(18,8)
+    partial dot, rounded once so downstream sums are
+    order-independent."""
+    per_m = [
+        F.expr(
+            f"transform(_pq_cb, c -> struct("
+            f"CAST({mi * _PQ_MKEY} AS BIGINT) + c.code AS k, "
+            f"CAST(round({_pq_subdot(vec_col, 'c.cvec', mi, sub)}, 8) "
+            "AS DECIMAL(18,8)) AS v))"
+        )
+        for mi in range(m)
+    ]
+    return F.map_from_entries(F.flatten(F.array(*per_m)))
+
+
+def pq_est_col(
+    codes_col: str = "_codes", adc_col: str = "_adc", *, m: int = 8
+) -> F.Column:
+    """ADC estimate for one (corpus row, query row) pair: m map
+    lookups summed as exact DECIMAL (addition of identical
+    DECIMAL(18,8) terms is exact in any order, so the double equals
+    the old SUM(pdot) over the (query_id, id) groupBy exchange this
+    replaces)."""
+    terms = [
+        F.expr(
+            f"element_at({adc_col}, CAST({mi * _PQ_MKEY} AS BIGINT) "
+            f"+ element_at({codes_col}, {mi + 1}))"
+        )
+        for mi in range(m)
+    ]
+    est = terms[0]
+    for t_ in terms[1:]:
+        est = est + t_
+    return est.cast("double")
 
 
 def pq_topk(
@@ -573,18 +627,18 @@ def pq_topk(
     sub-codes (one byte each here), and query scoring is ``m`` table
     lookups instead of a d-dim dot product.
 
-    Stages (all broadcast-bounded; the corpus never self-joins):
-      1. codebook: the first ``ksub`` vectors' subvectors, per subspace
-         (a trained codebook drops in identically — it's broadcast
-         either way);
-      2. encode: max-dot sub-centroid per (vector, subspace) as a
-         map-side partial-agg argmax (struct max, ties to lowest code)
-         — the only corpus-sized shuffle carries (id, m, code), never
-         vectors;
-      3. ADC: the nq x m x ksub partial-dot lookup table, broadcast;
-      4. score: codes join the broadcast table, partial-agg sum the m
-         per-subspace dots (exact DECIMAL, order-independent), rank
-         top-k per query.
+    Stages (all broadcast-bounded; the corpus never self-joins, and —
+    r14 — the only corpus-sized exchange is the final top-k window):
+      1. codebook: the first ``ksub`` vectors, packed into ONE
+         broadcast row (a trained codebook drops in identically);
+      2. encode: max-dot sub-centroid per (vector, subspace) as an
+         IN-ROW argmax fold over the broadcast codebook (ties to
+         lowest code) — zero shuffle (the old shape shuffled
+         (id, m, code) through a groupBy);
+      3. ADC: the nq x m x ksub partial-dot lookup maps, one broadcast
+         row per query;
+      4. score: m in-row map lookups summed as exact DECIMAL
+         (order-independent), rank top-k per query.
 
     Determinism: sub-dots are fixed-order array folds rounded once,
     summed as DECIMAL(18,8); the estimate surfaces as the exact sum
@@ -593,21 +647,29 @@ def pq_topk(
     """
     from pyspark.sql import Window as W
 
+    from dsp_spark.session import spread
+
     e = corpus.select(id_col, vec_col)
-    _, enc, adc = pq_parts(
-        e,
-        e.where(F.col(id_col) < nq),
-        id_col=id_col,
-        vec_col=vec_col,
-        m=m,
-        sub=sub,
-        ksub=ksub,
+    cbp = pq_codebook_packed(e, id_col=id_col, vec_col=vec_col, ksub=ksub)
+    adc = (
+        e.where(F.col(id_col) < nq)
+        .crossJoin(F.broadcast(cbp))
+        .select(
+            F.col(id_col).alias("query_id"),
+            pq_adc_map_col(vec_col, m=m, sub=sub).alias("_adc"),
+        )
+    )
+    # spread(): the in-row encode is m x ksub interpreted sub-dot folds
+    # per row — heavy scan-side work that a one-row-group test parquet
+    # file would otherwise run on ONE core (partition-count no-op at
+    # real scan parallelism)
+    coded = spread(e).crossJoin(F.broadcast(cbp)).select(
+        F.col(id_col), pq_codes_col(vec_col, m=m, sub=sub).alias("_codes")
     )
     scored = (
-        enc.join(F.broadcast(adc), ["m", "code"])
+        coded.crossJoin(F.broadcast(adc))
         .where(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("pdot").cast("double").alias("est"))
+        .select("query_id", id_col, pq_est_col(m=m).alias("est"))
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc(id_col))
     return (
@@ -635,42 +697,55 @@ def ivfpq_topk(
     the inverted index prunes >99% of the corpus per query AND each
     candidate costs m table lookups instead of a full-dim dot.
 
-    Reuses :func:`ivf_assign` for cells/probes and the same
-    encode/ADC shapes as :func:`pq_topk` (broadcast codebook,
-    map-side struct-argmax encode, DECIMAL-exact ADC sums). The only
-    corpus-sized shuffles carry (id, cell) and (id, subspace, code) —
-    never vectors.
+    Reuses :func:`ivf_assign` for cells/probes and the same packed
+    in-row encode/ADC as :func:`pq_topk` (broadcast codebook, in-row
+    argmax encode on the SAME projection as the cell assignment,
+    DECIMAL-exact in-row ADC sums). The only corpus-sized exchange —
+    r14 — is the final top-k window; the old shape additionally
+    shuffled (id, m, code) for the encode, (id, cell) for the cell
+    join and (query_id, id) for the score sum.
     """
     from pyspark.sql import Window as W
-
-    cells = ivf_assign(
-        corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
-    ).select(id_col, "cell")
-    probes = ivf_assign(
-        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("query_id"), "cell")
 
     # ADC subvectors come from the QUERIES argument — not from corpus
     # rows that happen to share ids — so probes and lookup tables always
     # describe the same query set
-    _, enc, adc = pq_parts(
-        corpus,
-        queries,
-        id_col=id_col,
-        vec_col=vec_col,
-        m=m,
-        sub=sub,
-        ksub=ksub,
+    cbp = pq_codebook_packed(
+        corpus, id_col=id_col, vec_col=vec_col, ksub=ksub
     )
-    candidates = (
-        enc.join(cells, id_col)
-        .join(F.broadcast(probes), "cell")
+    probes = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    adc = (
+        queries.crossJoin(F.broadcast(cbp))
+        .select(
+            F.col(id_col).alias("query_id"),
+            pq_adc_map_col(vec_col, m=m, sub=sub).alias("_adc"),
+        )
+    )
+    # one broadcast row per (query, probed cell), ADC map riding along
+    probes_adc = probes.join(adc, "query_id")
+
+    # spread(): cell assignment + encode are both heavy in-row folds on
+    # what a one-row-group test file scans as ONE partition (no-op at
+    # real scan parallelism)
+    from dsp_spark.session import spread
+
+    coded = (
+        ivf_assign(
+            spread(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        )
+        .crossJoin(F.broadcast(cbp))
+        .select(
+            F.col(id_col),
+            "cell",
+            pq_codes_col(vec_col, m=m, sub=sub).alias("_codes"),
+        )
+    )
+    scored = (
+        coded.join(F.broadcast(probes_adc), "cell")
         .where(F.col(id_col) != F.col("query_id"))
-    )
-    scored = candidates.join(
-        F.broadcast(adc), ["query_id", "m", "code"]
-    ).groupBy("query_id", id_col).agg(
-        F.sum("pdot").cast("double").alias("est")
+        .select("query_id", id_col, pq_est_col(m=m).alias("est"))
     )
     wr = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc(id_col))
     return (

@@ -1020,21 +1020,74 @@ def ann_ivfpq_topk(spark, sf_dir):
     "integers.",
 )
 def ann_pq_recall(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
-    bf = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10).select(
-        "query_id", "vec_id"
+    # Fused single-pass shape (r14, guide §2.4 — the ann_recall_at_k
+    # pattern): the exact and PQ rankings run over the SAME candidate
+    # domain (every corpus vector except self, per query), so one
+    # corpus x queries pass computes BOTH scores per row — exact
+    # cosine from the broadcast query vector, the ADC estimate from
+    # the in-row PQ codes + the query's broadcast ADC map — and the
+    # two row_number windows share ONE query_id exchange. The recall
+    # join disappears: a bf row is a hit iff its PQ rank is <= 10 on
+    # the same row (COUNT(pq.vec_id) over the old bf LEFT JOIN pq ==
+    # count of rows in both top-10s). Scores, ranks, tie-breaks and
+    # the self-exclusion are unchanged from brute_force_topk/pq_topk.
+    from pyspark.sql import Window as W
+
+    from dsp_spark.functions.vectors import dot, norm
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbp = sim.pq_codebook_packed(e)
+    qb = (
+        e.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(cbp))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            norm("embedding").alias("q_nrm"),
+            sim.pq_adc_map_col("embedding").alias("_adc"),
+        )
     )
-    pq = sim.pq_topk(e).select(
-        "query_id", F.col("vec_id").alias("pq_vec")
+    from dsp_spark.session import spread
+
+    # spread(): the in-row encode + per-query cosine folds are heavy
+    # scan-side work on a one-row-group test file's single partition
+    # (no-op at real scan parallelism)
+    c = spread(e).crossJoin(F.broadcast(cbp)).select(
+        "vec_id",
+        "embedding",
+        norm("embedding").alias("nrm"),
+        sim.pq_codes_col("embedding").alias("_codes"),
     )
-    j = bf.join(
-        pq,
-        (bf.query_id == pq.query_id) & (bf.vec_id == pq.pq_vec),
-        "left",
-    ).select(bf.query_id, "pq_vec")
-    return j.groupBy("query_id").agg(
-        F.count("pq_vec").alias("n_hits"),
-        (F.count("pq_vec").cast("double") / 10).alias("recall_at_10"),
+    rows = (
+        c.crossJoin(F.broadcast(qb))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot("q_vec", "embedding") / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("sim"),
+            sim.pq_est_col().alias("est"),
+        )
+    )
+    wbf = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    wpq = W.partitionBy("query_id").orderBy(F.desc("est"), F.asc("vec_id"))
+    return (
+        rows.select(
+            "query_id",
+            F.row_number().over(wbf).alias("_rbf"),
+            F.row_number().over(wpq).alias("_rpq"),
+        )
+        .filter(F.col("_rbf") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("_rpq") <= 10, F.lit(1))).alias("n_hits"),
+            (
+                F.count(F.when(F.col("_rpq") <= 10, F.lit(1))).cast("double")
+                / 10
+            ).alias("recall_at_10"),
+        )
     )
 
 
