@@ -69,6 +69,9 @@ def brute_force_topk(
     a single dot product — at N corpus x Q queries that's the difference
     between NQ and 3NQ full vector folds.
     """
+    # (spread() measured SLOWER here — r14, 3/3 interleaved pairs: the
+    # nq-query cosine fold is too cheap to pay for the extra exchange,
+    # unlike the int8/IVF/PQ corpus-side folds)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -160,7 +163,14 @@ def ivf_topk(
     join shuffles only the probed cells' ids — in production the
     centroids come from k-means; here any deterministic codebook works.
     """
-    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    from dsp_spark.session import spread
+
+    # spread(): the corpus-side assignment fold + candidate cosines are
+    # heavy in-row work on a one-row-group test file's single partition
+    # (no-op at real scan parallelism)
+    cells = ivf_assign(
+        spread(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
     probes = ivf_assign(
         queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     ).select(
@@ -215,8 +225,13 @@ def int8_topk(
     engines. Compose with LSH/IVF blocking for candidate generation;
     here it scores a broadcast query set like brute_force_topk.
     """
+    from dsp_spark.session import spread
+
     codes, _ = quantize_int8(vec_col)
-    c = corpus.select(F.col(id_col), codes.alias("codes")).withColumn(
+    # spread(): quantization + integer-dot folds are heavy scan-side
+    # work on a one-row-group test file's single partition (no-op at
+    # real scan parallelism)
+    c = spread(corpus).select(F.col(id_col), codes.alias("codes")).withColumn(
         "inorm", F.sqrt(dot_int8("codes", "codes").cast("double"))
     )
     q = queries.select(F.col(id_col), codes.alias("codes")).select(
@@ -306,9 +321,14 @@ def assign_nearest_centroid(
             c.cid AS cid)))
         """
     )
+    from dsp_spark.session import spread
+
     vec_cols = [vec_col] if keep_vec else []
+    # spread(): the K-candidate assignment fold is heavy scan-side work
+    # on a one-row-group test file's single partition (no-op at real
+    # scan parallelism)
     return (
-        corpus.select(id_col, vec_col, norm(vec_col).alias("nrm"))
+        spread(corpus).select(id_col, vec_col, norm(vec_col).alias("nrm"))
         .crossJoin(F.broadcast(packed))
         .select(
             id_col,

@@ -235,11 +235,16 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
 def test_kmeans_assign_no_corpus_shuffle(spark, sf_dir):
     """Assignment must be a map-side fold over broadcast centroids: no
     Window/Sort of scored pairs, and the only exchanges are the tiny
-    seed-packing agg + its broadcast (never the corpus)."""
+    seed-packing agg + its broadcast plus the r14 spread() round-robin
+    (a partition-count no-op at real scan parallelism; the corpus is
+    never shuffled BY KEY for the assignment itself)."""
     df = q("embedding_kmeans_assign", spark, sf_dir)
     plan = plans.formatted(df)
     assert "Window" not in plan and "Sort" not in plan
-    assert plans.count_exchanges(df) == 2
+    assert plans.count_exchanges(df) == 3
+    # the only non-broadcast, non-seed exchange is the round-robin
+    # spread — never a key-partitioned shuffle of scored corpus rows
+    assert "hashpartitioning(vec_id" not in plan
 
 
 def test_label_centroids_single_shuffle(spark, sf_dir):
