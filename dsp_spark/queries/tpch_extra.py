@@ -784,24 +784,36 @@ def q20_dominant_part_suppliers(spark, sf_dir):
     n = t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
+    from pyspark.sql import Window as W
+
     qty = dec("l_quantity")
+    # r14 (guide §2.4 / §1.2 step 1): the oracle's `shipped` CTE is a
+    # SECOND full lineitem scan + partkey-grain aggregate, but the 1996
+    # per-part total is just the sum of per-(part, supplier) filtered
+    # sums — a conditional sum riding the SAME (l_partkey, l_suppkey)
+    # aggregate, folded to part grain by a window over the pair-grain
+    # table (bounded by suppliers-per-part). One fact scan and one
+    # fact-grain exchange instead of two; decimal sums are exact in any
+    # grouping, so year_qty is value-identical to the oracle's.
+    in96 = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ps = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(qty).cast("decimal(18,2)").alias("supp_qty"))
-    )
-    shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("supp_qty"),
+            F.sum(F.when(in96, qty)).alias("_yq_pair"),
         )
-        .groupBy(F.col("l_partkey").alias("sh_partkey"))
-        .agg(F.sum(qty).cast("decimal(18,2)").alias("year_qty"))
+    )
+    year_qty = (
+        F.sum("_yq_pair")
+        .over(W.partitionBy("l_partkey"))
+        .cast("decimal(18,2)")
     )
     dominant = (
-        ps.join(shipped, ps.l_partkey == shipped.sh_partkey)
-        .filter(F.col("supp_qty") * 2 > F.col("year_qty"))
+        ps.withColumn("_year_qty", year_qty)
+        .filter(F.col("supp_qty") * 2 > F.col("_year_qty"))
         .select(F.col("l_suppkey").alias("dom_suppkey"))
         .distinct()
     )
