@@ -1271,25 +1271,58 @@ def embedding_label_margin(spark, sf_dir):
             " ELSE abs(SUM(v6)) DIV (COUNT(*) * 1000) END"
         ).alias("c3")
     )
-    cnorm = cent.groupBy("clabel").agg(
-        F.sum(F.col("c3") * F.col("c3")).alias("cn2")
+    # r14 (guide §2.4, the PQ/ivf_assign in-row-fold pattern): the
+    # vector-side quantization, norm, and the 10 prototype dots are all
+    # per-row decisions against a broadcast 10-row prototype table, so
+    # they fold in-row — the exploded pos-join, the (vec, label,
+    # clabel) dot groupBy, and the vnorm groupBy + join all disappear;
+    # the only corpus-grain exchange left is the tiny (label, clabel)
+    # pairmeans partial agg. The explode survives solely to BUILD the
+    # prototypes (cent), whose per-(label, pos) mean needs the corpus
+    # aggregate either way. Same exact-BIGINT dot/norm sums (integer
+    # addition is order-independent), same rounding grains.
+    packed = (
+        cent.groupBy("clabel")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c3))),"
+                " s -> s.c3)"
+            ).alias("carr"),
+            F.sum(F.col("c3") * F.col("c3")).alias("cn2"),
+        )
     )
-    vnorm = cells.groupBy("vec_id").agg(
-        F.sum(F.col("v6") * F.col("v6")).alias("vn2")
+    from dsp_spark.session import spread
+
+    v6arr = F.expr(
+        "transform(embedding, v ->"
+        " CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
     )
-    dots = (
-        cells.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(F.col("v6") * F.col("c3")).alias("dot"))
+    # spread(): in-row quantize + 10 bigint dot folds per row are heavy
+    # scan-side work on a one-row-group test file's single partition
+    # (no-op at real scan parallelism)
+    vecs = spread(e).select(
+        "vec_id",
+        "label",
+        v6arr.alias("_v6"),
+    ).select(
+        "vec_id",
+        "label",
+        "_v6",
+        F.expr(
+            "aggregate(transform(_v6, v -> v * v), 0L, (acc, x) -> acc + x)"
+        ).alias("vn2"),
+    )
+    dotf = F.expr(
+        "aggregate(zip_with(_v6, carr, (v, c) -> v * c), 0L,"
+        " (acc, x) -> acc + x)"
     )
     sims = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "clabel")
+        vecs.crossJoin(F.broadcast(packed))
         .select(
             "label",
             "clabel",
             F.round(
-                F.col("dot").cast("double")
+                dotf.cast("double")
                 / (
                     F.sqrt(F.col("vn2").cast("double"))
                     * F.sqrt(F.col("cn2").cast("double"))
