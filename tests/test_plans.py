@@ -327,9 +327,14 @@ def test_q11_scalar_total_reuses_exchange(spark, sf_dir):
 
 
 def test_q20_partial_aggs_share_scan(spark, sf_dir):
+    """r14: the 1996 shipped total rides the (partkey, suppkey)
+    aggregate as a conditional sum (folded to part grain by a window),
+    so there is ONE fact scan and nothing left to reuse — stronger
+    than the old shape's ReusedExchange of two parallel aggregates."""
     df = q("q20_dominant_part_suppliers", spark, sf_dir)
+    plan = plans.formatted(df)
     assert plans.has_broadcast_join(df)
-    assert plans.has_reused_exchange(df)
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_sampling_reports_single_shuffle(spark, sf_dir):
