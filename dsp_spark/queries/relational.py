@@ -902,6 +902,16 @@ def customer_rfm_segments(spark, sf_dir):
     # ORDER BY last_order tie-broken-by-custkey contract exactly.
     # The R/F/M measures ride the melt as payload — no join back onto
     # the grain table (its RDD-scan exchange is never reused).
+    # A CHAINED multi-NTILE (every dim's bucket id on one row set,
+    # successive bucket-keyed windows, offsets from pre-window counts,
+    # no melt and no reunite join) was built and measured in r14 and
+    # REJECTED at both call sites: here 4/4 interleaved pairs worse
+    # (1.2-1.4 -> 1.7-3.9 s; 8 -> 21 jobs — at tiny custkey grain the
+    # 3 serialized window barriers cost more than melting 3x rows),
+    # and on event-grain zorder_zvalue_audit 6/8 pairs worse (median
+    # 2.81 -> 2.97 s) — the serialized windows also lose to the two
+    # CONCURRENT per-dim pipelines + reunite join there, despite
+    # exchanging strictly fewer bytes. Both entries keep their shapes.
     tiles = prefix.global_ntile_multi(
         rfm,
         "custkey",
