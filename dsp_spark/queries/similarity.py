@@ -673,8 +673,30 @@ def semantic_dedup_survivors(spark, sf_dir):
         .select("vec_id", "embedding", norm("embedding").alias("nrm"), "centroid_id")
         .localCheckpoint(eager=True)
     )
-    a = e.alias("a").hint("shuffle_hash")
-    b = e.alias("b").hint("shuffle_hash")
+    # r14 (guide §2.5): the pair join is keyed on centroid_id — K=10
+    # distinct values, so the in-cluster pairwise cosines ran on <= 10
+    # tasks no matter the core count, and AQE's skew split never fires
+    # on byte-tiny partitions. SALT the join: the b side lands in one
+    # of _SD_SALT deterministic buckets (pmod(xxhash64(vec_id)), never
+    # rand() — retry-safe per SPARK-38388), the a side replicates to
+    # all of them, and the same pair set enumerates exactly once on
+    # K x _SD_SALT keys. At a billion vectors the same salt is what
+    # keeps one mega-cluster from pinning a single task.
+    _SD_SALT = 8
+    a = (
+        e.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SD_SALT)]))
+        )
+        .alias("a")
+        .hint("shuffle_hash")
+    )
+    b = (
+        e.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"), F.lit(_SD_SALT)).cast("int")
+        )
+        .alias("b")
+        .hint("shuffle_hash")
+    )
     cos = F.round(
         dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
@@ -682,6 +704,7 @@ def semantic_dedup_survivors(spark, sf_dir):
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.3)
